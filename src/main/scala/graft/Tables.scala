@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated parquet star schema
+  * (see TESTDATA.md / FIXTURES.md).
+  *
+  * Mirrors the capability of a Flink catalog table scan
+  * (reference: flink-table/flink-table-planner/.../exec/batch/BatchExecTableSourceScan.java:52)
+  * re-expressed as Spark DataSource V2 parquet reads: Catalyst gets full
+  * pushdown (filters, column pruning, partition pruning) for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long and floor-truncate to micros —
+    * identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so oracle
+    * comparisons on ts agree. Integer `div` (not `/`) — nanos-since-epoch
+    * exceeds 2^53 and would lose precision through a double. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so spark.sql queries can refer to
+    * them by bare name (same convention as the DuckDB oracle). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** A named group of queries: each query has a DataFrame implementation and
+  * (when SQL-expressible) a DuckDB oracle. Column names MUST match between
+  * the two — the driver sorts columns by name before hashing. */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
