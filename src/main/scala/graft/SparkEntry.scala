@@ -10,7 +10,11 @@ import graft.operators._
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    RelationalPack
+    RelationalPack,
+    AggregatePack,
+    TimeWindowPack,
+    OverWindowPack,
+    RankDedupPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -35,7 +35,7 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

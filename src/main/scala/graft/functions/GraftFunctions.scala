@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Scalar/aggregate function surface filling Flink built-ins that Spark
+  * lacks (SURVEY.md §2.10/§2.11, §7.2-M1). Everything here composes
+  * codegen'd `org.apache.spark.sql.functions` where possible; custom
+  * Aggregators only where semantics demand state.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------------
+  // SINGLE_VALUE (reference: flink-table-planner
+  // .../functions/aggfunctions/SingleValueAggFunction.java) — returns the
+  // group's only value, errors if the group has more than one row.
+  private case class SVBuf(var value: Double, var n: Long)
+
+  private object SingleValueAgg extends Aggregator[Double, SVBuf, Double] {
+    def zero: SVBuf = SVBuf(0.0, 0L)
+    def reduce(b: SVBuf, a: Double): SVBuf = {
+      if (b.n >= 1) throw new IllegalStateException(
+        "SINGLE_VALUE: group has more than one row")
+      b.value = a; b.n += 1; b
+    }
+    def merge(x: SVBuf, y: SVBuf): SVBuf = {
+      val n = x.n + y.n
+      if (n > 1) throw new IllegalStateException(
+        "SINGLE_VALUE: group has more than one row")
+      if (y.n > 0) { x.value = y.value }
+      x.n = n; x
+    }
+    def finish(b: SVBuf): Double = b.value
+    def bufferEncoder: Encoder[SVBuf] = Encoders.product[SVBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** SINGLE_VALUE aggregate over a double column. */
+  def single_value(c: Column): Column = udaf(SingleValueAgg).apply(c)
+
+  // ---------------------------------------------------------------------
+  // Scalar helpers (Flink built-ins missing from Spark's function set).
+
+  /** Flink SPLIT_INDEX(str, sep, idx) — null when out of range. */
+  def split_index(str: Column, sep: String, idx: Int): Column =
+    get(split(str, java.util.regex.Pattern.quote(sep)), lit(idx))
+
+  /** Flink IS_DECIMAL: parseable as a number. */
+  def is_decimal(c: Column): Column =
+    c.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+
+  /** Flink IS_DIGIT: all characters decimal digits. */
+  def is_digit(c: Column): Column = c.rlike("^[0-9]+$")
+
+  /** Flink IS_ALPHA: all characters letters. */
+  def is_alpha(c: Column): Column = c.rlike("^[A-Za-z]+$")
+
+  /** Flink HASH_CODE(str): Java String.hashCode semantics
+    * (s[0]*31^(n-1) + ...), evaluated distributively via aggregate(). */
+  def hash_code(c: Column): Column = {
+    val codes = transform(split(c, ""), ch => ascii(ch))
+    aggregate(codes, lit(0),
+      (acc, x) => acc * lit(31) + x).cast("int")
+  }
+
+  /** Flink TRUNCATE(x, n): truncate toward zero at n decimal places. */
+  def truncate(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    (floor(abs(c) * f) / f) * signum(c)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface: distinct aggs, rollup/cube/grouping sets,
+  * LISTAGG/COLLECT, stats aggs, HLL approx distinct, min_by/max_by,
+  * filtered aggregation, SINGLE_VALUE.
+  *
+  * Reference capabilities (SURVEY.md §2.4):
+  *  - BatchExecHashAggregate.java:52 (partial/final hash agg)
+  *  - DecomposeGroupingSetsRule.scala:159 (grouping sets via Expand)
+  *  - aggfunctions: ListAgg, Collect, SingleValue, Min/MaxWithRetract
+  *  - BatchApproxCountDistinctAggFunctions.java:55 (HLL++)
+  *
+  * Scale notes: every query here is a single hash-agg shuffle with
+  * map-side partial aggregation; collect_list/set queries group on
+  * low-cardinality keys so the collected arrays stay bounded.
+  */
+object AggregatePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DISTINCT aggregates (Catalyst expands via Expand, like Flink's
+    // distinct-agg split).
+    "q_agg_distinct" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum_distinct($"l_quantity").as("sum_dq"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    "q_cube" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    "q_groupingsets" -> ((s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice) AS sum_price,
+               CAST(grouping_id() AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      """)
+    }),
+
+    // LISTAGG (Flink ListAggFunction) — sorted for determinism.
+    "q_listagg" -> ((s, d) => {
+      import s.implicits._
+      T.nation(s, d).join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+    }),
+
+    // COLLECT (multiset agg) — emitted as a sorted array.
+    "q_collect_set" -> ((s, d) => {
+      import s.implicits._
+      T.supplier(s, d).groupBy($"s_nationkey")
+        .agg(array_sort(collect_set($"s_suppkey")).as("suppkeys"))
+    }),
+
+    // STDDEV/VAR family.
+    "q_stddev_var" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          stddev_samp($"l_quantity").as("sd_samp"),
+          stddev_pop($"l_quantity").as("sd_pop"),
+          var_samp($"l_quantity").as("v_samp"),
+          var_pop($"l_quantity").as("v_pop"))
+    }),
+
+    // APPROX_COUNT_DISTINCT — Spark's HLL++ mirrors Flink's
+    // BatchApproxCountDistinctAggFunctions (both HLL++, same paper).
+    // Sketch internals differ from DuckDB's -> rows-only check (no oracle).
+    "q_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+    }),
+
+    // MAX_BY / MIN_BY (acctbal unique per nation -> deterministic).
+    "q_minmax_by" -> ((s, d) => {
+      import s.implicits._
+      T.supplier(s, d).groupBy($"s_nationkey")
+        .agg(
+          max_by($"s_name", $"s_acctbal").as("richest"),
+          min_by($"s_name", $"s_acctbal").as("poorest"),
+          max($"s_acctbal").as("max_bal"))
+    }),
+
+    // Filtered aggregation (FILTER clause / count_if).
+    "q_filtered_agg" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d).groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+          sum(when($"o_totalprice" > 200000.0, $"o_totalprice")
+            .otherwise(0.0)).as("big_total"))
+    }),
+
+    // SINGLE_VALUE (Flink SingleValueAggFunction): custom typed Aggregator
+    // that throws on >1 row per group.
+    "q_single_value" -> ((s, d) => {
+      import s.implicits._
+      val sv = graft.functions.GraftFunctions.single_value($"o_totalprice")
+      T.orders(s, d).groupBy($"o_orderkey").agg(sv.as("price"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         sum(DISTINCT l_quantity) AS sum_dq,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_groupingsets" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_extendedprice) AS sum_price,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_collect_set" ->
+      """SELECT s_nationkey, list_sort(list(DISTINCT s_suppkey)) AS suppkeys
+         FROM supplier GROUP BY s_nationkey""",
+    "q_stddev_var" ->
+      """SELECT l_returnflag,
+         stddev_samp(l_quantity) AS sd_samp,
+         stddev_pop(l_quantity) AS sd_pop,
+         var_samp(l_quantity) AS v_samp,
+         var_pop(l_quantity) AS v_pop
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_minmax_by" ->
+      """SELECT s_nationkey,
+         arg_max(s_name, s_acctbal) AS richest,
+         arg_min(s_name, s_acctbal) AS poorest,
+         max(s_acctbal) AS max_bal
+         FROM supplier GROUP BY s_nationkey""",
+    "q_filtered_agg" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         sum(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice ELSE 0.0 END) AS big_total
+         FROM orders GROUP BY o_orderpriority""",
+    "q_single_value" ->
+      """SELECT o_orderkey, min(o_totalprice) AS price
+         FROM orders GROUP BY o_orderkey"""
+  )
+}

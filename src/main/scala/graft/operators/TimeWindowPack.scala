@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregations (SURVEY.md §2.5): TUMBLE, HOP, SESSION,
+  * CUMULATE — here in batch form so the DuckDB oracle can check them;
+  * the same WindowOps helpers drive the streaming versions (see
+  * graft.streaming + StreamingSpec), giving Flink's bounded-stream
+  * equivalence: batch result == replayed-stream result.
+  *
+  * Reference: WindowOperator.java:97, SliceAssigners.java,
+  * SessionWindowAssigner.java:36, CUMULATE in FlinkSqlOperatorTable.
+  *
+  * Oracles express windows via epoch arithmetic (floor(epoch/size)*size),
+  * which is exactly Spark's epoch-aligned `window()` start computation.
+  */
+object TimeWindowPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumble_agg" -> ((s, d) => {
+      import s.implicits._
+      WindowOps.tumble(T.events(s, d), $"ts", "1 hour")
+        .groupBy($"window_start", $"window_end", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    }),
+
+    "q_hop_agg" -> ((s, d) => {
+      import s.implicits._
+      WindowOps.hop(T.events(s, d), $"ts", "1 hour", "30 minutes")
+        .groupBy($"window_start", $"window_end")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    }),
+
+    "q_session_agg" -> ((s, d) => {
+      import s.implicits._
+      WindowOps.sessionAgg(T.events(s, d), $"ts", "10 minutes",
+          Seq($"user_id"),
+          Seq(count(lit(1)).as("n_events"), sum($"value").as("sum_value")))
+        .select($"user_id", $"window_start", $"window_end",
+          $"n_events", $"sum_value")
+    }),
+
+    "q_cumulate_agg" -> ((s, d) => {
+      import s.implicits._
+      WindowOps.cumulate(T.events(s, d), $"ts", 900L, 3600L)
+        .groupBy($"window_start", $"window_end")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_tumble_agg" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS window_start,
+                make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)+3600)*1000000) AS window_end,
+                event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events
+         GROUP BY 1, 2, 3""",
+    "q_hop_agg" ->
+      """WITH exp AS (
+           SELECT make_timestamp((CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) - k*1800)*1000000) AS window_start,
+                  value
+           FROM events CROSS JOIN (SELECT unnest([0,1]) AS k)
+         )
+         SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+                count(*) AS n, sum(value) AS sum_value
+         FROM exp GROUP BY 1, 2""",
+    "q_session_agg" ->
+      """WITH lagd AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), flagd AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+           FROM lagd
+         ), sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagd
+         )
+         SELECT user_id, min(ts) AS window_start,
+                max(ts) + INTERVAL 10 MINUTE AS window_end,
+                count(*) AS n_events, sum(value) AS sum_value
+         FROM sess GROUP BY user_id, sid""",
+    "q_cumulate_agg" ->
+      """WITH exp AS (
+           SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS window_start,
+                  make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + k*900)*1000000) AS window_end,
+                  ts, value
+           FROM events CROSS JOIN (SELECT unnest([1,2,3,4]) AS k)
+         )
+         SELECT window_start, window_end, count(*) AS n, sum(value) AS sum_value
+         FROM exp WHERE window_end > ts GROUP BY 1, 2"""
+  )
+}
