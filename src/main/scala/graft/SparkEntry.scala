@@ -14,7 +14,10 @@ object SparkEntry {
     AggregatePack,
     TimeWindowPack,
     OverWindowPack,
-    RankDedupPack
+    RankDedupPack,
+    ScalarFunctionPack,
+    TemporalJoinPack,
+    ExtPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (north-star ext op).
+  *
+  * Pipeline: per-doc signature (narrow, no shuffle) -> explode band keys
+  * -> self-join on (band, key) for candidates -> exact Jaccard
+  * verification restricted to candidates.
+  *
+  * 100 TB posture: the only shuffles are (a) the band-key self-join,
+  * whose fan-in per bucket is bounded by collision rate (bands * rows
+  * tuned so unrelated docs almost never collide), and (b) the token join
+  * for verification, which touches candidate docs only — never the full
+  * corpus cross product. Both are standard LSH scaling behavior
+  * (Broder; Leskovec et al., Mining of Massive Datasets ch.3).
+  */
+object MinHashLSH {
+
+  /** LSH-bucket deduplication: assign each doc the smallest doc id it
+    * shares any band bucket with (its cluster representative) and flag
+    * non-representatives as duplicates. O(n * bands) — no pairwise
+    * output, so it stays linear even on corpora where the number of
+    * true near-dup PAIRS is quadratic (which is exactly what happens on
+    * template-heavy web/training data at 100 TB).
+    * Output: doc_id, rep_id, is_dup. */
+  def dedupByLSH(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    // Persist: the md5-heavy signature expression feeds two consumers
+    // (bucket minima + the re-join); without this it is evaluated twice.
+    val banded = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(TextOps.bandKeys(
+          TextOps.minhashSignature(col(textCol), numHashes), bands, rows))
+          .as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketMin = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("mid"))
+    banded.join(bucketMin, Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("mid")).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") < col("doc_id"))
+  }
+
+  /** Candidate near-duplicate pairs with exact Jaccard >= threshold.
+    * Output: id1, id2 (id1 < id2), jaccard. Use for bounded candidate
+    * sets; for corpus-scale dedup prefer dedupByLSH (see above). */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      TextOps.distinctTokens(col(textCol)).as("toks"),
+      TextOps.bandKeys(
+        TextOps.minhashSignature(col(textCol), numHashes), bands, rows).as("bkeys"))
+
+    val banded = sigs.select(col("id"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    val toks = sigs.select(col("id"), explode(col("toks")).as("tok"))
+    val sizes = sigs.select(col("id"), size(col("toks")).as("n"))
+
+    val inter = cand
+      .join(toks.as("ta"), col("id1") === col("ta.id"))
+      .join(toks.as("tb"),
+        col("id2") === col("tb.id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("i"))
+
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        (col("i") * lit(1.0) / (col("s1.n") + col("s2.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline
+  * as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs batched per partition (the Scala analog of a
+  * pandas-UDF-over-mapInPandas stage).
+  *
+  * The container has no image/audio codecs, so `decodeStub` derives a
+  * DETERMINISTIC FAKE (width/height from the content hash) — the Spark
+  * plumbing (binary schema, partition-batched processing, metadata
+  * struct shape) is real and oracle-tested; swap `decodeStub` for a real
+  * codec in production.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, sha: String,
+      width: Int, height: Int)
+
+  /** STUB decode: fake dimensions derived from the sha256 hex digest. */
+  def decodeStub(sha: String): (Int, Int) = {
+    def hex2(s: String) = Integer.parseInt(s, 16)
+    (64 + hex2(sha.substring(0, 2)), 64 + hex2(sha.substring(2, 4)))
+  }
+
+  /** Attach an opaque binary media column (here: utf-8 of the text —
+    * stands in for image/audio bytes). */
+  def withMedia(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("media", col(textCol).cast("binary"))
+
+  /** Batched per-partition metadata extraction: one MessageDigest per
+    * partition (not per row) — the batch-shape that matters for real
+    * codecs too. */
+  def extractMeta(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        md.reset()
+        val sha = md.digest(r.media).map("%02x".format(_)).mkString
+        val (w, h) = decodeStub(sha)
+        MediaMeta(r.doc_id, r.media.length.toLong, sha, w, h)
+      }
+    }
+  }
+}

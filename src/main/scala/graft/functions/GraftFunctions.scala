@@ -59,9 +59,13 @@ object GraftFunctions {
   /** Flink HASH_CODE(str): Java String.hashCode semantics
     * (s[0]*31^(n-1) + ...), evaluated distributively via aggregate(). */
   def hash_code(c: Column): Column = {
-    val codes = transform(split(c, ""), ch => ascii(ch))
-    aggregate(codes, lit(0),
-      (acc, x) => acc * lit(31) + x).cast("int")
+    // Accumulate in Long, wrap to int32 once at the end — congruent mod
+    // 2^32 with Java's per-step int wrap; ANSI-safe for <=12-char input.
+    val codes = transform(sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    val acc = aggregate(codes, lit(0L), (a, x) => a * 31 + x)
+    (((acc % 4294967296L) + 4294967296L + 2147483648L) % 4294967296L
+      - 2147483648L).cast("int")
   }
 
   /** Flink TRUNCATE(x, n): truncate toward zero at n decimal places. */

@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import graft.ext.{Multimodal, MinHashLSH, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (north star; SURVEY.md §7.1 ext/):
+  * dedup (exact-normalized, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force + sign-LSH), text analysis
+  * (stats/quality, language-ID, token counting, fingerprinting),
+  * multimodal binary columns.
+  *
+  * All Spark sides are narrow per-row expression pipelines feeding
+  * bounded joins — see scaladocs in graft.ext for the 100 TB scaling
+  * argument per operator. Oracles replicate the exact same md5-derived
+  * randomness so results are bit-identical across engines.
+  */
+object ExtPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup after set-normalization (catches shuffled/repeated
+    // token near-dups; plain text-hash dedup finds nothing in this data).
+    "q_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .groupBy(TextOps.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    "q_text_stats" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val dtoks = TextOps.distinctTokens($"text")
+      val nTok = size(toks)
+      val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x)
+      T.documents(s, d).select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_calc"),
+        nTok.cast("long").as("n_tokens"),
+        size(dtoks).cast("long").as("n_distinct"),
+        (size(dtoks) / nTok.cast("double")).as("ttr"),
+        (sumLen / nTok.cast("double")).as("avg_tok_len"),
+        (log(lit(1.0) + nTok) * (size(dtoks) / nTok.cast("double")))
+          .as("quality"))
+    }),
+
+    "q_lang_id" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id", $"lang",
+        TextOps.langGuess($"text").as("guess"))
+    }),
+
+    "q_token_count" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_ws"),
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_alpha"),
+        aggregate(
+          transform(TextOps.tokens($"text"),
+            t => ceil(length(t) / lit(4.0)).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_bpe_est"))
+    }),
+
+    "q_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        TextOps.fingerprint($"text").as("fp"),
+        TextOps.simhash16($"text").as("sh"))
+    }),
+
+    // MinHash + LSH dedup: per-doc cluster representative via band
+    // buckets (linear; see MinHashLSH.dedupByLSH scaladoc). The
+    // pairwise exact-Jaccard variant (nearDuplicates) is spec-tested at
+    // small scale — this corpus has O(n^2) true near-dup pairs, so the
+    // pairs form is the wrong operator shape for the bench path.
+    "q_minhash_lsh" -> ((s, d) =>
+      MinHashLSH.dedupByLSH(T.documents(s, d), "doc_id", "text",
+        numHashes = 16, bands = 4)),
+
+    // n-gram (word-bigram) Jaccard near-dup pairs within each source.
+    "q_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val bigrams = array_distinct(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      val base = T.documents(s, d)
+        .select($"doc_id", $"source", bigrams.as("grams"))
+      val sh = base.select($"doc_id", $"source", explode($"grams").as("g"))
+      val sizes = base.select($"doc_id", size($"grams").as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+        .select(col("id1"), col("id2"),
+          (col("i") * lit(1.0) / (col("s1.n") + col("s2.n") - col("i")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    }),
+
+    // Brute-force cosine top-5 neighbors for the first 10 vectors.
+    // Ranking uses round(sim, 6) so float summation-order differences
+    // can never flip an order across engines (ties then break on vec_id).
+    "q_embedding_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val c = emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      val q = emb.filter($"vec_id" < 10).select(
+        $"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qe"))
+      val scored = c.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(VectorOps.cosine($"qe", $"e"), 6).as("sim"))
+      TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)
+        .select($"q_id", $"vec_id", $"sim", $"rank_no")
+    }),
+
+    // Sign-LSH bucket per vector (the ANN scale path: probe only equal
+    // buckets instead of the whole corpus).
+    "q_embedding_lsh" -> ((s, d) => {
+      import s.implicits._
+      T.embeddings(s, d).select(
+        $"vec_id",
+        VectorOps.lshBucket($"embedding", planes = 8, dims = 64).as("bucket"))
+    }),
+
+    // Multimodal binary-column plumbing with stubbed decode.
+    "q_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.withMedia(T.documents(s, d), "text")
+        .select($"doc_id", $"media").as[Multimodal.MediaRow]
+      Multimodal.extractMeta(s, media).toDF()
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+         length(text) AS n_chars_calc,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+         CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_tok_len,
+         ln(1.0 + len(string_split(text, ' ')))
+           * (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) AS quality
+         FROM documents""",
+    "q_lang_id" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+             len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['el','la','de','los','es'], x))) AS s_es,
+             len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['le','la','et','les','est'], x))) AS s_fr,
+             len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS guess
+         FROM sc""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+         CAST(list_aggregate(list_transform(string_split(text, ' '),
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_est
+         FROM documents""",
+    "q_fingerprint" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                 substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1)
+                 >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+           GROUP BY doc_id, b)
+         SELECT d.doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS fp,
+           (SELECT CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT)
+            FROM bits WHERE bits.doc_id = d.doc_id) AS sh
+         FROM documents d""",
+    "q_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         mh AS (
+           SELECT doc_id, j, min(md5(tok || '#' || j)) AS h
+           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(h, ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         bmin AS (
+           SELECT band, bkey, min(doc_id) AS mid FROM bands GROUP BY 1, 2),
+         rep AS (
+           SELECT b.doc_id, min(m.mid) AS rep_id
+           FROM bands b JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey
+           GROUP BY 1)
+         SELECT doc_id, rep_id, rep_id < doc_id AS is_dup FROM rep""",
+    "q_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+                  w[CAST(r.i AS INT)] || ' ' || w[CAST(r.i + 1 AS INT)] AS g
+           FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b
+             ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, i.i * 1.0 / (s1.n + s2.n - i.i) AS jaccard
+         FROM inter i
+         JOIN sizes s1 ON s1.doc_id = id1
+         JOIN sizes s2 ON s2.doc_id = id2
+         WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.6""",
+    "q_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         scored AS (
+           SELECT q_id, vec_id,
+                  round(list_cosine_similarity(qe, e), 6) AS sim
+           FROM q, c WHERE vec_id <> q_id)
+         SELECT q_id, vec_id, sim, rank_no FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id ASC) AS rank_no
+           FROM scored) WHERE rank_no <= 5""",
+    "q_embedding_lsh" ->
+      """WITH planes AS (
+           SELECT p, i,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(0, 8)) AS p) ps,
+                (SELECT unnest(range(0, 64)) AS i) dims),
+         vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         dots AS (
+           SELECT vec_id, p,
+                  sum(CAST(round(e[CAST(i + 1 AS INT)] * 1000) AS BIGINT) * wt) AS dt
+           FROM vecs, planes GROUP BY vec_id, p)
+         SELECT vec_id,
+                string_agg(CASE WHEN dt >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM dots GROUP BY vec_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+         octet_length(text::BLOB) AS n_bytes,
+         sha256(text) AS sha,
+         CAST(64 + (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) AS INT) AS width,
+         CAST(64 + (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) AS INT) AS height
+         FROM documents"""
+  )
+}
