@@ -1,0 +1,77 @@
+package graft.examples
+
+import graft.streaming._
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Runnable tour of the streaming surface through the public API:
+  * CEP pattern matching, streaming Top-N changelog, event-time sort,
+  * watermarked tumbling aggregation.
+  *
+  * sbt "runMain graft.examples.StreamingDemo"
+  */
+object StreamingDemo {
+  case class Tick(sym: String, price: Double, ts: Timestamp)
+
+  def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // --- CEP: rise-then-fall ---------------------------------------
+    val ticks = MemoryStream[Tick]
+    val pattern = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .nextOneOrMore("high", _.price >= 100)
+      .next("drop", _.price < 100)
+    val cepQ = Cep.run(ticks.toDS(), pattern)(_.sym, _.ts.getTime)
+      .writeStream.format("memory").queryName("demo_cep")
+      .outputMode("append").start()
+    ticks.addData(Tick("AAPL", 95, t(0)), Tick("AAPL", 105, t(1)),
+      Tick("AAPL", 111, t(2)), Tick("AAPL", 90, t(3)), Tick("MSFT", 200, t(1)))
+    cepQ.processAllAvailable(); cepQ.stop()
+    val matches = spark.table("demo_cep")
+      .as[Cep.Match[String, Tick]](Encoders.kryo[Cep.Match[String, Tick]])
+      .collect()
+    println("CEP matches: " + matches.map(m =>
+      s"${m.key}: low=${m.steps("low").map(_.price)} " +
+        s"high=${m.steps("high").map(_.price)} drop=${m.steps("drop").map(_.price)}")
+      .mkString("; "))
+
+    // --- Streaming Top-N changelog ---------------------------------
+    val scores = MemoryStream[Tick]
+    val topQ = StreamingTopN(scores.toDS(), 2)(_.sym, _.price, _.ts.getTime)
+      .map(c => (c.row_kind, c.key, c.rank_no, c.payload.price))
+      .toDF("kind", "key", "rank_no", "price")
+      .writeStream.format("memory").queryName("demo_topn")
+      .outputMode("update").start()
+    scores.addData(Tick("X", 10, t(0)), Tick("X", 30, t(1)))
+    topQ.processAllAvailable()
+    scores.addData(Tick("X", 20, t(2))) // evicts 10 from the board
+    topQ.processAllAvailable(); topQ.stop()
+    println("TopN changelog: " + spark.table("demo_topn").collect().mkString(", "))
+
+    // --- Watermarked tumbling aggregation --------------------------
+    val evs = MemoryStream[Tick]
+    val aggQ = StreamOps.tumbleAgg(evs.toDF(), "ts", "5 seconds", "1 minute",
+        Seq(col("sym")), Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName("demo_agg")
+      .outputMode("append").start()
+    evs.addData(Tick("A", 1, t(10)), Tick("A", 2, t(20)), Tick("B", 3, t(70)))
+    aggQ.processAllAvailable()
+    evs.addData(Tick("Z", 0, t(600))) // advance watermark past both windows
+    aggQ.processAllAvailable(); aggQ.stop()
+    println("Tumble agg: " + spark.table("demo_agg")
+      .select(col("window_start").cast("string"), col("sym"), col("n"))
+      .collect().mkString(", "))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming core (SURVEY.md §7.2 M2/M3): watermarked window aggs,
+  * changelog conventions, streaming dedup, stream-stream interval join.
+  *
+  * Reference semantics being re-expressed:
+  *  - WatermarkAssigner (EN/stream/StreamExecWatermarkAssigner.java:62)
+  *    -> `withWatermark`
+  *  - Window TVF aggs (StreamExecWindowAggregate.java:86) -> groupBy
+  *    window()/session_window() under watermark, append mode
+  *  - RowKind changelog (flink-core .../types/RowKind.java:25) -> an
+  *    explicit `row_kind` string column ("+I","-U","+U","-D") — a library
+  *    convention consumed by our stateful ops and upsert sinks; Catalyst
+  *    never sees it as anything but data.
+  *  - ChangelogNormalize (StreamExecChangelogNormalize.java:74) /
+  *    Deduplicate keep-last (StreamExecDeduplicate.java:85) ->
+  *    flatMapGroupsWithState keeping the last row per key
+  *  - DropUpdateBefore (StreamExecDropUpdateBefore.java:55) -> filter
+  *  - Interval join (StreamExecIntervalJoin.java:82) -> native Spark
+  *    stream-stream join with a time-range condition + watermarks (state
+  *    is bounded by the range exactly like Flink's TimeIntervalJoin)
+  */
+object StreamOps {
+
+  val RowKind = "row_kind"
+  val Insert = "+I"; val UpdateBefore = "-U"; val UpdateAfter = "+U"; val Delete = "-D"
+
+  /** DropUpdateBefore: retraction-unaware consumers skip -U rows. */
+  def dropUpdateBefore(df: DataFrame): DataFrame =
+    df.filter(col(RowKind) =!= UpdateBefore)
+
+  /** Tumbling-window streaming aggregation under a watermark (append
+    * mode emits each window once, when the watermark passes its end). */
+  def tumbleAgg(stream: DataFrame, tsCol: String, delay: String, size: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start").cast("timestamp_ntz"))
+      .withColumn("window_end", col("window.end").cast("timestamp_ntz"))
+      .drop("window")
+
+  /** Streaming keep-first dedup on arbitrary keys, state expired by
+    * watermark (Spark's dropDuplicatesWithinWatermark ==
+    * ProcTimeDeduplicateKeepFirstRowFunction + TTL). */
+  def dedupKeepFirst(stream: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming keep-last dedup / ChangelogNormalize: emits, per trigger,
+    * the latest row per key (Update-mode changelog of an upsert stream).
+    * seqNo breaks ordering ties (use event-time micros + a unique id). */
+  def keepLast[K: Encoder, T: Encoder](ds: Dataset[T])(
+      key: T => K, seqNo: T => Long): Dataset[T] = {
+    implicit val stateEnc: Encoder[(Long, T)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, implicitly[Encoder[T]])
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Long, T), T](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[T], state: GroupState[(Long, T)]) =>
+          val best = (state.getOption.iterator ++ rows.map(t => (seqNo(t), t)))
+            .maxBy(_._1)
+          val changed = state.getOption.forall(_._1 < best._1) ||
+            state.getOption.isEmpty
+          state.update(best)
+          if (changed) Iterator.single(best._2) else Iterator.empty
+      }
+  }
+
+  /** Stream-stream interval join: right rows within [leftTs - before,
+    * leftTs + after] on equal keys. Both sides MUST carry watermarks so
+    * Spark can GC join state (same bound Flink derives in
+    * TimeIntervalJoin). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      before: String, after: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+}

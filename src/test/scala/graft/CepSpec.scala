@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.Cep
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Tick(symbol: String, price: Double, ts: Timestamp)
+
+/** CEP-lite tests mirroring Flink's rise-then-fall MATCH_RECOGNIZE
+  * ITCases (reference MatchRecognizeITCase.scala, NFAITCase.java). */
+class CepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  def ts(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+
+  private var qn = 0
+  def run(ticks: Seq[Tick], pattern: Cep.Pattern[Tick]): Seq[Cep.Match[String, Tick]] = {
+    qn += 1
+    val name = s"cep_out_$qn"
+    val in = MemoryStream[Tick]
+    val q = Cep.run(in.toDS(), pattern)(_.symbol, _.ts.getTime)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    in.addData(ticks: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).as[Cep.Match[String, Tick]](
+      org.apache.spark.sql.Encoders.kryo[Cep.Match[String, Tick]])
+      .collect().toSeq
+  }
+
+  val riseFall: Cep.Pattern[Tick] =
+    Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .nextOneOrMore("high", _.price >= 100)
+      .next("drop", _.price < 100)
+
+  test("rise-then-fall matches with greedy oneOrMore") {
+    val ms = run(Seq(
+      Tick("A", 90, ts(0)), Tick("A", 110, ts(1)), Tick("A", 120, ts(2)),
+      Tick("A", 95, ts(3))), riseFall)
+    assert(ms.size == 1)
+    val m = ms.head
+    assert(m.key == "A")
+    assert(m.steps("low").map(_.price) == Seq(90.0))
+    assert(m.steps("high").map(_.price) == Seq(110.0, 120.0))
+    assert(m.steps("drop").map(_.price) == Seq(95.0))
+  }
+
+  test("strict contiguity: gap event kills the partial") {
+    // 'low' then immediately a non-high, non-low event (price<100 matches
+    // low again though) — use a sequence where high never starts
+    val ms = run(Seq(
+      Tick("B", 90, ts(0)), Tick("B", 80, ts(1)), Tick("B", 70, ts(2))),
+      riseFall)
+    assert(ms.isEmpty)
+  }
+
+  test("after-match skip-past-last: non-overlapping matches") {
+    val ms = run(Seq(
+      Tick("C", 90, ts(0)), Tick("C", 110, ts(1)), Tick("C", 95, ts(2)),
+      Tick("C", 120, ts(3)), Tick("C", 80, ts(4))), riseFall)
+    // first match consumes 90,110,95; then 95? skipped past last -> new
+    // match must start fresh: 95 was consumed, so next low is... 80 has
+    // no high after -> only one match
+    assert(ms.size == 1)
+  }
+
+  test("two sequential matches on one key") {
+    val ms = run(Seq(
+      Tick("D", 90, ts(0)), Tick("D", 110, ts(1)), Tick("D", 95, ts(2)),
+      Tick("D", 85, ts(3)), Tick("D", 130, ts(4)), Tick("D", 70, ts(5))),
+      riseFall)
+    assert(ms.size == 2)
+    assert(ms.map(_.steps("drop").head.price).toSet == Set(95.0, 70.0))
+  }
+
+  test("within bound expires old partials") {
+    val p = riseFall.within(2000) // 2 seconds
+    val ms = run(Seq(
+      Tick("E", 90, ts(0)), Tick("E", 110, ts(1)),
+      Tick("E", 120, ts(10)), // 10s later: partial expired
+      Tick("E", 95, ts(11))), p)
+    assert(ms.isEmpty)
+  }
+
+  test("keys are independent") {
+    val ms = run(Seq(
+      Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),
+      Tick("X", 110, ts(2)), Tick("X", 95, ts(3))), riseFall)
+    assert(ms.size == 1 && ms.head.key == "X")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ext.{MinHashLSH, Multimodal, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fingerprint is invariant to token order/repetition") {
+    val df = Seq((1L, "a b c"), (2L, "c b a a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("simhash16 identical for permuted text, in [0, 65536)") {
+    val df = Seq((1L, "x y z w"), (2L, "w z y x"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id", TextOps.simhash16($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("nearDuplicates finds the identical-set pair with jaccard 1.0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDuplicates(df, "doc_id", "text", 8, 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("dedupByLSH groups exact near-dups under min rep") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta"),
+      (20L, "delta gamma beta alpha"),
+      (30L, "one two three four")).toDF("doc_id", "text")
+    val reps = MinHashLSH.dedupByLSH(df, "doc_id", "text")
+      .select($"doc_id", $"rep_id").as[(Long, Long)].collect().toMap
+    assert(reps(10L) == 10L && reps(20L) == 10L && reps(30L) == 30L)
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 1)
+      .select($"vec_id").as[Long].head()
+    assert(got == 1L)
+  }
+
+  test("lshBucket: identical vectors share a bucket, dims match planes") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select($"vec_id",
+        VectorOps.lshBucket($"embedding", 8, 64).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L).length == 8 && b(0L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("multimodal meta: deterministic stub decode from sha256") {
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.withMedia(docs, "text")
+      .select($"doc_id", $"media").as[Multimodal.MediaRow]
+    val m = Multimodal.extractMeta(spark, media).collect().head
+    val expSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m.n_bytes == 11L && m.sha == expSha)
+    val (w, h) = Multimodal.decodeStub(expSha)
+    assert(m.width == w && m.height == h)
+    assert(w >= 64 && w < 320 && h >= 64 && h < 320)
+  }
+
+  test("langGuess picks marker-dominant language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "el gato la casa los perros es"),
+      (3L, "zz yy xx")).toDF("doc_id", "text")
+    val g = df.select($"doc_id", TextOps.langGuess($"text").as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(g(1L) == "en" && g(2L) == "es" && g(3L) == "und")
+  }
+}

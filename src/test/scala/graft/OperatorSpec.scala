@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, TopN, WindowOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("AsOfJoin picks latest version at-or-before probe time, null before first") {
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")
+    ).toDF("k", "t", "probe")
+    val versions = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "v1"),
+      (1L, ts("2024-01-01 11:00:00"), "v2"),
+      (2L, ts("2024-01-01 09:30:00"), "v3")
+    ).toDF("k", "vt", "ver")
+    val got = AsOfJoin(probes, versions, "k", "t", "vt", Seq("ver"))
+      .select($"probe", $"ver").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "v1"), ("p2", "v2"), ("p3", null)))
+  }
+
+  test("AsOfJoin: version at exactly probe time is visible") {
+    val p = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "probe")
+    val v = Seq((1L, ts("2024-01-01 10:00:00"), "v")).toDF("k", "vt", "ver")
+    val got = AsOfJoin(p, v, "k", "t", "vt", Seq("ver"))
+      .select($"ver").as[String].head()
+    assert(got == "v")
+  }
+
+  test("TopN rank types") {
+    val df = Seq((1, 30.0), (1, 30.0), (1, 20.0), (1, 10.0), (2, 5.0))
+      .toDF("k", "v").withColumn("id", monotonically_increasing_id())
+    val rn = TopN(df, Seq($"k"), Seq($"v".desc, $"id".asc), 2)
+    assert(rn.filter($"k" === 1).count() == 2)
+    val rk = TopN(df, Seq($"k"), Seq($"v".desc), 2, TopN.Rank)
+    // two rows tie at rank 1, third has rank 3 -> exactly the 2 tied rows
+    assert(rk.filter($"k" === 1).count() == 2)
+    val dr = TopN(df, Seq($"k"), Seq($"v".desc), 2, TopN.DenseRank)
+    // dense_rank: 30,30 -> 1; 20 -> 2 => three rows
+    assert(dr.filter($"k" === 1).count() == 3)
+  }
+
+  test("Dedup keepFirst/keepLast") {
+    val df = Seq((1, 1L, "a"), (1, 2L, "b"), (2, 5L, "c"))
+      .toDF("k", "seq", "v")
+    assert(Dedup.keepFirst(df, Seq($"k"), Seq($"seq"))
+      .select($"v").as[String].collect().toSet == Set("a", "c"))
+    assert(Dedup.keepLast(df, Seq($"k"), Seq($"seq"))
+      .select($"v").as[String].collect().toSet == Set("b", "c"))
+  }
+
+  test("cumulate assigns a row to every unfinished slice of its hour") {
+    val df = Seq((ts("2024-01-01 10:20:00"), 1.0)).toDF("t", "v")
+    val got = WindowOps.cumulate(df, $"t", 900L, 3600L)
+      .select($"window_end".cast("string")).as[String].collect().toSet
+    // ts=10:20 -> slices ending 10:30, 10:45, 11:00 (not 10:15, already closed)
+    assert(got == Set("2024-01-01 10:30:00", "2024-01-01 10:45:00",
+      "2024-01-01 11:00:00"))
+  }
+}

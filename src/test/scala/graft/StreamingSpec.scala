@@ -1,0 +1,162 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming semantics tests (SURVEY §5: batch-vs-stream self-oracle —
+  * a replayed bounded stream must equal the batch result). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private var qn = 0
+  def nextName(): String = { qn += 1; s"stream_out_$qn" }
+
+  def runAll(q: StreamingQuery): Unit = { q.processAllAvailable() }
+
+  test("tumbleAgg (append mode) equals batch window agg after watermark") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = StreamOps.tumbleAgg(in.toDF(), "ts", "10 seconds", "1 minute",
+      Seq($"user_id"), Seq(count(lit(1)).as("n"), sum($"value").as("sv")))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val batch1 = Seq(
+      Ev(1, ts("2024-01-01 00:00:10"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:20"), 1, "a", 2.0),
+      Ev(3, ts("2024-01-01 00:01:10"), 2, "b", 3.0))
+    in.addData(batch1: _*)
+    runAll(q)
+    // sentinel far in the future pushes the watermark past all windows
+    in.addData(Ev(99, ts("2024-01-01 01:00:00"), 9, "z", 0.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name)
+      .select($"window_start".cast("string"), $"user_id", $"n", $"sv")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got.contains(("2024-01-01 00:00:00", 1L, 2L, 3.0)))
+    assert(got.contains(("2024-01-01 00:01:00", 2L, 1L, 3.0)))
+  }
+
+  test("dedupKeepFirst drops later duplicates of a key") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val dd = StreamOps.dedupKeepFirst(in.toDF(), "ts", "1 minute",
+      Seq("event_id"))
+    val q = dd.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 1.0),
+      Ev(1, ts("2024-01-01 00:00:02"), 1, "a", 99.0),
+      Ev(2, ts("2024-01-01 00:00:03"), 1, "b", 2.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("keepLast emits the newest row per key across triggers") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val kl = StreamOps.keepLast(in.toDS())(_.user_id, _.event_id)
+    val q = kl.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(3, ts("2024-01-01 00:00:03"), 7, "a", 3.0))
+    runAll(q)
+    in.addData(Ev(2, ts("2024-01-01 00:00:02"), 7, "a", 2.0)) // stale
+    runAll(q)
+    in.addData(Ev(5, ts("2024-01-01 00:00:05"), 7, "a", 5.0)) // fresh
+    runAll(q)
+    q.stop()
+    val emitted = spark.table(name).select($"event_id").as[Long].collect().toSeq
+    assert(emitted == Seq(3L, 5L)) // stale row 2 never emitted
+  }
+
+  test("StreamingTopN changelog replays to the batch top-N") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val topn = StreamingTopN(in.toDS(), 2)(_.user_id, _.value, _.event_id)
+    val q = topn.map(c => (c.row_kind, c.key, c.rank_no, c.payload.event_id))
+      .toDF("kind", "key", "rank_no", "event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 10.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 20.0))
+    runAll(q)
+    in.addData(Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 15.0)) // evicts 10
+    runAll(q)
+    q.stop()
+    // replay changelog -> final board
+    val changes = spark.table(name)
+      .select($"kind", $"rank_no", $"event_id")
+      .as[(String, Int, Long)].collect()
+    val board = scala.collection.mutable.Map[Int, Long]()
+    val live = scala.collection.mutable.Set[Long]()
+    changes.foreach {
+      case ("-D", _, id) => live -= id
+      case (_, r, id) => board(r) = id; live += id
+    }
+    val finalBoard = board.filter { case (_, id) => live(id) }
+    assert(finalBoard == Map(1 -> 2L, 2 -> 3L))
+  }
+
+  test("EventTimeSort emits rows in event-time order once watermark passes") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val sorted = EventTimeSort(
+      in.toDS().withWatermark("ts", "0 seconds"))(
+      _.user_id, _.ts.getTime, _.event_id)
+    val q = sorted.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(2, ts("2024-01-01 00:00:10"), 1, "b", 2.0),
+      Ev(1, ts("2024-01-01 00:00:05"), 1, "a", 1.0)) // out of order
+    runAll(q)
+    in.addData(Ev(3, ts("2024-01-01 00:00:30"), 1, "c", 3.0))
+    runAll(q)
+    in.addData(Ev(4, ts("2024-01-01 00:01:30"), 1, "d", 4.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"event_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L)) // sorted despite arrival order 2,1,3
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val in1 = MemoryStream[Ev]
+    val in2 = MemoryStream[Ev]
+    val name = nextName()
+    val l = in1.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val r = in2.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("click_id"))
+    val joined = l.join(r,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts")
+      .select($"purchase_id", $"click_id")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in2.addData(
+      Ev(10, ts("2024-01-01 00:40:00"), 1, "click", 0.0),
+      Ev(11, ts("2024-01-01 00:05:00"), 1, "click", 0.0))
+    in1.addData(Ev(1, ts("2024-01-01 01:00:00"), 1, "purchase", 0.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L))) // click at 00:05 is outside the 30-min window
+  }
+}
