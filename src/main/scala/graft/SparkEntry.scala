@@ -17,7 +17,8 @@ object SparkEntry {
     RankDedupPack,
     ScalarFunctionPack,
     TemporalJoinPack,
-    ExtPack
+    ExtPack,
+    SourceSinkPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -73,4 +73,21 @@ object GraftFunctions {
     val f = math.pow(10, n)
     (floor(abs(c) * f) / f) * signum(c)
   }
+
+  /** Register the Flink-only scalars for SQL use as Spark 4 SQL UDFs
+    * (`CREATE TEMPORARY FUNCTION ... RETURN <expr>`). SQL UDFs are
+    * inlined into the plan at analysis time, so they stay inside
+    * whole-stage codegen — unlike Scala UDFs. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION split_index(s STRING, sep STRING, i INT)
+      RETURNS STRING RETURN get(split(s, sep), i)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION is_digit(s STRING)
+      RETURNS BOOLEAN RETURN s rlike '^[0-9]+$'""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION is_alpha(s STRING)
+      RETURNS BOOLEAN RETURN s rlike '^[A-Za-z]+$'""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION is_decimal(s STRING)
+      RETURNS BOOLEAN RETURN s rlike '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$'""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION truncate_n(x DOUBLE, n INT)
+      RETURNS DOUBLE RETURN floor(abs(x) * power(10, n)) / power(10, n) * sign(x)""")
+  }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources, formats, sinks, and the remaining structural operators
+  * (SURVEY.md §2.1/§2.3/§2.4):
+  *  - Values source (StreamExecValues.java:44 / ValuesInputFormat)
+  *  - CSV / JSON formats (flink-formats/flink-csv, flink-json) via
+  *    write-then-read roundtrips through Spark's built-in datasources
+  *  - Window join (StreamExecWindowJoin.java:69): equality on the
+  *    window + key — after windowing this is a plain shuffled equi join
+  *    whose state/scan is bounded per window, exactly Flink's
+  *    WindowJoinOperator story
+  *  - Table aggregate / UDTAGG (StreamExecGroupTableAggregate.java:59):
+  *    one group -> many rows, via typed groupByKey.flatMapGroups
+  *  - ConstraintEnforcer (OP/sink/ConstraintEnforcer.java): NOT NULL
+  *    assertion + CHAR-length trim applied as a pre-write projection
+  */
+object SourceSinkPack extends QueryPack {
+
+  private def tmpDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$name"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inline literal rows.
+    "q_values" -> ((s, d) => {
+      import s.implicits._
+      Seq((1, "a", Option(1.5)), (2, "b", Option(2.5)), (3, "c", Option.empty[Double]))
+        .toDF("id", "tag", "score")
+        .select($"id", $"tag", $"score".cast("double"))
+    }),
+
+    // CSV format roundtrip: write nation as CSV, read it back with an
+    // explicit schema (headers on; deterministic content).
+    "q_csv_source" -> ((s, d) => {
+      val dir = tmpDir("csv_nation")
+      T.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(dir)
+    }),
+
+    // JSON-lines format roundtrip on region.
+    "q_json_source" -> ((s, d) => {
+      val dir = tmpDir("json_region")
+      T.region(s, d).coalesce(1).write.mode("overwrite").json(dir)
+      s.read.schema("r_regionkey INT, r_name STRING").json(dir)
+    }),
+
+    // Window join: purchases joined to clicks of the same user within
+    // the same 1h tumbling window.
+    "q_window_join" -> ((s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+      val p = WindowOps.tumble(e.filter($"event_type" === "purchase"), $"ts", "1 hour")
+        .select($"user_id", $"window_start", $"event_id".as("purchase_id"))
+      val c = WindowOps.tumble(e.filter($"event_type" === "click"), $"ts", "1 hour")
+        .select($"user_id".as("c_user"), $"window_start".as("c_ws"),
+          $"event_id".as("click_id"))
+      p.join(c, $"user_id" === $"c_user" && $"window_start" === $"c_ws")
+        .select($"purchase_id", $"click_id", $"window_start")
+    }),
+
+    // Table aggregate (UDTAGG): each group emits multiple rows.
+    "q_table_agg" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity").as[(String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (flag: String, rows: Iterator[(String, Double)]) =>
+          var mn = Double.MaxValue; var mx = Double.MinValue; var n = 0L
+          rows.foreach { case (_, q) =>
+            if (q < mn) mn = q
+            if (q > mx) mx = q
+            n += 1
+          }
+          Iterator(
+            (flag, "min", mn), (flag, "max", mx), (flag, "n", n.toDouble))
+        }
+        .toDF("l_returnflag", "metric", "value")
+    }),
+
+    // Constraint enforcement before a sink: NOT NULL assert + CHAR(6)
+    // trim (Flink's ConstraintEnforcer with CHAR length enforcement).
+    "q_constraint_enforce" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d).select(
+        $"c_custkey",
+        when($"c_name".isNull,
+          raise_error(lit("NOT NULL constraint violated: c_name")))
+          .otherwise($"c_name").as("c_name"),
+        substring($"c_mktsegment", 1, 6).as("seg_char6"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_values" ->
+      """SELECT id, tag, CAST(score AS DOUBLE) AS score
+         FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
+         AS t(id, tag, score)""",
+    "q_csv_source" ->
+      """SELECT * FROM nation""",
+    "q_json_source" ->
+      """SELECT * FROM region""",
+    "q_window_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+            make_timestamp(CAST(floor(epoch(p.ts)/3600)*3600 AS BIGINT)*1000000) AS window_start
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND floor(epoch(p.ts)/3600) = floor(epoch(c.ts)/3600)""",
+    "q_table_agg" ->
+      """SELECT l_returnflag, 'min' AS metric, min(l_quantity) AS value
+         FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT l_returnflag, 'max' AS metric, max(l_quantity) AS value
+         FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT l_returnflag, 'n' AS metric, CAST(count(*) AS DOUBLE) AS value
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_constraint_enforce" ->
+      """SELECT c_custkey, c_name, substr(c_mktsegment, 1, 6) AS seg_char6
+         FROM customer"""
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.Sinks
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("upsert sink keeps latest row per key across micro-batches") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val in = MemoryStream[Ev]
+    val q = Sinks.upsert(in.toDF(), Seq("user_id"), "event_id", dir)
+      .queryName("upsert1").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 8, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts("2024-01-01 00:00:03"), 7, "c", 3.0)) // upserts key 7
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(dir)
+      .select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(snap == Set((7L, 3L, "c"), (8L, 2L, "b")))
+  }
+
+  test("side outputs route a batch into main + error channels") {
+    val base = Files.createTempDirectory("graft_side").toString
+    val in = MemoryStream[Ev]
+    val q = Sinks.sideOutputs(in.toDF(), Seq(
+      ("main", col("event_type") =!= "error", s"$base/main"),
+      ("errors", col("event_type") === "error", s"$base/errors")))
+      .queryName("side1").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "error", 0.0),
+      Ev(3, ts("2024-01-01 00:00:03"), 2, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$base/main").count() == 2)
+    assert(spark.read.parquet(s"$base/errors")
+      .select($"event_id").as[Long].head() == 2L)
+  }
+
+  test("async lookup enriches rows through a (fake) external service") {
+    val got = Sinks.asyncLookup(Seq(1, 2, 3).toDS(), maxInFlight = 2) { i =>
+      Thread.sleep(5); (i, s"name_$i") // stands in for an RPC
+    }.collect().toSet
+    assert(got == Set((1, "name_1"), (2, "name_2"), (3, "name_3")))
+  }
+
+  test("stream-static (broadcast-state) join enriches a stream from a table") {
+    val in = MemoryStream[Ev]
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val joined = in.toDF().join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 9, "b", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").select($"event_id", $"tier")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "gold"), (2L, null)))
+  }
+}
