@@ -115,6 +115,29 @@ object AggregatePack extends QueryPack {
             .otherwise(0.0)).as("big_total"))
     }),
 
+    // JSON_OBJECTAGG (Flink JsonObjectAggFunction): status -> count maps
+    // as JSON text, key-sorted for determinism.
+    "q_json_objectagg" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"o_orderpriority")
+        .agg(concat(lit("{"),
+          concat_ws(",", sort_array(collect_list(
+            concat(lit("\""), $"o_orderstatus", lit("\":"), $"n")))),
+          lit("}")).as("jo"))
+    }),
+
+    // JSON_ARRAYAGG (Flink JsonArrayAggFunction), value-sorted.
+    "q_json_arrayagg" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .filter($"o_totalprice" > 300000.0)
+        .groupBy($"o_orderpriority")
+        .agg(to_json(sort_array(collect_list($"o_orderkey"))).as("ja"))
+    }),
+
     // SINGLE_VALUE (Flink SingleValueAggFunction): custom typed Aggregator
     // that throws on >1 row per group.
     "q_single_value" -> ((s, d) => {
@@ -172,6 +195,19 @@ object AggregatePack extends QueryPack {
          count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
          sum(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice ELSE 0.0 END) AS big_total
          FROM orders GROUP BY o_orderpriority""",
+    "q_json_objectagg" ->
+      """WITH per AS (
+           SELECT o_orderpriority, o_orderstatus, count(*) AS n
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority,
+           '{' || string_agg('"' || o_orderstatus || '":' || n, ','
+                             ORDER BY o_orderstatus) || '}' AS jo
+         FROM per GROUP BY o_orderpriority""",
+    "q_json_arrayagg" ->
+      """SELECT o_orderpriority,
+           to_json(list_sort(list(o_orderkey)))::VARCHAR AS ja
+         FROM orders WHERE o_totalprice > 300000.0
+         GROUP BY o_orderpriority""",
     "q_single_value" ->
       """SELECT o_orderkey, min(o_totalprice) AS price
          FROM orders GROUP BY o_orderkey"""

@@ -110,6 +110,24 @@ object ExtPack extends QueryPack {
         .filter(col("jaccard") >= 0.6)
     }),
 
+    // SimHash near-dup candidates: same-source pairs within Hamming
+    // distance 3 on the 16-bit sketch — the native HammingDistance
+    // expression (real doGenCode) in the hot pair loop.
+    "q_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.HammingDistance.hamming
+      // persist: the sketch feeds both sides of the self-join
+      val sh = T.documents(s, d).select($"doc_id", $"source",
+        graft.ext.TextOps.simhash16($"text").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.as("a").join(sh.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          hamming(col("a.sh"), col("b.sh")).as("hd"))
+        .filter($"hd" <= 3)
+    }),
+
     // Brute-force cosine top-5 neighbors for the first 10 vectors.
     // Ranking uses round(sim, 6) so float summation-order differences
     // can never flip an order across engines (ties then break on vec_id).
@@ -219,6 +237,28 @@ object ExtPack extends QueryPack {
            FROM bands b JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey
            GROUP BY 1)
          SELECT doc_id, rep_id, rep_id < doc_id AS is_dup FROM rep""",
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                 substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1)
+                 >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+           GROUP BY doc_id, b),
+         sh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id),
+         src AS (SELECT doc_id, source FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hd
+         FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id
+         JOIN sh sa ON sa.doc_id = a.doc_id
+         JOIN sh sb ON sb.doc_id = b.doc_id
+         WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""",
     "q_ngram_jaccard" ->
       """WITH base AS (
            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

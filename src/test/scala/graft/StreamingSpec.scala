@@ -134,6 +134,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // sorted despite arrival order 2,1,3
   }
 
+  test("StreamingOverAgg: ROWS 2 PRECEDING..CURRENT running sums") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = StreamingOverAgg.rowsBoundedPreceding(in.toDS(), 3)(
+      _.user_id, _.value)
+    val q = agg.map(w => (w.payload.event_id, w.running_sum, w.running_count))
+      .toDF("event_id", "rs", "rc")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 2.0))
+    runAll(q)
+    in.addData(
+      Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 3.0), // window 1,2,3
+      Ev(4, ts("2024-01-01 00:00:04"), 1, "a", 4.0)) // window 2,3,4
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Double, Int)].collect().toSet
+    assert(got == Set((1L, 1.0, 1), (2L, 3.0, 2), (3L, 6.0, 3), (4L, 9.0, 3)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val in1 = MemoryStream[Ev]
     val in2 = MemoryStream[Ev]
