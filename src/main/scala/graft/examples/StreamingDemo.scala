@@ -72,6 +72,29 @@ object StreamingDemo {
       .select(col("window_start").cast("string"), col("sym"), col("n"))
       .collect().mkString(", "))
 
+    // --- Count windows + retraction-aware aggregation ---------------
+    val cwIn = MemoryStream[Tick]
+    val cwQ = CountWindows.tumbling(cwIn.toDS(), 2)(_.sym)
+      .map(w => (w.key, w.window_no, w.rows.map(_.price).mkString("|")))
+      .toDF("key", "w", "prices")
+      .writeStream.format("memory").queryName("demo_cw")
+      .outputMode("append").start()
+    cwIn.addData(Tick("A", 1, t(0)), Tick("A", 2, t(1)), Tick("A", 3, t(2)))
+    cwQ.processAllAvailable(); cwQ.stop()
+    println("Count windows: " + spark.table("demo_cw").collect().mkString(", "))
+
+    val clIn = MemoryStream[(String, String, Double)] // (kind, key, value)
+    val clQ = ChangelogAgg.sumCount(clIn.toDS())(_._2, _._1, _._3)
+      .map(u => (u.row_kind, u.key, u.sum, u.count))
+      .toDF("kind", "key", "sum", "n")
+      .writeStream.format("memory").queryName("demo_cl")
+      .outputMode("update").start()
+    clIn.addData(("+I", "k", 10.0), ("+I", "k", 5.0))
+    clQ.processAllAvailable()
+    clIn.addData(("-D", "k", 10.0))
+    clQ.processAllAvailable(); clQ.stop()
+    println("Changelog agg: " + spark.table("demo_cl").collect().mkString(", "))
+
     spark.stop()
   }
 }

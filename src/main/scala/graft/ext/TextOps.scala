@@ -52,19 +52,23 @@ object TextOps {
     * drawn from md5(token); the sketch bit is the sign of the +1/-1 vote
     * sum. Accumulated per row via aggregate+zip_with (no shuffle). */
   def simhash16(text: Column): Column = {
-    // per-token 16-vote vector: +1/-1 per bit of the first 4 md5 nibbles
-    val votes = (t: Column) => {
-      val h = md5(t)
-      transform(sequence(lit(0), lit(15)), b => {
-        val nib = conv(h.substr(lit(1) + floor(b / 4).cast("int"), lit(1)), 16, 10)
+    // Hash each token ONCE (higher-order lambdas defeat Catalyst
+    // subexpression elimination, so a naive per-bit md5 reference would
+    // evaluate md5 16x per token), then derive the 16 +1/-1 votes from
+    // the stored hex: bit b = bit (b%4) of nibble (b/4).
+    val hashed = transform(distinctTokens(text), t => md5(t))
+    val votes = (h: Column) =>
+      flatten(transform(sequence(lit(0), lit(3)), i => {
+        val nib = conv(h.substr(lit(1) + i.cast("int"), lit(1)), 16, 10)
           .cast("int")
-        val bit = floor(nib / pow(lit(2), b % 4)).cast("int") % 2
-        (bit * 2 - 1).cast("long")
-      })
-    }
-    val sums = aggregate(distinctTokens(text),
+        transform(sequence(lit(0), lit(3)), k => {
+          val bit = floor(nib / pow(lit(2), k)).cast("int") % 2
+          (bit * 2 - 1).cast("long")
+        })
+      }))
+    val sums = aggregate(hashed,
       array_repeat(lit(0L), 16),
-      (acc, t) => zip_with(acc, votes(t), (x, y) => x + y))
+      (acc, h) => zip_with(acc, votes(h), (x, y) => x + y))
     aggregate(
       zip_with(sums, sequence(lit(0), lit(15)),
         (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),

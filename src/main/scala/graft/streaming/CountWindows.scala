@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Tumbling count windows (SURVEY.md §2.5; reference
+  * CountTumblingWindowAssigner + ElementTriggers.CountElement): every
+  * `size` rows of a key form one window, emitted when full. State per
+  * key is the current partial window (< size rows) — bounded.
+  */
+object CountWindows {
+
+  case class CountWindow[K, T](key: K, window_no: Long, rows: Seq[T])
+
+  def tumbling[K: Encoder, T: Encoder](ds: Dataset[T], size: Int)(
+      key: T => K): Dataset[CountWindow[K, T]] = {
+    require(size >= 1)
+    implicit val stateEnc: Encoder[(Long, List[T])] =
+      Encoders.kryo[(Long, List[T])]
+    implicit val outEnc: Encoder[CountWindow[K, T]] =
+      Encoders.kryo[CountWindow[K, T]]
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Long, List[T]), CountWindow[K, T]](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[T], state: GroupState[(Long, List[T])]) =>
+          var (windowNo, buf) = state.getOption.getOrElse((0L, List.empty[T]))
+          val out = scala.collection.mutable.ArrayBuffer[CountWindow[K, T]]()
+          rows.foreach { t =>
+            buf = buf :+ t
+            if (buf.size == size) {
+              out += CountWindow(k, windowNo, buf)
+              windowNo += 1
+              buf = Nil
+            }
+          }
+          state.update((windowNo, buf))
+          out.iterator
+      }
+  }
+}

@@ -156,6 +156,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0, 1), (2L, 3.0, 2), (3L, 6.0, 3), (4L, 9.0, 3)))
   }
 
+  test("CountWindows: every N rows per key emit one window") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val cw = CountWindows.tumbling(in.toDS(), 2)(_.user_id)
+      .map(w => (w.key, w.window_no, w.rows.map(_.event_id).mkString(",")))
+      .toDF("key", "window_no", "ids")
+    val q = cw.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 2.0),
+      Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 3.0)) // 3 stays buffered
+    runAll(q)
+    in.addData(Ev(4, ts("2024-01-01 00:00:04"), 1, "a", 4.0)) // completes w1
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "1,2"), (1L, 1L, "3,4")))
+  }
+
+  test("ChangelogAgg: retractions adjust the aggregate; emptied group deletes") {
+    val in = MemoryStream[(String, Long, Double)] // (kind, key, value)
+    val name = nextName()
+    val agg = ChangelogAgg.sumCount(in.toDS())(_._2, _._1, _._3)
+      .map(u => (u.row_kind, u.key, u.sum, u.count))
+      .toDF("kind", "key", "sum", "count")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(("+I", 1L, 10.0), ("+I", 1L, 5.0))
+    runAll(q)
+    in.addData(("-D", 1L, 10.0)) // retract the 10
+    runAll(q)
+    in.addData(("-D", 1L, 5.0)) // group empties -> -D
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(String, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(("+U", 1L, 15.0, 2L), ("+U", 1L, 5.0, 1L),
+      ("-D", 1L, 0.0, 0L)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val in1 = MemoryStream[Ev]
     val in2 = MemoryStream[Ev]
