@@ -137,6 +137,37 @@ object ScalarFunctionPack extends QueryPack {
         .withColumnRenamed("col", "word")
     }),
 
+    // Trig / hyperbolic / base-conversion math (FlinkSqlOperatorTable
+    // SIN..ATAN2, SINH/COSH/TANH, DEGREES/RADIANS, BIN/HEX).
+    "q_math_funcs2" -> ((s, d) => {
+      import s.implicits._
+      val x = $"p_size" / 10.0
+      T.part(s, d).select(
+        $"p_partkey",
+        sin(x).as("sn"), cos(x).as("cs"), tan(x).as("tn"),
+        atan2($"p_size".cast("double"), lit(2.0)).as("at2"),
+        sinh(x).as("snh"), cosh(x).as("csh"), tanh(x).as("tnh"),
+        degrees(x).as("deg"), radians($"p_size").as("rad"),
+        bin($"p_size".cast("long")).as("bn"),
+        hex($"p_size").as("hx"),
+        pmod($"p_size" - 25, lit(7)).as("pm"))
+    }),
+
+    // chr/encode/base64 roundtrips, locate, str_to_map (as sorted JSON).
+    "q_string_funcs2" -> ((s, d) => {
+      import s.implicits._
+      T.part(s, d).select(
+        $"p_partkey",
+        chr(lit(65) + ($"p_size" % 26)).as("ch"),
+        unbase64(base64($"p_name".cast("binary"))).cast("string").as("b64rt"),
+        locate("a", $"p_name").as("loc"),
+        to_json(str_to_map(
+          concat(lit("a:"), $"p_size", lit(",b:"), $"p_partkey")))
+          .as("m"),
+        translate($"p_name", "aeiou", "AEIOU").as("tr"),
+        initcap($"p_name").as("ic"))
+    }),
+
     "q_parse_url" -> ((s, d) => {
       import s.implicits._
       val url = concat(lit("https://"), lower($"c_mktsegment"),
@@ -242,6 +273,29 @@ object ScalarFunctionPack extends QueryPack {
       """SELECT p_partkey, CAST(r.i - 1 AS INT) AS pos, w[CAST(r.i AS INT)] AS word
          FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part) t,
          LATERAL (SELECT unnest(range(1, len(w)+1)) AS i) r""",
+    "q_math_funcs2" ->
+      """SELECT p_partkey,
+         sin(p_size/10.0) AS sn, cos(p_size/10.0) AS cs, tan(p_size/10.0) AS tn,
+         atan2(CAST(p_size AS DOUBLE), 2.0) AS at2,
+         (exp(p_size/10.0) - exp(-(p_size/10.0)))/2 AS snh,
+         (exp(p_size/10.0) + exp(-(p_size/10.0)))/2 AS csh,
+         (exp(p_size/10.0) - exp(-(p_size/10.0)))
+           / (exp(p_size/10.0) + exp(-(p_size/10.0))) AS tnh,
+         degrees(p_size/10.0) AS deg, radians(p_size) AS rad,
+         bin(p_size) AS bn,
+         hex(p_size) AS hx,
+         CAST((((p_size - 25) % 7) + 7) % 7 AS INT) AS pm
+         FROM part""",
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+         chr(65 + p_size % 26) AS ch,
+         from_base64(to_base64(p_name::BLOB))::VARCHAR AS b64rt,
+         CAST(strpos(p_name, 'a') AS INT) AS loc,
+         '{"a":"' || p_size || '","b":"' || p_partkey || '"}' AS m,
+         translate(p_name, 'aeiou', 'AEIOU') AS tr,
+         array_to_string(list_transform(string_split(p_name, ' '),
+           w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS ic
+         FROM part""",
     "q_parse_url" ->
       """SELECT c_custkey,
          lower(c_mktsegment) || '.example.com' AS host,

@@ -156,6 +156,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0, 1), (2L, 3.0, 2), (3L, 6.0, 3), (4L, 9.0, 3)))
   }
 
+  test("streaming session window merges within gap, splits across it") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = in.toDF().withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "1 minute"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".cast("string").as("s"),
+        $"session_window.end".cast("string").as("e"), $"user_id", $"n")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:30"), 1, "a", 1.0), // same session
+      Ev(3, ts("2024-01-01 00:05:00"), 1, "a", 1.0)) // new session
+    runAll(q)
+    in.addData(Ev(9, ts("2024-01-01 01:00:00"), 2, "z", 0.0)) // close all
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(String, String, Long, Long)].collect().toSet
+    assert(got.contains(("2024-01-01 00:00:00", "2024-01-01 00:01:30", 1L, 2L)))
+    assert(got.contains(("2024-01-01 00:05:00", "2024-01-01 00:06:00", 1L, 1L)))
+  }
+
   test("CountWindows: every N rows per key emit one window") {
     val in = MemoryStream[Ev]
     val name = nextName()
