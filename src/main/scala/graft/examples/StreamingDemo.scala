@@ -95,6 +95,23 @@ object StreamingDemo {
     clQ.processAllAvailable(); clQ.stop()
     println("Changelog agg: " + spark.table("demo_cl").collect().mkString(", "))
 
+    // --- Changelog two-sided join -----------------------------------
+    val ljIn = MemoryStream[(String, Long, String)]
+    val rjIn = MemoryStream[(String, Long, String)]
+    val cjQ = ChangelogJoin.inner(ljIn.toDS(), rjIn.toDS())(
+        _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(dlt => (dlt.row_kind, dlt.left._3, dlt.right._3))
+      .toDF("kind", "l", "r")
+      .writeStream.format("memory").queryName("demo_cj")
+      .outputMode("update").start()
+    ljIn.addData(("+I", 1L, "order#1"))
+    cjQ.processAllAvailable()
+    rjIn.addData(("+I", 1L, "payment#A"))
+    cjQ.processAllAvailable()
+    ljIn.addData(("-D", 1L, "order#1")) // cancel -> retraction delta
+    cjQ.processAllAvailable(); cjQ.stop()
+    println("Changelog join: " + spark.table("demo_cj").collect().mkString(", "))
+
     spark.stop()
   }
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Two-sided changelog streaming join (SURVEY.md §2.3 "hard part";
+  * reference OP/join/stream/StreamingJoinOperator.java:36 with
+  * JoinRecordStateView): both inputs live in keyed state; every
+  * arriving +I row emits join deltas against the opposite side's
+  * current rows, every retraction (-U/-D) removes its row and emits
+  * -D deltas for the pairs it participated in.
+  *
+  * Spark's native stream-stream join is append-only; this operator is
+  * the retraction-aware variant, kept as a library op so Catalyst never
+  * sees changelog semantics (SURVEY §7.4 stance). State per key is the
+  * current multiset of live rows on each side — the same bound Flink's
+  * JoinRecordStateView keeps; pair with a key-scoped TTL upstream when
+  * inputs are unbounded.
+  */
+object ChangelogJoin {
+
+  /** Internal union envelope (public for kryo). */
+  case class Env[L, R](left: Option[L], right: Option[R])
+
+  case class JoinDelta[L, R](row_kind: String, left: L, right: R)
+
+  case class JoinState[L, R](lefts: List[L], rights: List[R])
+
+  /** lId/rId: payload identity used to match a retraction to the stored
+    * row (a -D row differs from its +I twin in the kind field itself,
+    * so plain equality cannot find it). */
+  def inner[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[L, R]] = {
+    implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
+    implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
+    implicit val outEnc: Encoder[JoinDelta[L, R]] = Encoders.kryo[JoinDelta[L, R]]
+
+    val unioned = left.map(l => Env[L, R](Some(l), None))
+      .union(right.map(r => Env[L, R](None, Some(r))))
+
+    unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
+      .flatMapGroupsWithState[JoinState[L, R], JoinDelta[L, R]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, R]]()
+          rows.foreach {
+            case Env(Some(l), _) =>
+              val add = lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter
+              if (add) {
+                st = st.copy(lefts = l :: st.lefts)
+                st.rights.foreach(r => out += JoinDelta(StreamOps.Insert, l, r))
+              } else {
+                st = st.copy(lefts = removeOneBy(st.lefts)(x => lId(x) == lId(l)))
+                st.rights.foreach(r => out += JoinDelta(StreamOps.Delete, l, r))
+              }
+            case Env(_, Some(r)) =>
+              val add = rKind(r) == StreamOps.Insert || rKind(r) == StreamOps.UpdateAfter
+              if (add) {
+                st = st.copy(rights = r :: st.rights)
+                st.lefts.foreach(l => out += JoinDelta(StreamOps.Insert, l, r))
+              } else {
+                st = st.copy(rights = removeOneBy(st.rights)(x => rId(x) == rId(r)))
+                st.lefts.foreach(l => out += JoinDelta(StreamOps.Delete, l, r))
+              }
+            case _ =>
+          }
+          if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+          else state.update(st)
+          out.iterator
+      }
+  }
+
+  private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = xs match {
+    case Nil => Nil
+    case h :: t => if (p(h)) t else h :: removeOneBy(t)(p)
+  }
+}

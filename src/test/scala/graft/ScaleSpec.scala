@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Salting
+import graft.streaming.ChangelogJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique tests: bucketed co-located joins, salted skew joins,
+  * changelog two-sided join. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("bucketed tables co-locate: join plan has no shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(spark, TestSpark.sf)
+        .write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      Tables.orders(spark, TestSpark.sf)
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bucketed")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself must not re-shuffle its bucketed inputs: the only
+      // allowed exchange is the one ABOVE the join for the groupBy
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // one hot key (90% of rows) + a tail
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "uid")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k2", "name")
+    val plain = big.join(small, $"k" === $"k2").select($"uid", $"name")
+    val salted = Salting.saltedJoin(big, small, $"k", $"k2", $"uid", 8)
+      .select($"uid", $"name")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == 901)
+  }
+
+  test("ChangelogJoin emits +I on match and -D on retraction") {
+    val lIn = MemoryStream[(String, Long, String)] // (kind, key, payload)
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.inner(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind, d.left._3, d.right._3))
+      .toDF("kind", "l", "r")
+    val q = joined.writeStream.format("memory").queryName("clj")
+      .outputMode("update").start()
+    lIn.addData(("+I", 1L, "l1"))
+    q.processAllAvailable()
+    rIn.addData(("+I", 1L, "r1")) // match -> +I (l1, r1)
+    q.processAllAvailable()
+    lIn.addData(("-D", 1L, "l1")) // retract -> -D (l1, r1)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clj").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("+I", "l1", "r1"), ("-D", "l1", "r1")))
+  }
+}
