@@ -32,40 +32,50 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(distinctTokens(text)), " "))
 
-  /** MinHash signature: numHashes lexicographic minima of per-token
-    * md5(tok + "#" + i). Computed per row with higher-order functions —
+  /** 32-bit base hash of a token: integer value of the first 8 md5
+    * nibbles. One md5 per token; reproducible in any engine that can
+    * parse hex. */
+  def tokenHash32(t: Column): Column =
+    conv(md5(t).substr(lit(1), lit(8)), 16, 10).cast("long")
+
+  /** MinHash signature: numHashes minima of affine re-hashes
+    * h_j = (h * (2j+1) + 12345j + 7) mod p over the per-token 32-bit
+    * base hash. ONE md5 per token (the affine family is integer-exact
+    * across engines); computed per row with higher-order functions —
     * no explode, no shuffle. */
   def minhashSignature(text: Column, numHashes: Int): Column = {
-    val toks = distinctTokens(text)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(toks,
-        t => md5(concat(t, lit("#"), i.cast("string"))))))
+    // single aggregate pass: `hashed` is the aggregate input (evaluated
+    // once) and each token's base hash feeds all numHashes affine
+    // functions — naive per-j transforms would rebuild the md5 array
+    // numHashes times (lambda HOFs defeat subexpression elimination)
+    val hashed = transform(distinctTokens(text), t => tokenHash32(t))
+    val affine = (h: Column) =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => (h * (j.cast("long") * 2 + 1) + j.cast("long") * 12345L + 7L)
+          % 1000000007L)
+    aggregate(hashed,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, affine(h), (a, b) => least(a, b)))
   }
 
   /** LSH band keys from a MinHash signature: one md5 per band over its
     * rows. Docs agreeing on any band key are candidate duplicates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
 
-  /** 16-bit SimHash over the distinct token set. Bit b of each token is
-    * drawn from md5(token); the sketch bit is the sign of the +1/-1 vote
-    * sum. Accumulated per row via aggregate+zip_with (no shuffle). */
+  /** 16-bit SimHash over the distinct token set. The 16 vote bits come
+    * from the token's 32-bit base hash (bit b of tokenHash32); the
+    * sketch bit is the sign of the +1/-1 vote sum. One md5 + one hex
+    * parse per token, all bit extraction is integer arithmetic.
+    * Accumulated per row via aggregate+zip_with (no shuffle). */
   def simhash16(text: Column): Column = {
-    // Hash each token ONCE (higher-order lambdas defeat Catalyst
-    // subexpression elimination, so a naive per-bit md5 reference would
-    // evaluate md5 16x per token), then derive the 16 +1/-1 votes from
-    // the stored hex: bit b = bit (b%4) of nibble (b/4).
-    val hashed = transform(distinctTokens(text), t => md5(t))
+    val hashed = transform(distinctTokens(text), t => tokenHash32(t))
     val votes = (h: Column) =>
-      flatten(transform(sequence(lit(0), lit(3)), i => {
-        val nib = conv(h.substr(lit(1) + i.cast("int"), lit(1)), 16, 10)
-          .cast("int")
-        transform(sequence(lit(0), lit(3)), k => {
-          val bit = floor(nib / pow(lit(2), k)).cast("int") % 2
-          (bit * 2 - 1).cast("long")
-        })
-      }))
+      transform(sequence(lit(0), lit(15)), b =>
+        (floor(h / pow(lit(2.0), b)).cast("long") % 2) * 2 - 1)
     val sums = aggregate(hashed,
       array_repeat(lit(0L), 16),
       (acc, h) => zip_with(acc, votes(h), (x, y) => x + y))

@@ -206,12 +206,16 @@ object ExtPack extends QueryPack {
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
            FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
          bits AS (
            SELECT doc_id, b,
-             sum(CASE WHEN ((strpos('0123456789abcdef',
-                 substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1)
-                 >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
            GROUP BY doc_id, b)
          SELECT d.doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS fp,
@@ -222,13 +226,20 @@ object ExtPack extends QueryPack {
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
            FROM documents),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
          mh AS (
-           SELECT doc_id, j, min(md5(tok || '#' || j)) AS h
-           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
            GROUP BY doc_id, j),
          bands AS (
            SELECT doc_id, j // 4 AS band,
-                  md5(string_agg(h, ',' ORDER BY j)) AS bkey
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
            FROM mh GROUP BY doc_id, j // 4),
          bmin AS (
            SELECT band, bkey, min(doc_id) AS mid FROM bands GROUP BY 1, 2),
@@ -241,12 +252,16 @@ object ExtPack extends QueryPack {
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
            FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
          bits AS (
            SELECT doc_id, b,
-             sum(CASE WHEN ((strpos('0123456789abcdef',
-                 substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1)
-                 >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
            GROUP BY doc_id, b),
          sh AS (
            SELECT doc_id,
