@@ -18,7 +18,8 @@ object SparkEntry {
     ScalarFunctionPack,
     TemporalJoinPack,
     ExtPack,
-    SourceSinkPack
+    SourceSinkPack,
+    TypesPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

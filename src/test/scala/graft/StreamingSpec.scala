@@ -156,6 +156,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0, 1), (2L, 3.0, 2), (3L, 6.0, 3), (4L, 9.0, 3)))
   }
 
+  test("late-data gap (documented): rows older than the watermark are dropped") {
+    // Flink offers allowedLateness + side outputs; Spark drops
+    // sub-watermark rows. This test pins the documented semantic gap
+    // (SURVEY §2.5 / COVERAGE.md).
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = StreamOps.tumbleAgg(in.toDF(), "ts", "0 seconds", "1 minute",
+      Seq($"user_id"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(Ev(1, ts("2024-01-01 00:10:00"), 1, "a", 1.0))
+    runAll(q)
+    // watermark is now 00:10; this row's window [00:00,00:01) is closed
+    in.addData(Ev(2, ts("2024-01-01 00:00:30"), 1, "late", 1.0))
+    runAll(q)
+    in.addData(Ev(3, ts("2024-01-01 01:00:00"), 9, "flush", 0.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name)
+      .select($"window_start".cast("string"), $"n")
+      .as[(String, Long)].collect().toSet
+    assert(got.contains(("2024-01-01 00:10:00", 1L)))
+    assert(!got.exists(_._1 == "2024-01-01 00:00:00"), got) // late row dropped
+  }
+
   test("streaming session window merges within gap, splits across it") {
     val in = MemoryStream[Ev]
     val name = nextName()
