@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden optimized-plan snapshots (the analog of Flink's 222 golden
+  * plan XMLs, SURVEY §5): catch silent plan regressions — a lost
+  * pushdown, a join turning cartesian, a vanished partial aggregate —
+  * on rewrite-sensitive queries. Regenerate by deleting the file. */
+class GoldenPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val goldenDir = Paths.get("src/test/resources/golden")
+
+  private def normalize(p: String): String = p
+    .replaceAll("#\\d+", "#N")
+    .replaceAll("plan_id=\\d+", "plan_id=N")
+    .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "InMemoryFileIndex[...]")
+    .replaceAll("Location: [^,\\n]*", "Location: ...")
+    .replaceAll("file:[^,\\]\\s]*", "file:...")
+    .trim
+
+  private val tracked = Seq(
+    "q1_agg", "q_multiway_join", "q_topn", "q_subquery_in", "q_sort_limit")
+
+  tracked.foreach { name =>
+    test(s"$name optimized plan matches its golden snapshot") {
+      val plan = normalize(SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan.toString)
+      val file = goldenDir.resolve(s"$name.txt")
+      if (!Files.exists(file)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(file, plan)
+        info(s"bootstrapped golden snapshot $file")
+      } else {
+        val expected = Files.readString(file).trim
+        assert(plan == expected,
+          s"plan drifted from golden snapshot $file;\n--- got ---\n$plan\n--- expected ---\n$expected")
+      }
+    }
+  }
+}

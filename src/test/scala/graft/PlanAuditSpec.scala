@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide plan audit: no query may silently plan a cartesian
+  * product (the classic 100 TB killer). Queries that intentionally
+  * cross tiny dimensions are allowlisted. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // intentional cross/theta joins over tiny inputs
+  private val allowCartesian = Set("q_join_cross", "q_join_theta", "q_values")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plans without an accidental cartesian product") {
+      val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      val hasCartesian = plan.contains("CartesianProduct")
+      if (allowCartesian(name)) succeed
+      else assert(!hasCartesian, s"unexpected CartesianProduct in $name:\n$plan")
+    }
+  }
+}
