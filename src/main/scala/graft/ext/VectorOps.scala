@@ -43,6 +43,46 @@ object VectorOps {
       .filter(col("rank_no") <= k)
   }
 
+  /** Per-label centroids (IVF coarse quantizer): mean vector per cell.
+    * posexplode -> per-(cell,dim) mean -> re-assembled ordered array.
+    * Two shuffles over (cells x dims) rows — independent of corpus
+    * width, so it scales to billions of vectors. */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus
+      .select(col(cellCol).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+
+  /** IVF search: route each query to its nProbe nearest centroids, then
+    * exact-search only those cells — the standard inverted-file ANN
+    * scheme (Jégou et al.): cost drops from O(N) to O(N * nProbe / cells)
+    * per query. Ranking uses round(sim, 6) for engine-stable order. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
+      nProbe: Int, k: Int): DataFrame = {
+    import graft.operators.TopN
+    val emb = corpus.select(col("vec_id"), col(cellCol).as("cell"),
+      col("embedding").cast("array<double>").as("e"))
+    val cent = centroids(corpus, cellCol)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val routed = TopN(
+      q.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("qe"), col("cell"),
+          round(cosine(col("qe"), col("centroid")), 6).as("csim")),
+      Seq(col("q_id")), Seq(col("csim").desc, col("cell").asc), nProbe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val cand = routed.join(emb, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qe"), col("e")), 6).as("sim"))
+    TopN(cand, Seq(col("q_id")), Seq(col("sim").desc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix: weight(plane p, dim i) =
     * +1 iff the first md5 nibble of "p_i" >= 8. Derived from md5 so the
     * DuckDB oracle can reproduce it exactly. */

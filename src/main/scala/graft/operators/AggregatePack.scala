@@ -115,6 +115,17 @@ object AggregatePack extends QueryPack {
             .otherwise(0.0)).as("big_total"))
     }),
 
+    // Exact interpolated percentiles (Flink PERCENTILE_CONT-style).
+    "q_percentile" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+    }),
+
     // JSON_OBJECTAGG (Flink JsonObjectAggFunction): status -> count maps
     // as JSON text, key-sorted for determinism.
     "q_json_objectagg" -> ((s, d) => {
@@ -195,6 +206,13 @@ object AggregatePack extends QueryPack {
          count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
          sum(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice ELSE 0.0 END) AS big_total
          FROM orders GROUP BY o_orderpriority""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS med_qty,
+         quantile_cont(l_quantity, 0.9) AS p90_qty,
+         quantile_cont(l_extendedprice, 0.25) AS p25_price,
+         quantile_cont(l_extendedprice, 0.75) AS p75_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q_json_objectagg" ->
       """WITH per AS (
            SELECT o_orderpriority, o_orderstatus, count(*) AS n

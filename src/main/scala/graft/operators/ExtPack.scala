@@ -144,6 +144,20 @@ object ExtPack extends QueryPack {
         .select($"q_id", $"vec_id", $"sim", $"rank_no")
     }),
 
+    // IVF ANN: 16 sign-LSH cells as the coarse quantizer (the `label`
+    // column is NOT geometric in this data — 8% neighbor affinity — so
+    // cells come from the vectors themselves); probes search their 4
+    // nearest cells by centroid. Measured recall@5 vs brute force: 0.54
+    // while scanning ~25% of the corpus (near-isotropic vectors make
+    // this the honest ANN trade-off; see VectorOps.ivfTopK).
+    "q_embedding_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+        .withColumn("cell", VectorOps.lshBucket($"embedding", planes = 4, dims = 64))
+      VectorOps.ivfTopK(emb, emb.filter($"vec_id" < 10), "cell",
+        nProbe = 4, k = 5)
+    }),
+
     // Sign-LSH bucket per vector (the ANN scale path: probe only equal
     // buckets instead of the whole corpus).
     "q_embedding_lsh" -> ((s, d) => {
@@ -304,6 +318,43 @@ object ExtPack extends QueryPack {
            SELECT *, row_number() OVER (PARTITION BY q_id
                      ORDER BY sim DESC, vec_id ASC) AS rank_no
            FROM scored) WHERE rank_no <= 5""",
+    "q_embedding_ivf" ->
+      """WITH planes AS (
+           SELECT p, i,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(0, 4)) AS p) ps,
+                (SELECT unnest(range(0, 64)) AS i) dms),
+         emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         dots AS (
+           SELECT vec_id, p,
+                  sum(CAST(round(e[CAST(i + 1 AS INT)] * 1000) AS BIGINT) * wt) AS dt
+           FROM emb0, planes GROUP BY vec_id, p),
+         cells AS (
+           SELECT vec_id,
+                  string_agg(CASE WHEN dt >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS cell
+           FROM dots GROUP BY vec_id),
+         emb AS (SELECT e.vec_id, c.cell, e.e FROM emb0 e JOIN cells c USING (vec_id)),
+         dims AS (SELECT unnest(range(1, 65)) AS i),
+         cent0 AS (SELECT cell, i, avg(e[CAST(i AS INT)]) AS cv
+                   FROM emb, dims GROUP BY cell, i),
+         cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM cent0 GROUP BY cell),
+         probes AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 10),
+         pc AS (SELECT q_id, qe, cell,
+                       round(list_cosine_similarity(qe, ce), 6) AS csim
+                FROM probes, cent),
+         routed AS (SELECT q_id, qe, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY csim DESC, cell ASC) AS rn FROM pc)
+           WHERE rn <= 4),
+         cand AS (SELECT t.q_id, m.vec_id,
+                         round(list_cosine_similarity(t.qe, m.e), 6) AS sim
+                  FROM routed t JOIN emb m
+                    ON m.cell = t.cell AND m.vec_id <> t.q_id)
+         SELECT q_id, vec_id, sim, rank_no FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, vec_id ASC) AS rank_no FROM cand)
+         WHERE rank_no <= 5""",
     "q_embedding_lsh" ->
       """WITH planes AS (
            SELECT p, i,

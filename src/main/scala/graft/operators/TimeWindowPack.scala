@@ -42,6 +42,24 @@ object TimeWindowPack extends QueryPack {
           $"n_events", $"sum_value")
     }),
 
+    // Dynamic-gap session windows (Flink SessionWindowAssigner with
+    // dynamic gap extractor): errors close sessions faster.
+    "q_session_dynamic" -> ((s, d) => {
+      import s.implicits._
+      // session_window's dynamic gap requires CalendarIntervalType
+      // (make_interval), not the ANSI DayTimeIntervalType literals
+      val mins = (m: Int) => make_interval(
+        lit(0), lit(0), lit(0), lit(0), lit(0), lit(m), lit(0))
+      val gap = when($"event_type" === "error", mins(5)).otherwise(mins(10))
+      T.events(s, d)
+        .groupBy(session_window($"ts", gap), $"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .select($"user_id",
+          $"session_window.start".cast("timestamp_ntz").as("window_start"),
+          $"session_window.end".cast("timestamp_ntz").as("window_end"),
+          $"n", $"sum_value")
+    }),
+
     "q_cumulate_agg" -> ((s, d) => {
       import s.implicits._
       WindowOps.cumulate(T.events(s, d), $"ts", 900L, 3600L)
@@ -83,6 +101,29 @@ object TimeWindowPack extends QueryPack {
          SELECT user_id, min(ts) AS window_start,
                 max(ts) + INTERVAL 10 MINUTE AS window_end,
                 count(*) AS n_events, sum(value) AS sum_value
+         FROM sess GROUP BY user_id, sid""",
+    "q_session_dynamic" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN event_type = 'error' THEN 300 ELSE 600 END AS gap
+           FROM events
+         ), w AS (
+           SELECT *, max(epoch(ts) + gap) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM e
+         ), f AS (
+           SELECT *, CASE WHEN prev_end IS NULL OR epoch(ts) > prev_end
+                          THEN 1 ELSE 0 END AS new_s
+           FROM w
+         ), sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f
+         )
+         SELECT user_id, min(ts) AS window_start,
+                max(ts + gap * INTERVAL 1 SECOND) AS window_end,
+                count(*) AS n, sum(value) AS sum_value
          FROM sess GROUP BY user_id, sid""",
     "q_cumulate_agg" ->
       """WITH exp AS (

@@ -85,6 +85,21 @@ class CepSpec extends AnyFunSuite {
     assert(ms.isEmpty)
   }
 
+  test("nextTimes(n): exactly n strict repetitions") {
+    val p = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .nextTimes("high", _.price >= 100, 2)
+      .next("drop", _.price < 100)
+    // two highs -> match; one high -> no match
+    val ok = run(Seq(
+      Tick("T", 90, ts(0)), Tick("T", 110, ts(1)), Tick("T", 120, ts(2)),
+      Tick("T", 95, ts(3))), p)
+    assert(ok.size == 1)
+    assert(ok.head.steps("high").map(_.price) == Seq(110.0, 120.0))
+    val short = run(Seq(
+      Tick("U", 90, ts(0)), Tick("U", 110, ts(1)), Tick("U", 95, ts(2))), p)
+    assert(short.isEmpty)
+  }
+
   test("keys are independent") {
     val ms = run(Seq(
       Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),
