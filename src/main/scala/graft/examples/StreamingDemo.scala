@@ -112,6 +112,22 @@ object StreamingDemo {
     cjQ.processAllAvailable(); cjQ.stop()
     println("Changelog join: " + spark.table("demo_cj").collect().mkString(", "))
 
+    // --- Left-outer changelog join (padding retraction) -------------
+    val loL = MemoryStream[(String, Long, String)]
+    val loR = MemoryStream[(String, Long, String)]
+    val loQ = ChangelogJoin.leftOuter(loL.toDS(), loR.toDS())(
+        _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(dlt => (dlt.row_kind, dlt.left._3, dlt.right.map(_._3).getOrElse("∅")))
+      .toDF("kind", "l", "r")
+      .writeStream.format("memory").queryName("demo_loj")
+      .outputMode("update").start()
+    loL.addData(("+I", 5L, "order#5"))
+    loQ.processAllAvailable()
+    loR.addData(("+I", 5L, "ship#S"))
+    loQ.processAllAvailable(); loQ.stop()
+    println("LeftOuter changelog join: " +
+      spark.table("demo_loj").collect().mkString(", "))
+
     spark.stop()
   }
 }

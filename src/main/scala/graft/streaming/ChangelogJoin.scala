@@ -73,6 +73,60 @@ object ChangelogJoin {
       }
   }
 
+  /** Left-outer variant (reference OuterJoinRecordStateView +
+    * OuterJoinPaddingUtil): an unmatched left row is emitted immediately
+    * padded with None; when its first right match arrives the padded row
+    * is retracted (-D (l, None)) and the real pair inserted; when the
+    * last right match retracts, the padding comes back. */
+  def leftOuter[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[L, Option[R]]] = {
+    implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
+    implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
+    implicit val outEnc: Encoder[JoinDelta[L, Option[R]]] =
+      Encoders.kryo[JoinDelta[L, Option[R]]]
+
+    val unioned = left.map(l => Env[L, R](Some(l), None))
+      .union(right.map(r => Env[L, R](None, Some(r))))
+
+    unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
+      .flatMapGroupsWithState[JoinState[L, R], JoinDelta[L, Option[R]]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, Option[R]]]()
+          rows.foreach {
+            case Env(Some(l), _) =>
+              if (lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter) {
+                st = st.copy(lefts = l :: st.lefts)
+                if (st.rights.isEmpty) out += JoinDelta(StreamOps.Insert, l, None)
+                else st.rights.foreach(r => out += JoinDelta(StreamOps.Insert, l, Some(r)))
+              } else {
+                st = st.copy(lefts = removeOneBy(st.lefts)(x => lId(x) == lId(l)))
+                if (st.rights.isEmpty) out += JoinDelta(StreamOps.Delete, l, None)
+                else st.rights.foreach(r => out += JoinDelta(StreamOps.Delete, l, Some(r)))
+              }
+            case Env(_, Some(r)) =>
+              if (rKind(r) == StreamOps.Insert || rKind(r) == StreamOps.UpdateAfter) {
+                if (st.rights.isEmpty) // first match: retract the padding
+                  st.lefts.foreach(l => out += JoinDelta(StreamOps.Delete, l, None))
+                st = st.copy(rights = r :: st.rights)
+                st.lefts.foreach(l => out += JoinDelta(StreamOps.Insert, l, Some(r)))
+              } else {
+                st = st.copy(rights = removeOneBy(st.rights)(x => rId(x) == rId(r)))
+                st.lefts.foreach(l => out += JoinDelta(StreamOps.Delete, l, Some(r)))
+                if (st.rights.isEmpty) // last match gone: padding returns
+                  st.lefts.foreach(l => out += JoinDelta(StreamOps.Insert, l, None))
+              }
+            case _ =>
+          }
+          if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+          else state.update(st)
+          out.iterator
+      }
+  }
+
   private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = xs match {
     case Nil => Nil
     case h :: t => if (p(h)) t else h :: removeOneBy(t)(p)

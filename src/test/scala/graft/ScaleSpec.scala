@@ -53,6 +53,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.count() == 901)
   }
 
+  test("ChangelogJoin.leftOuter pads, retracts padding on match, restores on unmatch") {
+    val lIn = MemoryStream[(String, Long, String)]
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.leftOuter(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind, d.left._3, d.right.map(_._3).getOrElse("NULL")))
+      .toDF("kind", "l", "r")
+    val q = joined.writeStream.format("memory").queryName("cloj")
+      .outputMode("update").start()
+    lIn.addData(("+I", 1L, "l1"))
+    q.processAllAvailable() // -> +I (l1, NULL)
+    rIn.addData(("+I", 1L, "r1"))
+    q.processAllAvailable() // -> -D (l1, NULL), +I (l1, r1)
+    rIn.addData(("-D", 1L, "r1"))
+    q.processAllAvailable() // -> -D (l1, r1), +I (l1, NULL)
+    q.stop()
+    val got = spark.table("cloj").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("+I", "l1", "NULL"),
+      ("-D", "l1", "NULL"), ("+I", "l1", "r1"),
+      ("-D", "l1", "r1"), ("+I", "l1", "NULL")))
+  }
+
   test("ChangelogJoin emits +I on match and -D on retraction") {
     val lIn = MemoryStream[(String, Long, String)] // (kind, key, payload)
     val rIn = MemoryStream[(String, Long, String)]

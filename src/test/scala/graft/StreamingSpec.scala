@@ -204,6 +204,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("2024-01-01 00:05:00", "2024-01-01 00:06:00", 1L, 1L)))
   }
 
+  test("streaming CUMULATE (update mode) converges to the batch result") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = graft.operators.WindowOps
+      .cumulate(in.toDF(), $"ts", 900L, 3600L)
+      .groupBy($"window_start", $"window_end")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "a", 1.0),
+      Ev(3, ts("2024-01-01 10:40:00"), 2, "b", 1.0))
+    in.addData(evs.take(2): _*)
+    runAll(q)
+    in.addData(evs.drop(2): _*)
+    runAll(q)
+    q.stop()
+    // latest update per window == batch cumulate over the full input
+    val streamed = spark.table(name)
+      .groupBy($"window_end").agg(max($"n").as("n")) // last update wins (n only grows)
+      .select($"window_end".cast("string"), $"n")
+      .as[(String, Long)].collect().toMap
+    val batch = graft.operators.WindowOps
+      .cumulate(evs.toDF(), $"ts", 900L, 3600L)
+      .groupBy($"window_end").agg(count(lit(1)).as("n"))
+      .select($"window_end".cast("string"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("CountWindows: every N rows per key emit one window") {
     val in = MemoryStream[Ev]
     val name = nextName()
