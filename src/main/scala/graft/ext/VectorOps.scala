@@ -83,6 +83,27 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
   }
 
+  /** Embedding-cosine near-duplicate dedup: candidate pairs from shared
+    * sign-LSH cells, verified by cosine >= threshold, each vector
+    * assigned the smallest vec_id it pairs with (rep-assignment, like
+    * MinHashLSH.dedupByLSH — no O(n^2) pair output). Fewer planes =
+    * higher recall at more candidate cost; tune per corpus density. */
+  def cosineDedup(corpus: DataFrame, threshold: Double,
+      planes: Int = 2, dims: Int = 64): DataFrame = {
+    val emb = corpus.select(col("vec_id"),
+        lshBucket(col("embedding"), planes, dims).as("cell"),
+        col("embedding").cast("array<double>").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partners = emb.as("a").join(emb.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.e"), col("b.e")), 6) >= threshold)
+      .groupBy(col("b.vec_id").as("vid"))
+      .agg(min(col("a.vec_id")).as("mp"))
+    emb.select(col("vec_id")).join(partners, col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"), coalesce(col("mp"), col("vec_id")).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") < col("vec_id"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix: weight(plane p, dim i) =
     * +1 iff the first md5 nibble of "p_i" >= 8. Derived from md5 so the
     * DuckDB oracle can reproduce it exactly. */

@@ -42,6 +42,11 @@ object ExtPack extends QueryPack {
         size(dtoks).cast("long").as("n_distinct"),
         (size(dtoks) / nTok.cast("double")).as("ttr"),
         (sumLen / nTok.cast("double")).as("avg_tok_len"),
+        (size(filter(toks, t => array_contains(
+          array(Seq("the", "a", "of", "and", "is").map(lit): _*), t)))
+          / nTok.cast("double")).as("stop_ratio"),
+        ((length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", "")))
+          / length($"text").cast("double")).as("punct_ratio"),
         (log(lit(1.0) + nTok) * (size(dtoks) / nTok.cast("double")))
           .as("quality"))
     }),
@@ -144,6 +149,12 @@ object ExtPack extends QueryPack {
         .select($"q_id", $"vec_id", $"sim", $"rank_no")
     }),
 
+    // Embedding-cosine near-dup dedup (rep-assignment over LSH-cell
+    // candidates; threshold tuned to this corpus's density — max pair
+    // cosine is 0.51, so 0.4 marks the closest-pair tail).
+    "q_embedding_dedup" -> ((s, d) =>
+      VectorOps.cosineDedup(T.embeddings(s, d), threshold = 0.4)),
+
     // IVF ANN: 16 sign-LSH cells as the coarse quantizer (the `label`
     // column is NOT geometric in this data — 8% neighbor affinity — so
     // cells come from the vectors themselves); probes search their 4
@@ -189,6 +200,11 @@ object ExtPack extends QueryPack {
          len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
          CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
            / len(string_split(text, ' ')) AS avg_tok_len,
+         len(list_filter(string_split(text, ' '),
+           t -> list_contains(['the','a','of','and','is'], t))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio,
+         (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 1.0
+           / length(text) AS punct_ratio,
          ln(1.0 + len(string_split(text, ' ')))
            * (len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))) AS quality
          FROM documents""",
@@ -318,6 +334,32 @@ object ExtPack extends QueryPack {
            SELECT *, row_number() OVER (PARTITION BY q_id
                      ORDER BY sim DESC, vec_id ASC) AS rank_no
            FROM scored) WHERE rank_no <= 5""",
+    "q_embedding_dedup" ->
+      """WITH planes AS (
+           SELECT p, i,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(0, 2)) AS p) ps,
+                (SELECT unnest(range(0, 64)) AS i) dms),
+         emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         dots AS (
+           SELECT vec_id, p,
+                  sum(CAST(round(e[CAST(i + 1 AS INT)] * 1000) AS BIGINT) * wt) AS dt
+           FROM emb0, planes GROUP BY vec_id, p),
+         cells AS (
+           SELECT vec_id,
+                  string_agg(CASE WHEN dt >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS cell
+           FROM dots GROUP BY vec_id),
+         emb AS (SELECT e.vec_id, c.cell, e.e FROM emb0 e JOIN cells c USING (vec_id)),
+         partners AS (
+           SELECT b.vec_id AS vid, min(a.vec_id) AS mp
+           FROM emb a JOIN emb b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+           GROUP BY b.vec_id)
+         SELECT e.vec_id, coalesce(p.mp, e.vec_id) AS rep_id,
+                coalesce(p.mp, e.vec_id) < e.vec_id AS is_dup
+         FROM emb e LEFT JOIN partners p ON e.vec_id = p.vid""",
     "q_embedding_ivf" ->
       """WITH planes AS (
            SELECT p, i,
