@@ -282,12 +282,9 @@ class StreamingSpec extends AnyFunSuite {
     val l = in1.toDF().withWatermark("ts", "10 seconds")
       .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
     val r = in2.toDF().withWatermark("ts", "10 seconds")
-      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
-        $"event_id".as("click_id"))
-    val joined = l.join(r,
-      $"user_id" === $"c_user" &&
-        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
-        $"c_ts" <= $"p_ts")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val joined = StreamOps.intervalJoin(l, r, "user_id", "p_ts", "c_ts",
+        before = "30 MINUTES", after = "0 SECONDS")
       .select($"purchase_id", $"click_id")
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
