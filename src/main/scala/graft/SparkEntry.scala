@@ -19,7 +19,8 @@ object SparkEntry {
     TemporalJoinPack,
     ExtPack,
     SourceSinkPack,
-    TypesPack
+    TypesPack,
+    TpchPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
