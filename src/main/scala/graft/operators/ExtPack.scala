@@ -96,8 +96,11 @@ object ExtPack extends QueryPack {
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
+      // persist: the bigram expression feeds the self-join (twice) and
+      // the size frame
       val base = T.documents(s, d)
         .select($"doc_id", $"source", bigrams.as("grams"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sh = base.select($"doc_id", $"source", explode($"grams").as("g"))
       val sizes = base.select($"doc_id", size($"grams").as("n"))
       val inter = sh.as("a")

@@ -72,6 +72,11 @@ def main():
             print(f"FAIL {name}: columns spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_fail += 1
             continue
+        gtypes = {d[0]: d[1] for d in got.description}
+        etypes = {d[0]: d[1] for d in exp.description}
+        for c in gcols:
+            if gtypes[c] != etypes[c]:
+                print(f"WARN {name}.{c}: dtype spark={gtypes[c]} oracle={etypes[c]}")
         if len(grows) != len(erows):
             print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(erows)}")
             n_fail += 1
