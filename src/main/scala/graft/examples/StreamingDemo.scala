@@ -28,8 +28,9 @@ object StreamingDemo {
 
     // --- CEP: rise-then-fall ---------------------------------------
     val ticks = MemoryStream[Tick]
+    // strict rise (next) then relaxed-contiguity spike run, then a drop
     val pattern = Cep.Pattern.begin[Tick]("low", _.price < 100)
-      .nextOneOrMore("high", _.price >= 100)
+      .followedByOneOrMore("high", _.price >= 100)
       .next("drop", _.price < 100)
     val cepQ = Cep.run(ticks.toDS(), pattern)(_.sym, _.ts.getTime)
       .writeStream.format("memory").queryName("demo_cep")

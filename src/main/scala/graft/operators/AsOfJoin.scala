@@ -21,7 +21,10 @@ object AsOfJoin {
 
   /** @param rightPayload right columns to carry onto matching left rows
     *                     (exposed as-is; rename beforehand to avoid
-    *                     clashes with left columns) */
+    *                     clashes with left columns)
+    * @note two right rows with identical (key, time) are an undefined
+    *       order (same as Flink's version state) — include a tiebreak
+    *       in rightTime (e.g. a composite sort key) if that matters */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {

@@ -35,6 +35,8 @@ object Cep {
       copy(steps = steps :+ Step(name, pred))
     def nextOneOrMore(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, oneOrMore = true, strict = true))
+    def followedByOneOrMore(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, oneOrMore = true))
     /** Flink `times(n)`: exactly n strict consecutive matches — unrolled
       * into n steps sharing the name (toMatch regroups them). */
     def nextTimes(name: String, pred: T => Boolean, n: Int): Pattern[T] = {

@@ -100,6 +100,19 @@ class CepSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("followedByOneOrMore tolerates gap events (relaxed contiguity)") {
+    val p = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .followedByOneOrMore("spike", _.price >= 150)
+      .next("calm", t => t.price >= 100 && t.price < 150)
+    // 90 (low), 160 (spike), 200 (spike), 120 (calm) -> match even though
+    // relaxed steps could have had non-matching gaps
+    val ms = run(Seq(
+      Tick("R", 90, ts(0)), Tick("R", 160, ts(1)), Tick("R", 200, ts(2)),
+      Tick("R", 120, ts(3))), p)
+    assert(ms.size == 1)
+    assert(ms.head.steps("spike").map(_.price) == Seq(160.0, 200.0))
+  }
+
   test("keys are independent") {
     val ms = run(Seq(
       Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),
