@@ -129,6 +129,26 @@ object StreamingDemo {
     println("LeftOuter changelog join: " +
       spark.table("demo_loj").collect().mkString(", "))
 
+    // --- Streaming rowtime temporal (as-of) join --------------------
+    val rateIn = MemoryStream[Tick] // versioned side: price = rate
+    val orderIn = MemoryStream[Tick] // probe side
+    val tjQ = StreamingTemporalJoin.asOf(orderIn.toDS(), rateIn.toDS())(
+        _.sym, _.ts.getTime, _.ts.getTime, _.sym, _.ts.getTime)
+      .map { case (o, r) => (o.ts.toString, r.map(_.price).getOrElse(-1.0)) }
+      .toDF("order_ts", "rate_at_order_time")
+      .writeStream.format("memory").queryName("demo_tj")
+      .outputMode("append").start()
+    rateIn.addData(Tick("EUR", 1.10, t(0)), Tick("EUR", 1.20, t(100)))
+    orderIn.addData(Tick("EUR", 0, t(50)), Tick("EUR", 0, t(150)))
+    tjQ.processAllAvailable()
+    rateIn.addData(Tick("ZZZ", 0, t(1000)))
+    orderIn.addData(Tick("YYY", 0, t(1000)))
+    tjQ.processAllAvailable()
+    rateIn.addData(Tick("ZZZ", 0, t(2000)))
+    orderIn.addData(Tick("YYY", 0, t(2000)))
+    tjQ.processAllAvailable(); tjQ.stop()
+    println("Temporal join: " + spark.table("demo_tj").collect().mkString(", "))
+
     spark.stop()
   }
 }

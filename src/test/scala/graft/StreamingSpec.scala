@@ -275,6 +275,37 @@ class StreamingSpec extends AnyFunSuite {
       ("-D", 1L, 0.0, 0L)))
   }
 
+  test("streaming temporal as-of join: version current at probe EVENT time") {
+    val pIn = MemoryStream[Ev] // probes: orders
+    val vIn = MemoryStream[Ev] // versions: rates keyed by user_id
+    val joined = StreamingTemporalJoin.asOf(pIn.toDS(), vIn.toDS())(
+      _.user_id, _.ts.getTime, _.event_id, _.user_id, _.ts.getTime)
+      .map { case (p, v) => (p.event_id, v.map(_.value).getOrElse(-1.0)) }
+      .toDF("probe_id", "rate")
+    val q = joined.writeStream.format("memory").queryName("stj")
+      .outputMode("append").start()
+    // versions: rate 100 @00:00, 200 @01:00; probes out of version order
+    vIn.addData(
+      Ev(90, ts("2024-01-01 00:00:00"), 7, "v", 100.0),
+      Ev(91, ts("2024-01-01 01:00:00"), 7, "v", 200.0))
+    pIn.addData(
+      Ev(1, ts("2024-01-01 00:30:00"), 7, "p", 0.0), // sees 100
+      Ev(2, ts("2024-01-01 01:30:00"), 7, "p", 0.0)) // sees 200
+    q.processAllAvailable()
+    // advance BOTH watermarks past the probes
+    vIn.addData(Ev(99, ts("2024-01-01 05:00:00"), 8, "v", 0.0))
+    pIn.addData(Ev(98, ts("2024-01-01 05:00:00"), 9, "p", 0.0))
+    q.processAllAvailable()
+    // flush once more so the last probe's timer fires
+    vIn.addData(Ev(97, ts("2024-01-01 08:00:00"), 8, "v", 0.0))
+    pIn.addData(Ev(96, ts("2024-01-01 08:00:00"), 9, "p", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stj").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 100.0, got)
+    assert(got(2L) == 200.0, got)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val in1 = MemoryStream[Ev]
     val in2 = MemoryStream[Ev]
