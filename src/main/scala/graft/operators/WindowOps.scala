@@ -98,12 +98,25 @@ object TopN {
   def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], n: Int,
       rankType: RankType = RowNumber): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-    val r = rankType match {
-      case RowNumber => row_number()
-      case Rank => rank()
-      case DenseRank => dense_rank()
-    }
-    df.withColumn("rank_no", r.over(w).cast("long"))
+    df.withColumn("rank_no", rankCol(rankType).over(w).cast("long"))
       .filter(col("rank_no") <= n)
+  }
+
+  /** Variable rank range (Flink OP/rank/VariableRankRange.java): the
+    * per-key N comes from a column instead of a constant (e.g. a
+    * per-tenant quota). No WindowGroupLimit (N unknown statically), so
+    * this shuffles the full group — use the constant form when N is
+    * fixed. */
+  def variable(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      nCol: Column, rankType: RankType = RowNumber): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("rank_no", rankCol(rankType).over(w).cast("long"))
+      .filter(col("rank_no") <= nCol)
+  }
+
+  private def rankCol(rankType: RankType) = rankType match {
+    case RowNumber => row_number()
+    case Rank => rank()
+    case DenseRank => dense_rank()
   }
 }

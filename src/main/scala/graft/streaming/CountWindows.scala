@@ -10,6 +10,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CountWindows {
 
+  /** Streaming keep-first-N per key (reference
+    * OP/rank/AppendOnlyFirstNFunction.java): passes through the first
+    * `n` rows of each key in arrival order, drops the rest. State per
+    * key is one counter. */
+  def firstN[K: Encoder, T: Encoder](ds: Dataset[T], n: Int)(
+      key: T => K): Dataset[T] = {
+    implicit val cEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Long, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[T], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer[T]()
+          rows.foreach { t => if (seen < n) { out += t; seen += 1 } }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   case class CountWindow[K, T](key: K, window_no: Long, rows: Seq[T])
 
   def tumbling[K: Encoder, T: Encoder](ds: Dataset[T], size: Int)(

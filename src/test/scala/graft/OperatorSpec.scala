@@ -48,6 +48,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(dr.filter($"k" === 1).count() == 3)
   }
 
+  test("TopN.variable: per-key N from a column") {
+    val df = Seq((1, 30.0, 1), (1, 20.0, 1), (2, 9.0, 2), (2, 8.0, 2), (2, 7.0, 2))
+      .toDF("k", "v", "quota")
+    val got = TopN.variable(df, Seq($"k"), Seq($"v".desc), $"quota")
+      .select($"k", $"v").as[(Int, Double)].collect().toSet
+    assert(got == Set((1, 30.0), (2, 9.0), (2, 8.0)))
+  }
+
   test("Dedup keepFirst/keepLast") {
     val df = Seq((1, 1L, "a"), (1, 2L, "b"), (2, 5L, "c"))
       .toDF("k", "seq", "v")

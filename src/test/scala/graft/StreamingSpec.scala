@@ -255,6 +255,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, "1,2"), (1L, 1L, "3,4")))
   }
 
+  test("CountWindows.firstN passes only the first N rows per key") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val fn = CountWindows.firstN(in.toDS(), 2)(_.user_id)
+    val q = fn.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 2.0))
+    runAll(q)
+    in.addData(Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 3.0)) // over quota
+    runAll(q)
+    in.addData(Ev(4, ts("2024-01-01 00:00:04"), 2, "b", 4.0)) // fresh key
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+
   test("ChangelogAgg: retractions adjust the aggregate; emptied group deletes") {
     val in = MemoryStream[(String, Long, Double)] // (kind, key, value)
     val name = nextName()
