@@ -25,10 +25,14 @@ object StreamingTemporalJoin {
 
   case class TState[P, V](probes: List[P], versions: List[V])
 
-  /** @param delay watermark delay on the unioned stream (the kryo
-    *               envelope hides the original event-time columns, so
-    *               the watermark is declared here on the envelope's
-    *               timestamp — callers need not pre-watermark) */
+  /** @param delay watermark delay, declared PER SIDE before the union
+    *               (on the envelope's timestamp — callers need not
+    *               pre-watermark). Two separate watermarks are
+    *               essential: Spark's default min-combination policy
+    *               then reproduces Flink's two-input watermark
+    *               semantics, so a fast probe source can never advance
+    *               the watermark past versions still in flight on the
+    *               other side (which would drop them as late). */
   def asOf[K: Encoder, P: Encoder, V: Encoder](
       probes: Dataset[P], versions: Dataset[V], delay: String = "0 seconds")(
       pKey: P => K, pTs: P => Long, pSeq: P => Long,
@@ -40,9 +44,10 @@ object StreamingTemporalJoin {
 
     val unioned = probes
       .map(p => (new java.sql.Timestamp(pTs(p)), TEnv[P, V](Some(p), None)))
-      .union(versions
-        .map(v => (new java.sql.Timestamp(vTs(v)), TEnv[P, V](None, Some(v)))))
       .withWatermark("_1", delay)
+      .union(versions
+        .map(v => (new java.sql.Timestamp(vTs(v)), TEnv[P, V](None, Some(v))))
+        .withWatermark("_1", delay))
 
     unioned
       .groupByKey(e => e._2.probe.map(pKey).getOrElse(vKey(e._2.version.get)))

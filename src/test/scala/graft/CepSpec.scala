@@ -113,6 +113,21 @@ class CepSpec extends AnyFunSuite {
     assert(ms.head.steps("spike").map(_.price) == Seq(160.0, 200.0))
   }
 
+  test("partial matches survive across micro-batches (NFA state persistence)") {
+    val in = MemoryStream[Tick]
+    qn += 1
+    val name = s"cep_out_$qn"
+    val q = Cep.run(in.toDS(), riseFall)(_.symbol, _.ts.getTime)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    in.addData(Tick("S", 90, ts(0)), Tick("S", 110, ts(1))) // partial: low+high
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0) // not yet complete
+    in.addData(Tick("S", 80, ts(2))) // drop arrives in a later trigger
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).count() == 1)
+  }
+
   test("keys are independent") {
     val ms = run(Seq(
       Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),

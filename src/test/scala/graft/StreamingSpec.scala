@@ -325,6 +325,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == 200.0, got)
   }
 
+  test("temporal join: probe arriving BEFORE its version still joins it") {
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val joined = StreamingTemporalJoin.asOf(pIn.toDS(), vIn.toDS())(
+      _.user_id, _.ts.getTime, _.event_id, _.user_id, _.ts.getTime)
+      .map { case (p, v) => (p.event_id, v.map(_.value).getOrElse(-1.0)) }
+      .toDF("probe_id", "rate")
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // probe ARRIVES first; its version (earlier event time) arrives later
+    pIn.addData(Ev(1, ts("2024-01-01 02:00:00"), 7, "p", 0.0))
+    q.processAllAvailable()
+    vIn.addData(Ev(90, ts("2024-01-01 01:00:00"), 7, "v", 123.0))
+    q.processAllAvailable()
+    // watermark can only reach the probe once BOTH sources advance
+    pIn.addData(Ev(98, ts("2024-01-01 06:00:00"), 9, "p", 0.0))
+    vIn.addData(Ev(99, ts("2024-01-01 06:00:00"), 8, "v", 0.0))
+    q.processAllAvailable()
+    pIn.addData(Ev(96, ts("2024-01-01 09:00:00"), 9, "p", 0.0))
+    vIn.addData(Ev(97, ts("2024-01-01 09:00:00"), 8, "v", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).as[(Long, Double)].collect().toMap
+    assert(got(1L) == 123.0, got) // the late-arriving version was waited for
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val in1 = MemoryStream[Ev]
     val in2 = MemoryStream[Ev]
