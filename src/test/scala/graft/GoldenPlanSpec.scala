@@ -21,7 +21,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     .trim
 
   private val tracked = Seq(
-    "q1_agg", "q_multiway_join", "q_topn", "q_subquery_in", "q_sort_limit")
+    "q1_agg", "q_multiway_join", "q_topn", "q_subquery_in", "q_sort_limit",
+    "q_asof_join", "q_interval_join")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
