@@ -127,6 +127,77 @@ object ChangelogJoin {
       }
   }
 
+  /** Full-outer variant: BOTH sides get the padding lifecycle — an
+    * unmatched row on either side is emitted padded with None; the
+    * first opposite-side match retracts the padding(s); the last
+    * opposite-side retraction restores them. */
+  def fullOuter[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[Option[L], Option[R]]] = {
+    implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
+    implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
+    implicit val outEnc: Encoder[JoinDelta[Option[L], Option[R]]] =
+      Encoders.kryo[JoinDelta[Option[L], Option[R]]]
+
+    val unioned = left.map(l => Env[L, R](Some(l), None))
+      .union(right.map(r => Env[L, R](None, Some(r))))
+
+    unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
+      .flatMapGroupsWithState[JoinState[L, R], JoinDelta[Option[L], Option[R]]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[JoinDelta[Option[L], Option[R]]]()
+          rows.foreach {
+            case Env(Some(l), _) =>
+              if (lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter) {
+                if (st.lefts.isEmpty && st.rights.nonEmpty)
+                  st.rights.foreach(r => // rights stop being unmatched
+                    out += JoinDelta(StreamOps.Delete, None, Some(r)))
+                st = st.copy(lefts = l :: st.lefts)
+                if (st.rights.isEmpty) out += JoinDelta(StreamOps.Insert, Some(l), None)
+                else st.rights.foreach(r =>
+                  out += JoinDelta(StreamOps.Insert, Some(l), Some(r)))
+              } else {
+                st = st.copy(lefts = removeOneBy(st.lefts)(x => lId(x) == lId(l)))
+                if (st.rights.isEmpty) out += JoinDelta(StreamOps.Delete, Some(l), None)
+                else {
+                  st.rights.foreach(r =>
+                    out += JoinDelta(StreamOps.Delete, Some(l), Some(r)))
+                  if (st.lefts.isEmpty) // rights become unmatched again
+                    st.rights.foreach(r =>
+                      out += JoinDelta(StreamOps.Insert, None, Some(r)))
+                }
+              }
+            case Env(_, Some(r)) =>
+              if (rKind(r) == StreamOps.Insert || rKind(r) == StreamOps.UpdateAfter) {
+                if (st.rights.isEmpty && st.lefts.nonEmpty)
+                  st.lefts.foreach(l =>
+                    out += JoinDelta(StreamOps.Delete, Some(l), None))
+                st = st.copy(rights = r :: st.rights)
+                if (st.lefts.isEmpty) out += JoinDelta(StreamOps.Insert, None, Some(r))
+                else st.lefts.foreach(l =>
+                  out += JoinDelta(StreamOps.Insert, Some(l), Some(r)))
+              } else {
+                st = st.copy(rights = removeOneBy(st.rights)(x => rId(x) == rId(r)))
+                if (st.lefts.isEmpty) out += JoinDelta(StreamOps.Delete, None, Some(r))
+                else {
+                  st.lefts.foreach(l =>
+                    out += JoinDelta(StreamOps.Delete, Some(l), Some(r)))
+                  if (st.rights.isEmpty)
+                    st.lefts.foreach(l =>
+                      out += JoinDelta(StreamOps.Insert, Some(l), None))
+                }
+              }
+            case _ =>
+          }
+          if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+          else state.update(st)
+          out.iterator
+      }
+  }
+
   private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = xs match {
     case Nil => Nil
     case h :: t => if (p(h)) t else h :: removeOneBy(t)(p)

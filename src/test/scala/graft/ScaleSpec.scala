@@ -76,6 +76,30 @@ class ScaleSpec extends AnyFunSuite {
       ("-D", "l1", "r1"), ("+I", "l1", "NULL")))
   }
 
+  test("ChangelogJoin.fullOuter: both-side padding lifecycle") {
+    val lIn = MemoryStream[(String, Long, String)]
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.fullOuter(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind,
+        d.left.map(_._3).getOrElse("NULL"), d.right.map(_._3).getOrElse("NULL")))
+      .toDF("kind", "l", "r")
+    val q = joined.writeStream.format("memory").queryName("cfoj")
+      .outputMode("update").start()
+    rIn.addData(("+I", 1L, "r1")) // unmatched right -> padded
+    q.processAllAvailable()
+    lIn.addData(("+I", 1L, "l1")) // retract right padding, emit pair
+    q.processAllAvailable()
+    lIn.addData(("-D", 1L, "l1")) // retract pair, restore right padding
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cfoj").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("+I", "NULL", "r1"),
+      ("-D", "NULL", "r1"), ("+I", "l1", "r1"),
+      ("-D", "l1", "r1"), ("+I", "NULL", "r1")))
+  }
+
   test("ChangelogJoin emits +I on match and -D on retraction") {
     val lIn = MemoryStream[(String, Long, String)] // (kind, key, payload)
     val rIn = MemoryStream[(String, Long, String)]
