@@ -33,7 +33,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to disk: the stdout line can exceed the driver's tail
+    // capture, in which case the on-disk copy is the recovery path.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

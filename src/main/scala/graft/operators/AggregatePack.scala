@@ -67,11 +67,14 @@ object AggregatePack extends QueryPack {
         .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
     }),
 
-    // COLLECT (multiset agg) — emitted as a sorted array.
+    // COLLECT (multiset agg) — sorted numerically, then joined to a
+    // scalar string (driver comparator can't sort raw array columns).
     "q_collect_set" -> ((s, d) => {
       import s.implicits._
       T.supplier(s, d).groupBy($"s_nationkey")
-        .agg(array_sort(collect_set($"s_suppkey")).as("suppkeys"))
+        .agg(array_join(
+          transform(array_sort(collect_set($"s_suppkey")), _.cast("string")),
+          ",").as("suppkeys"))
     }),
 
     // STDDEV/VAR family.
@@ -87,11 +90,20 @@ object AggregatePack extends QueryPack {
 
     // APPROX_COUNT_DISTINCT — Spark's HLL++ mirrors Flink's
     // BatchApproxCountDistinctAggFunctions (both HLL++, same paper).
-    // Sketch internals differ from DuckDB's -> rows-only check (no oracle).
+    // Sketch internals differ per engine, so the emitted columns are the
+    // engine-stable exact count plus an in-query tolerance check on the
+    // HLL estimate; the oracle emits the exact count and literal true.
     "q_approx_distinct" -> ((s, d) => {
       import s.implicits._
       T.lineitem(s, d).groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .agg(
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey").as("approx_tmp"))
+        .select(
+          $"l_returnflag",
+          $"exact_parts",
+          (abs($"approx_tmp".cast("double") - $"exact_parts".cast("double"))
+            / $"exact_parts".cast("double") <= 0.05).as("within_tol"))
     }),
 
     // MAX_BY / MIN_BY (acctbal unique per nation -> deterministic).
@@ -185,8 +197,14 @@ object AggregatePack extends QueryPack {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "q_collect_set" ->
-      """SELECT s_nationkey, list_sort(list(DISTINCT s_suppkey)) AS suppkeys
+      """SELECT s_nationkey,
+         array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS suppkeys
          FROM supplier GROUP BY s_nationkey""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         true AS within_tol
+         FROM lineitem GROUP BY l_returnflag""",
     "q_stddev_var" ->
       """SELECT l_returnflag,
          stddev_samp(l_quantity) AS sd_samp,

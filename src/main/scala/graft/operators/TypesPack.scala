@@ -21,10 +21,12 @@ object TypesPack extends QueryPack {
         array_contains(words, "small").as("has_small"),
         element_at(words, 1).as("w1"),
         element_at(words, -1).as("wlast"),
-        flatten(array(words, array($"p_brand"))).as("flat"),
-        sort_array(words).as("sorted"),
-        reverse(words).as("rev"),
-        slice(words, 1, 1).as("sl"),
+        // Array-valued results are canonically joined to a scalar string:
+        // the driver's sort-before-hash comparator can't order raw arrays.
+        array_join(flatten(array(words, array($"p_brand"))), ",").as("flat"),
+        array_join(sort_array(words), ",").as("sorted"),
+        array_join(reverse(words), ",").as("rev"),
+        array_join(slice(words, 1, 1), ",").as("sl"),
         array_position(words, "ring").cast("int").as("pos_ring"))
     }),
 
@@ -65,10 +67,10 @@ object TypesPack extends QueryPack {
          list_contains(string_split(p_name, ' '), 'small') AS has_small,
          string_split(p_name, ' ')[1] AS w1,
          string_split(p_name, ' ')[-1] AS wlast,
-         flatten([string_split(p_name, ' '), [p_brand]]) AS flat,
-         list_sort(string_split(p_name, ' ')) AS sorted,
-         list_reverse(string_split(p_name, ' ')) AS rev,
-         string_split(p_name, ' ')[1:1] AS sl,
+         array_to_string(flatten([string_split(p_name, ' '), [p_brand]]), ',') AS flat,
+         array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted,
+         array_to_string(list_reverse(string_split(p_name, ' ')), ',') AS rev,
+         array_to_string(string_split(p_name, ' ')[1:1], ',') AS sl,
          CAST(list_position(string_split(p_name, ' '), 'ring') AS INT) AS pos_ring
          FROM part""",
     "q_decimal_agg" ->
