@@ -30,21 +30,29 @@ object AsOfJoin {
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__tag"), "reserved column name __tag")
+    require(!leftCols.contains("__ver"), "reserved column name __ver")
+
+    // The whole right payload travels as ONE struct per version row:
+    // per-column last(ignoreNulls) would both skip legitimately-NULL
+    // payload values (reading a stale older version) and mix fields from
+    // different versions in a single output row. A version row is atomic.
+    val verType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
 
     val taggedLeft = left
       .withColumn("__time", col(leftTime))
       .withColumn("__tag", lit(1))
       .select(Seq(col(key), col("__time"), col("__tag")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(verType).as("__ver"): _*)
 
     val taggedRight = right
       .withColumn("__time", col(rightTime))
       .withColumn("__tag", lit(0))
       .select(Seq(col(key), col("__time"), col("__tag")) ++
         leftCols.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__ver"): _*)
 
     // Right rows sort before left rows at equal timestamps (tag 0 < 1):
     // a version taking effect at t is visible to a probe at the same t.
@@ -52,9 +60,11 @@ object AsOfJoin {
       .orderBy(col("__time").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = taggedLeft.unionByName(taggedRight)
+      .withColumn("__ver", last(col("__ver"), ignoreNulls = true).over(w))
+    val expanded = rightPayload.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__ver").getField(c))
     }
-    filled.filter(col("__tag") === 1).drop("__time", "__tag")
+    expanded.filter(col("__tag") === 1).drop("__time", "__tag", "__ver")
   }
 }

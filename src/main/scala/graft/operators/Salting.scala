@@ -22,6 +22,14 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column, bigUnique: Column,
       buckets: Int, joinType: String = "inner"): DataFrame = {
+    // The small side is replicated `buckets` times, so any join type that
+    // emits unmatched SMALL-side rows (right/full outer) would duplicate
+    // them once per salt bucket. Restrict to the types whose output is
+    // driven by the big side.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/semi/anti join types, got: $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(bigUnique), lit(buckets.toLong)))
     val saltedSmall = small.withColumn("__salt",

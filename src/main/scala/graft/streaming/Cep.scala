@@ -85,12 +85,17 @@ object Cep {
 
             var nextPartials = List.empty[Partial[T]]
             var completed: Option[Partial[T]] = None
+            // does the completing match contain the current event?
+            var completedWithEv = false
+            // the step-0 partial started by the current event, if any
+            var freshP: Option[Partial[T]] = None
 
             // try to start a new partial at step 0
             if (steps(0).pred(ev)) {
               val p = Partial(0, Vector(steps(0).name -> ev), ts, lastWasStep = true)
-              if (steps.length == 1 && !steps(0).oneOrMore) completed = Some(p)
-              else nextPartials ::= p
+              if (steps.length == 1 && !steps(0).oneOrMore) {
+                completed = Some(p); completedWithEv = true
+              } else { freshP = Some(p); nextPartials ::= p }
             }
 
             partials.foreach { p =>
@@ -109,7 +114,7 @@ object Cep {
                   val p2 = Partial(p.stepIdx + 1, p.acc :+ (n.name -> ev),
                     p.startTs, lastWasStep = true)
                   if (p.stepIdx + 2 == steps.length && !n.oneOrMore) {
-                    if (completed.isEmpty) completed = Some(p2)
+                    if (completed.isEmpty) { completed = Some(p2); completedWithEv = true }
                   } else nextPartials ::= p2
                   advanced = true
                 }
@@ -130,8 +135,13 @@ object Cep {
             completed match {
               case Some(c) =>
                 out += toMatch(k, c, steps)
-                // SKIP_PAST_LAST_EVENT: drop every other partial
-                nextPartials = Nil
+                // SKIP_PAST_LAST_EVENT resumes after the match's LAST row:
+                // partials overlapping the match die, but when the match was
+                // closed by a non-matching event (case c, current event not
+                // in the match) that event's own step-0 partial survives —
+                // otherwise e.g. `a then b+` over a,b,a,b finds 1 match
+                // instead of 2.
+                nextPartials = if (completedWithEv) Nil else freshP.toList
               case None =>
             }
             partials = nextPartials.reverse

@@ -28,11 +28,21 @@ object ChangelogJoin {
 
   /** lId/rId: payload identity used to match a retraction to the stored
     * row (a -D row differs from its +I twin in the kind field itself,
-    * so plain equality cannot find it). */
+    * so plain equality cannot find it).
+    *
+    * lSeq/rSeq: monotonic per-event sequence used to order a key's rows
+    * WITHIN a micro-batch — the union delivers the two sides' rows in
+    * nondeterministic order, so a +I and its -D landing in one batch
+    * could otherwise apply reversed and corrupt state. The default (all
+    * zero, stable sort) preserves arrival order, which is only safe when
+    * at most one event per key lands per batch; pass a real sequence for
+    * multi-event batches. */
   def inner[K: Encoder, L: Encoder, R: Encoder](
       left: Dataset[L], right: Dataset[R])(
       lKey: L => K, lKind: L => String, lId: L => Any,
-      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[L, R]] = {
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[L, R]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[L, R]] = Encoders.kryo[JoinDelta[L, R]]
@@ -46,7 +56,7 @@ object ChangelogJoin {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, R]]()
-          rows.foreach {
+          sortBySeq(rows, lSeq, rSeq).foreach {
             case Env(Some(l), _) =>
               val add = lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter
               if (add) {
@@ -81,7 +91,9 @@ object ChangelogJoin {
   def leftOuter[K: Encoder, L: Encoder, R: Encoder](
       left: Dataset[L], right: Dataset[R])(
       lKey: L => K, lKind: L => String, lId: L => Any,
-      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[L, Option[R]]] = {
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[L, Option[R]]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[L, Option[R]]] =
@@ -96,7 +108,7 @@ object ChangelogJoin {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, Option[R]]]()
-          rows.foreach {
+          sortBySeq(rows, lSeq, rSeq).foreach {
             case Env(Some(l), _) =>
               if (lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter) {
                 st = st.copy(lefts = l :: st.lefts)
@@ -134,7 +146,9 @@ object ChangelogJoin {
   def fullOuter[K: Encoder, L: Encoder, R: Encoder](
       left: Dataset[L], right: Dataset[R])(
       lKey: L => K, lKind: L => String, lId: L => Any,
-      rKey: R => K, rKind: R => String, rId: R => Any): Dataset[JoinDelta[Option[L], Option[R]]] = {
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[Option[L], Option[R]]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[Option[L], Option[R]]] =
@@ -149,7 +163,7 @@ object ChangelogJoin {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[Option[L], Option[R]]]()
-          rows.foreach {
+          sortBySeq(rows, lSeq, rSeq).foreach {
             case Env(Some(l), _) =>
               if (lKind(l) == StreamOps.Insert || lKind(l) == StreamOps.UpdateAfter) {
                 if (st.lefts.isEmpty && st.rights.nonEmpty)
@@ -197,6 +211,31 @@ object ChangelogJoin {
           out.iterator
       }
   }
+
+  /** Right-outer variant: the exact mirror of [[leftOuter]] — unmatched
+    * RIGHT rows get the None-padding lifecycle (reference
+    * OuterJoinRecordStateView handles all four shapes symmetrically). */
+  def rightOuter[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[Option[L], R]] = {
+    implicit val outEnc: Encoder[JoinDelta[Option[L], R]] =
+      Encoders.kryo[JoinDelta[Option[L], R]]
+    leftOuter(right, left)(rKey, rKind, rId, lKey, lKind, lId, rSeq, lSeq)
+      .map(d => JoinDelta[Option[L], R](d.row_kind, d.right, d.left))
+  }
+
+  // Stable sort of a key's micro-batch rows by the caller's sequence;
+  // default all-zero seqs keep arrival order.
+  private def sortBySeq[L, R](rows: Iterator[Env[L, R]],
+      lSeq: L => Long, rSeq: R => Long): Vector[Env[L, R]] =
+    rows.toVector.sortBy {
+      case Env(Some(l), _) => lSeq(l)
+      case Env(_, Some(r)) => rSeq(r)
+      case _ => Long.MaxValue
+    }
 
   private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = xs match {
     case Nil => Nil

@@ -11,10 +11,12 @@ import scala.concurrent.duration.Duration
 /** Sink-side operators (SURVEY.md §2.1):
   *  - Upsert sink (Flink's SinkUpsertMaterializer + upsert sinks,
   *    OP/sink/SinkUpsertMaterializer.java): foreachBatch keeps the
-  *    newest row per key across batches in a keyed snapshot table.
+  *    newest row per key across batches in a keyed snapshot table,
+  *    hash-bucketed by key so a micro-batch only rewrites the buckets
+  *    it touches (dynamic partition overwrite), not the whole snapshot.
   *    In production the merge step is a MERGE INTO on Delta/Iceberg;
-  *    here the snapshot is maintained in a parquet dir (read-merge-
-  *    overwrite), which is the same dataflow at demo scale.
+  *    this is the same dataflow with parquet partition dirs as the
+  *    bucket store.
   *  - Side outputs (OutputTag, flink-streaming-java DataStream#getSideOutput):
   *    one foreachBatch fans out to several filtered writes.
   *  - Async lookup I/O (AsyncWaitOperator.java:91 /
@@ -24,29 +26,47 @@ import scala.concurrent.duration.Duration
 object Sinks {
 
   /** Start an upsert-materializing sink: the parquet dir at `path`
-    * always holds exactly one (the latest by seqCol) row per key. */
+    * always holds exactly one (the latest by seqCol) row per key,
+    * laid out as `path/__bucket=<hash(key) % buckets>/`.
+    *
+    * Per micro-batch cost is O(size of touched buckets), not O(total
+    * keys): untouched bucket dirs are never read or rewritten. Each
+    * touched bucket is replaced through Spark's staged commit (write to
+    * staging, rename into place), and the merged snapshot is
+    * `localCheckpoint`ed first — lineage back to the dir being
+    * overwritten is CUT, so a lost block fails the batch loudly instead
+    * of silently recomputing from a half-overwritten directory. */
   def upsert(stream: DataFrame, keys: Seq[String], seqCol: String,
-      path: String): DataStreamWriter[Row] =
+      path: String, buckets: Int = 16): DataStreamWriter[Row] =
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val newRows = batch
-        val merged = {
-          val existing =
-            try Some(spark.read.parquet(path)) catch { case _: Exception => None }
-          existing.map(_.unionByName(newRows)).getOrElse(newRows)
-        }
+        val bucketOf =
+          pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int")
+        val newRows = batch.withColumn("__bucket", bucketOf)
+        // Touched-bucket ids: driver-side but bounded by `buckets`.
+        val touched = newRows.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing =
+          try Some(spark.read.parquet(path)
+            .withColumn("__bucket", col("__bucket").cast("int"))
+            .filter(col("__bucket").isin(touched: _*))) // partition-pruned
+          catch { case _: Exception => None }
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(seqCol).desc)
-        val snapshot = merged
+        val snapshot = existing.map(_.unionByName(newRows)).getOrElse(newRows)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .cache()
-        snapshot.count() // materialize before overwriting the source dir
-        snapshot.write.mode("overwrite").parquet(path)
-        snapshot.unpersist()
+          .localCheckpoint(true) // materialize + cut lineage before overwrite
+        snapshot.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(path)
         ()
     }
+
+  /** Read an upsert snapshot without the internal bucket column. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
 
   /** Side outputs: route each micro-batch into multiple sinks by
     * predicate (main + named side channels). */

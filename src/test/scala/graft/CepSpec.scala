@@ -128,6 +128,21 @@ class CepSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 1)
   }
 
+  test("trailing oneOrMore: the closing event can start the next match") {
+    // Flink SKIP_PAST_LAST resumes AFTER the match's last row; an event
+    // that merely CLOSES a trailing b+ (and is not part of the match)
+    // must still be able to begin the next match.
+    val p = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .followedByOneOrMore("high", _.price >= 100)
+    val ms = run(Seq(
+      Tick("V", 90, ts(0)), Tick("V", 110, ts(1)), Tick("V", 95, ts(2)),
+      Tick("V", 120, ts(3)), Tick("V", 85, ts(4))), p)
+    assert(ms.size == 2)
+    assert(ms.map(_.steps("low").head.price).toSet == Set(90.0, 95.0))
+    assert(ms.map(_.steps("high").map(_.price)).toSet ==
+      Set(Seq(110.0), Seq(120.0)))
+  }
+
   test("keys are independent") {
     val ms = run(Seq(
       Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),

@@ -35,6 +35,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == "v")
   }
 
+  test("AsOfJoin: newer version's NULL payload is not backfilled from older versions") {
+    val p = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("k", "t", "probe")
+    val v = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option("v1"), Option("n1")),
+      (1L, ts("2024-01-01 11:00:00"), Option("v2"), None: Option[String])
+    ).toDF("k", "vt", "ver", "note")
+    // version rows are atomic: the probe must see (v2, NULL), never a mix
+    // like (v2, n1) where note leaked from the older version
+    val got = AsOfJoin(p, v, "k", "t", "vt", Seq("ver", "note"))
+      .select($"ver", $"note").as[(String, String)].head()
+    assert(got == (("v2", null)))
+  }
+
   test("TopN rank types") {
     val df = Seq((1, 30.0), (1, 30.0), (1, 20.0), (1, 10.0), (2, 5.0))
       .toDF("k", "v").withColumn("id", monotonically_increasing_id())

@@ -100,6 +100,48 @@ class ScaleSpec extends AnyFunSuite {
       ("-D", "l1", "r1"), ("+I", "NULL", "r1")))
   }
 
+  test("ChangelogJoin.rightOuter mirrors leftOuter with sides swapped") {
+    val lIn = MemoryStream[(String, Long, String)]
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.rightOuter(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind, d.left.map(_._3).getOrElse("NULL"), d.right._3))
+      .toDF("kind", "l", "r")
+    val q = joined.writeStream.format("memory").queryName("croj")
+      .outputMode("update").start()
+    rIn.addData(("+I", 1L, "r1"))
+    q.processAllAvailable() // unmatched right -> +I (NULL, r1)
+    lIn.addData(("+I", 1L, "l1"))
+    q.processAllAvailable() // -D (NULL, r1), +I (l1, r1)
+    lIn.addData(("-D", 1L, "l1"))
+    q.processAllAvailable() // -D (l1, r1), +I (NULL, r1)
+    q.stop()
+    val got = spark.table("croj").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("+I", "NULL", "r1"),
+      ("-D", "NULL", "r1"), ("+I", "l1", "r1"),
+      ("-D", "l1", "r1"), ("+I", "NULL", "r1")))
+  }
+
+  test("ChangelogJoin applies a key's batch rows in caller-supplied seq order") {
+    val lIn = MemoryStream[(String, Long, String, Long)] // (kind, key, payload, seq)
+    val rIn = MemoryStream[(String, Long, String, Long)]
+    val joined = ChangelogJoin.inner(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3, _._4, _._4)
+      .map(d => (d.row_kind, d.left._3, d.right._3))
+      .toDF("kind", "l", "r")
+    val q = joined.writeStream.format("memory").queryName("cseq")
+      .outputMode("update").start()
+    rIn.addData(("+I", 1L, "r1", 0L))
+    q.processAllAvailable()
+    // +I and its -D land in ONE batch: seq order must apply insert first
+    lIn.addData(("-D", 1L, "l1", 2L), ("+I", 1L, "l1", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cseq").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("+I", "l1", "r1"), ("-D", "l1", "r1")))
+  }
+
   test("ChangelogJoin emits +I on match and -D on retraction") {
     val lIn = MemoryStream[(String, Long, String)] // (kind, key, payload)
     val rIn = MemoryStream[(String, Long, String)]

@@ -32,6 +32,38 @@ class SinksSpec extends AnyFunSuite {
     assert(snap == Set((7L, 3L, "c"), (8L, 2L, "b")))
   }
 
+  test("upsert sink rewrites only the buckets touched by a micro-batch") {
+    val dir = Files.createTempDirectory("graft_upsert_b").toString + "/t"
+    val in = MemoryStream[Ev]
+    val q = Sinks.upsert(in.toDF(), Seq("user_id"), "event_id", dir, buckets = 16)
+      .queryName("upsert_b").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 8, "b", 2.0))
+    q.processAllAvailable()
+    val Seq(b7, b8) = Seq(7L, 8L).map { k =>
+      spark.range(1)
+        .select(pmod(xxhash64(lit(k)), lit(16L)).cast("int")).as[Int].head()
+    }
+    assume(b7 != b8) // keys 7 and 8 land in different buckets
+    def files(b: Int): Set[String] = {
+      val d = new java.io.File(s"$dir/__bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before7 = files(b7); val before8 = files(b8)
+    assert(before7.nonEmpty && before8.nonEmpty)
+    in.addData(Ev(3, ts("2024-01-01 00:00:03"), 7, "c", 3.0)) // touches only b7
+    q.processAllAvailable()
+    q.stop()
+    assert(files(b8) == before8, "untouched bucket must not be rewritten")
+    assert(files(b7) != before7, "touched bucket must be rewritten")
+    val snap = Sinks.readSnapshot(spark, dir)
+      .select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(snap == Set((7L, 3L, "c"), (8L, 2L, "b")))
+  }
+
   test("side outputs route a batch into main + error channels") {
     val base = Files.createTempDirectory("graft_side").toString
     val in = MemoryStream[Ev]
