@@ -85,6 +85,41 @@ object TextOps {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Same-source near-duplicate candidate pairs within Hamming distance
+    * `maxHd` on a `bits`-wide SimHash sketch, via pigeonhole banding:
+    * split the sketch into `bands` equal bit-bands; any pair with
+    * hd <= maxHd < bands must agree EXACTLY on at least one band, so
+    * candidates come from an equi-join on (source, band, band_bits)
+    * instead of enumerating all same-source pairs (O(n^2) per source).
+    * The codegen'd HammingDistance expression then verifies hd <= maxHd,
+    * so the result set is IDENTICAL to the all-pairs formulation.
+    *
+    * Scale note: bucket count is bands * 2^(bits/bands) per source; at
+    * 100 TB use a 64-bit sketch with 4x16-bit bands (65536 values per
+    * band) so buckets stay small — the operator shape is unchanged.
+    * Output: id1 < id2, hd. */
+  def simhashBandPairs(docs: DataFrame, idCol: String, srcCol: String,
+      shCol: String, bits: Int = 16, bands: Int = 4, maxHd: Int = 3): DataFrame = {
+    require(bands > maxHd, "pigeonhole needs bands > maxHd")
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    import graft.functions.HammingDistance.hamming
+    val norm = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+      col(shCol).as("sh"))
+    val bandArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => floor(col("sh") / pow(lit(2.0), b * bandBits)).cast("long")
+        % lit(1L << bandBits))
+    val banded = norm.select(col("id"), col("src"), col("sh"),
+      posexplode(bandArr).as(Seq("band", "bb")))
+    banded.as("a").join(banded.as("b"),
+        col("a.src") === col("b.src") && col("a.band") === col("b.band") &&
+          col("a.bb") === col("b.bb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).as("hd"))
+      .filter(col("hd") <= maxHd)
+      .distinct() // a pair agreeing on several bands counts once
+  }
+
   /** Language-ID by marker-token overlap; deterministic priority order on
     * ties, "und" when nothing matches. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

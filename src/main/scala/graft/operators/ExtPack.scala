@@ -88,7 +88,10 @@ object ExtPack extends QueryPack {
       MinHashLSH.dedupByLSH(T.documents(s, d), "doc_id", "text",
         numHashes = 16, bands = 4)),
 
-    // n-gram (word-bigram) Jaccard near-dup pairs within each source.
+    // n-gram (word-bigram) Jaccard near-dup pairs within each source,
+    // via prefix filtering (see JaccardJoin: identical result to the
+    // quadratic inverted-index join, but hot grams never generate
+    // candidates).
     "q_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       val toks = TextOps.tokens($"text")
@@ -96,44 +99,24 @@ object ExtPack extends QueryPack {
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
-      // persist: the bigram expression feeds the self-join (twice) and
-      // the size frame
-      val base = T.documents(s, d)
+      val docs = T.documents(s, d)
         .select($"doc_id", $"source", bigrams.as("grams"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = base.select($"doc_id", $"source", explode($"grams").as("g"))
-      val sizes = base.select($"doc_id", size($"grams").as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
-        .select(col("id1"), col("id2"),
-          (col("i") * lit(1.0) / (col("s1.n") + col("s2.n") - col("i")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
+      graft.ext.JaccardJoin.selfJoin(docs, "doc_id", "source", "grams", 0.6)
     }),
 
     // SimHash near-dup candidates: same-source pairs within Hamming
-    // distance 3 on the 16-bit sketch — the native HammingDistance
-    // expression (real doGenCode) in the hot pair loop.
+    // distance 3 on the 16-bit sketch. Candidates come from pigeonhole
+    // banding (4x4-bit bands; see TextOps.simhashBandPairs), verified by
+    // the native HammingDistance expression (real doGenCode) — same
+    // result as all-pairs, no O(n^2)-per-source enumeration.
     "q_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      import graft.functions.HammingDistance.hamming
-      // persist: the sketch feeds both sides of the self-join
+      // persist: the sketch feeds both sides of the band join
       val sh = T.documents(s, d).select($"doc_id", $"source",
         graft.ext.TextOps.simhash16($"text").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.as("a").join(sh.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          hamming(col("a.sh"), col("b.sh")).as("hd"))
-        .filter($"hd" <= 3)
+      TextOps.simhashBandPairs(sh, "doc_id", "source", "sh",
+        bits = 16, bands = 4, maxHd = 3)
     }),
 
     // Brute-force cosine top-5 neighbors for the first 10 vectors.
@@ -152,11 +135,14 @@ object ExtPack extends QueryPack {
         .select($"q_id", $"vec_id", $"sim", $"rank_no")
     }),
 
-    // Embedding-cosine near-dup dedup (rep-assignment over LSH-cell
-    // candidates; threshold tuned to this corpus's density — max pair
-    // cosine is 0.51, so 0.4 marks the closest-pair tail).
+    // Embedding-cosine near-dup dedup (rep-assignment over multi-table
+    // OR-amplified LSH candidates: 8 planes x 4 tables keeps every cell
+    // small while holding recall; threshold tuned to this corpus's
+    // density — max pair cosine is 0.51, so 0.4 marks the closest-pair
+    // tail).
     "q_embedding_dedup" -> ((s, d) =>
-      VectorOps.cosineDedup(T.embeddings(s, d), threshold = 0.4)),
+      VectorOps.cosineDedup(T.embeddings(s, d), threshold = 0.4,
+        planes = 8, tables = 4)),
 
     // IVF ANN: 16 sign-LSH cells as the coarse quantizer (the `label`
     // column is NOT geometric in this data — 8% neighbor affinity — so
@@ -342,7 +328,7 @@ object ExtPack extends QueryPack {
            SELECT p, i,
              CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
                   THEN 1 ELSE -1 END AS wt
-           FROM (SELECT unnest(range(0, 2)) AS p) ps,
+           FROM (SELECT unnest(range(0, 32)) AS p) ps,
                 (SELECT unnest(range(0, 64)) AS i) dms),
          emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          dots AS (
@@ -350,19 +336,23 @@ object ExtPack extends QueryPack {
                   sum(CAST(round(e[CAST(i + 1 AS INT)] * 1000) AS BIGINT) * wt) AS dt
            FROM emb0, planes GROUP BY vec_id, p),
          cells AS (
-           SELECT vec_id,
+           SELECT vec_id, p // 8 AS tbl,
                   string_agg(CASE WHEN dt >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS cell
-           FROM dots GROUP BY vec_id),
-         emb AS (SELECT e.vec_id, c.cell, e.e FROM emb0 e JOIN cells c USING (vec_id)),
+           FROM dots GROUP BY vec_id, p // 8),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+           FROM cells a JOIN cells b
+             ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id),
          partners AS (
-           SELECT b.vec_id AS vid, min(a.vec_id) AS mp
-           FROM emb a JOIN emb b
-             ON a.cell = b.cell AND a.vec_id < b.vec_id
-           WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
-           GROUP BY b.vec_id)
+           SELECT c.id2 AS vid, min(c.id1) AS mp
+           FROM cand c
+           JOIN emb0 ea ON ea.vec_id = c.id1
+           JOIN emb0 eb ON eb.vec_id = c.id2
+           WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4
+           GROUP BY c.id2)
          SELECT e.vec_id, coalesce(p.mp, e.vec_id) AS rep_id,
                 coalesce(p.mp, e.vec_id) < e.vec_id AS is_dup
-         FROM emb e LEFT JOIN partners p ON e.vec_id = p.vid""",
+         FROM emb0 e LEFT JOIN partners p ON e.vec_id = p.vid""",
     "q_embedding_ivf" ->
       """WITH planes AS (
            SELECT p, i,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.{JaccardJoin, TextOps}
 import graft.operators.Salting
 import graft.streaming.ChangelogJoin
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -39,6 +40,44 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
+  }
+
+  test("JaccardJoin: hot grams generate no candidate pairs (prefix filter)") {
+    // 200 docs share the stop-bigram "of the" but are otherwise unique:
+    // a naive inverted-index self-join makes 200*199/2 = 19900 pairs out
+    // of that one gram. Prefix filtering must keep candidates ~0 because
+    // the hot gram sorts last (highest df) in every doc's gram order.
+    val docs = (1 to 200).map { i =>
+      (i.toLong, "s", Seq("of the", s"uniq_a_$i", s"uniq_b_$i", s"uniq_c_$i"))
+    }.toDF("doc_id", "source", "grams")
+    val nCand = JaccardJoin.candidates(docs, "doc_id", "source", "grams", 0.6)
+      .count()
+    assert(nCand == 0, s"expected 0 candidates from hot-gram corpus, got $nCand")
+    // and a genuine near-dup pair IS still found, exactly
+    val withDup = docs.union(Seq(
+      (900L, "s", Seq("x y", "y z", "z w", "w v")),
+      (901L, "s", Seq("x y", "y z", "z w", "q r"))
+    ).toDF("doc_id", "source", "grams"))
+    val pairs = JaccardJoin.selfJoin(withDup, "doc_id", "source", "grams", 0.6)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((900L, 901L, 0.6))) // |∩|=3, |∪|=5
+  }
+
+  test("simhashBandPairs equals brute-force all-pairs hd<=3") {
+    val docs = (1 to 120).map { i =>
+      // sketches clustered so some pairs are within hd 3 and most are not
+      val sh = ((i % 7) * 9377 + (i % 3)) & 0xFFFF
+      (i.toLong, s"src${i % 2}", sh.toLong)
+    }.toDF("doc_id", "source", "sh")
+    val banded = TextOps.simhashBandPairs(docs, "doc_id", "source", "sh")
+      .select($"id1", $"id2", $"hd").as[(Long, Long, Int)].collect().toSet
+    import graft.functions.HammingDistance.hamming
+    val brute = docs.as("a").join(docs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        hamming(col("a.sh"), col("b.sh")).as("hd"))
+      .filter($"hd" <= 3).as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute && brute.nonEmpty)
   }
 
   test("salted join equals the plain join on skewed data") {
