@@ -20,7 +20,8 @@ object SparkEntry {
     ExtPack,
     SourceSinkPack,
     TypesPack,
-    TpchPack
+    TpchPack,
+    TpchPack2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
