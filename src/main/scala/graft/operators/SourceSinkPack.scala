@@ -50,6 +50,23 @@ object SourceSinkPack extends QueryPack {
       s.read.schema("r_regionkey INT, r_name STRING").json(dir)
     }),
 
+    // ORC format roundtrip on part (Spark built-in columnar datasource;
+    // flink-formats/flink-orc analog). Full pushdown on re-read.
+    "q_orc_source" -> ((s, d) => {
+      val dir = tmpDir("orc_part")
+      T.part(s, d).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+    }),
+
+    // Avro format roundtrip on supplier via the GenericRecord bridge
+    // (flink-formats/flink-avro analog; see sources/AvroFormat.scala).
+    "q_avro_source" -> ((s, d) => {
+      val dir = tmpDir("avro_supplier")
+      val src = T.supplier(s, d)
+      graft.sources.AvroFormat.write(src, dir)
+      graft.sources.AvroFormat.read(s, dir, src.schema)
+    }),
+
     // Window join: purchases joined to clicks of the same user within
     // the same 1h tumbling window.
     "q_window_join" -> ((s, d) => {
@@ -105,6 +122,10 @@ object SourceSinkPack extends QueryPack {
       """SELECT * FROM nation""",
     "q_json_source" ->
       """SELECT * FROM region""",
+    "q_orc_source" ->
+      """SELECT * FROM part""",
+    "q_avro_source" ->
+      """SELECT * FROM supplier""",
     "q_window_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
             make_timestamp(CAST(floor(epoch(p.ts)/3600)*3600 AS BIGINT)*1000000) AS window_start

@@ -1,32 +1,76 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
-/** CEP-lite: MATCH_RECOGNIZE-style pattern matching over keyed streams
-  * (SURVEY.md §2.12; reference flink-cep .../nfa/NFA.java and
-  * StreamExecMatch.java:59).
+/** CEP: MATCH_RECOGNIZE-style pattern matching over keyed streams
+  * (SURVEY.md §2.12; reference flink-cep .../nfa/NFA.java,
+  * .../pattern/Pattern.java and StreamExecMatch.java:59).
   *
-  * Supported pattern algebra (the workhorse subset of Flink's CEP):
+  * Pattern algebra (mirrors flink-cep Pattern.java):
   *  - sequence of named steps, each with a predicate
-  *  - per-step quantifier: exactly-one or oneOrMore (greedy)
+  *  - quantifiers per step: exactly-one, `oneOrMore` (Pattern.java:271),
+  *    `times(n)` / `times(from,to)` (Pattern.java:311), `timesOrMore`,
+  *    `optional` (Pattern.java:257)
+  *  - `greedy` vs reluctant looping (Pattern.java:285): greedy emits
+  *    only the maximal match of a loop; reluctant emits every valid
+  *    completion as the loop grows
+  *  - `until` stop-condition on a looping step (Pattern.java:199)
   *  - contiguity per step: strict (`next`) or relaxed (`followedBy`)
-  *  - `within` time bound on the whole match
-  *  - after-match skip: SKIP_PAST_LAST_EVENT (Flink's default for
-  *    MATCH_RECOGNIZE `AFTER MATCH SKIP PAST LAST ROW`)
+  *  - `within` time bound on the whole match (Pattern.java:132)
+  *  - after-match skip strategies (nfa/aftermatch/
+  *    AfterMatchSkipStrategy.java:38): NO_SKIP, SKIP_TO_NEXT,
+  *    SKIP_PAST_LAST_EVENT (default), SKIP_TO_FIRST(step),
+  *    SKIP_TO_LAST(step) — implemented by per-key event sequence
+  *    numbers, exactly how Flink's EventId comparisons work
   *
-  * Events are processed in arrival order per key (feed event-time-ordered
-  * input, e.g. through EventTimeSort, for rowtime semantics — Flink's
-  * CepOperator does exactly this buffering+sorting internally).
+  * Events are processed in arrival order per key (feed event-time-
+  * ordered input, e.g. through EventTimeSort, for rowtime semantics —
+  * Flink's CepOperator does exactly this buffering+sorting internally).
   *
-  * The NFA state per key is the set of live partial matches; with strict
-  * contiguity and skip-past-last it is small in practice, and `within`
-  * expiry prunes stale partials — bounded state on unbounded streams.
+  * Documented deviations from the full Flink NFA (kept for bounded
+  * state): a matching event always extends/advances a partial (no
+  * skip-this-event branch inside relaxed loops, so a reluctant loop
+  * emits the prefix chain of combinations, not all subsets), and an
+  * emitted partial is consumed (a greedy loop followed by optional
+  * steps emits either the loop-maximal or the extended match, not
+  * both).
+  *
+  * State per key = live partial matches + a sequence counter; `within`
+  * expiry and the skip strategy prune partials, and `ttlMs` (see
+  * [[Ttl]]) evicts idle keys — bounded state on unbounded streams.
   */
 object Cep {
 
+  /** After-match skip strategies (AfterMatchSkipStrategy.java:38). */
+  sealed trait SkipStrategy extends Serializable
+  object SkipStrategy {
+    /** Emit all matches, overlapping partials keep running. */
+    case object NoSkip extends SkipStrategy
+    /** Discard other partials that started at the match's first event. */
+    case object SkipToNext extends SkipStrategy
+    /** Discard partials that started at or before the match's last
+      * event (Flink's MATCH_RECOGNIZE default). */
+    case object SkipPastLastEvent extends SkipStrategy
+    /** Discard partials that started before the first event mapped to
+      * `step`. */
+    case class SkipToFirst(step: String) extends SkipStrategy
+    /** Discard partials that started before the last event mapped to
+      * `step`. */
+    case class SkipToLast(step: String) extends SkipStrategy
+  }
+
+  /** One pattern step. minTimes/maxTimes quantify repetitions
+    * (maxTimes=None = unbounded); strict = must match the immediately
+    * next event; greedy applies to looping steps; until stops a loop
+    * from accepting further events. */
   case class Step[T](name: String, pred: T => Boolean,
-      oneOrMore: Boolean = false, strict: Boolean = false)
+      minTimes: Int = 1, maxTimes: Option[Int] = Some(1),
+      strict: Boolean = false, greedy: Boolean = true,
+      until: Option[T => Boolean] = None) {
+    def isLoop: Boolean = maxTimes != Some(1)
+    def canTake(ev: T): Boolean = pred(ev) && !until.exists(_(ev))
+  }
 
   case class Pattern[T](steps: Vector[Step[T]], withinMs: Option[Long] = None) {
     def next(name: String, pred: T => Boolean): Pattern[T] =
@@ -34,16 +78,37 @@ object Cep {
     def followedBy(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred))
     def nextOneOrMore(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, oneOrMore = true, strict = true))
+      copy(steps = steps :+ Step(name, pred, maxTimes = None, strict = true))
     def followedByOneOrMore(name: String, pred: T => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, oneOrMore = true))
-    /** Flink `times(n)`: exactly n strict consecutive matches — unrolled
-      * into n steps sharing the name (toMatch regroups them). */
+      copy(steps = steps :+ Step(name, pred, maxTimes = None))
+    /** Flink `times(n)`: exactly n strict consecutive matches. */
     def nextTimes(name: String, pred: T => Boolean, n: Int): Pattern[T] = {
       require(n >= 1)
-      copy(steps = steps ++ Vector.fill(n)(Step(name, pred, strict = true)))
+      copy(steps = steps :+ Step(name, pred, minTimes = n, maxTimes = Some(n),
+        strict = true))
     }
     def within(ms: Long): Pattern[T] = copy(withinMs = Some(ms))
+
+    // ---- modifiers on the LAST step (Flink's builder style) ----
+    private def mod(f: Step[T] => Step[T]): Pattern[T] =
+      copy(steps = steps.init :+ f(steps.last))
+    /** Pattern.java:257 — the last step may match zero times. */
+    def optional: Pattern[T] = mod(_.copy(minTimes = 0))
+    /** Pattern.java:311 — the last step repeats from..to times. */
+    def times(from: Int, to: Int): Pattern[T] = {
+      require(from >= 0 && to >= from && to >= 1)
+      mod(_.copy(minTimes = from, maxTimes = Some(to)))
+    }
+    /** Pattern.java:327 — the last step repeats at least n times. */
+    def timesOrMore(n: Int): Pattern[T] = {
+      require(n >= 1)
+      mod(_.copy(minTimes = n, maxTimes = None))
+    }
+    /** Pattern.java:285 — reluctant looping: emit each completion as
+      * the loop grows instead of only the maximal match. */
+    def reluctant: Pattern[T] = mod(_.copy(greedy = false))
+    /** Pattern.java:199 — loop stop condition. */
+    def until(p: T => Boolean): Pattern[T] = mod(_.copy(until = Some(p)))
   }
 
   object Pattern {
@@ -54,17 +119,19 @@ object Cep {
   /** A completed match: events grouped per step name, in order. */
   case class Match[K, T](key: K, steps: Map[String, Seq[T]])
 
-  // One partial match: index of the step being matched, events per step,
-  // ts of first event. Public: kryo state encoders reject non-public
-  // classes.
-  case class Partial[T](stepIdx: Int, acc: Vector[(String, T)],
-      startTs: Long, lastWasStep: Boolean)
+  // One partial match: step index, repetition count at that step,
+  // accumulated (stepName, seq, event), first-event ts + seq. Public:
+  // kryo state encoders reject non-public classes.
+  case class Partial[T](stepIdx: Int, count: Int,
+      acc: Vector[(String, Long, T)], startTs: Long, startSeq: Long)
 
-  case class NfaState[T](partials: List[Partial[T]])
+  case class NfaState[T](partials: List[Partial[T]], nextSeq: Long)
 
-  /** Run the pattern over a keyed stream; emits a Match row as each match
-    * completes. */
-  def run[K: Encoder, T: Encoder](ds: Dataset[T], pattern: Pattern[T])(
+  /** Run the pattern over a keyed stream; emits a Match row as each
+    * match completes. */
+  def run[K: Encoder, T: Encoder](ds: Dataset[T], pattern: Pattern[T],
+      skip: SkipStrategy = SkipStrategy.SkipPastLastEvent,
+      ttlMs: Option[Long] = None)(
       key: T => K, tsMillis: T => Long): Dataset[Match[K, T]] = {
     implicit val stateEnc: Encoder[NfaState[T]] = Encoders.kryo[NfaState[T]]
     implicit val outEnc: Encoder[Match[K, T]] = Encoders.kryo[Match[K, T]]
@@ -72,90 +139,144 @@ object Cep {
 
     ds.groupByKey(key)
       .flatMapGroupsWithState[NfaState[T], Match[K, T]](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[NfaState[T]]) =>
-          var partials = state.getOption.map(_.partials).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[Match[K, T]]()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st0 = state.getOption.getOrElse(NfaState[T](Nil, 0L))
+            var partials = st0.partials
+            var seq = st0.nextSeq
+            val out = scala.collection.mutable.ArrayBuffer[Match[K, T]]()
 
-          rows.foreach { ev =>
-            val ts = tsMillis(ev)
-            // expire partials beyond the within-window
-            partials = partials.filter(p =>
-              pattern.withinMs.forall(w => ts - p.startTs <= w))
+            rows.foreach { ev =>
+              val ts = tsMillis(ev)
+              val s = seq; seq += 1
+              // expire partials beyond the within-window
+              partials = partials.filter(p =>
+                pattern.withinMs.forall(w => ts - p.startTs <= w))
 
-            var nextPartials = List.empty[Partial[T]]
-            var completed: Option[Partial[T]] = None
-            // does the completing match contain the current event?
-            var completedWithEv = false
-            // the step-0 partial started by the current event, if any
-            var freshP: Option[Partial[T]] = None
+              var nextPartials = List.empty[Partial[T]]
+              // completed-match candidates from this event, in creation order
+              val candidates = scala.collection.mutable.ArrayBuffer[Partial[T]]()
 
-            // try to start a new partial at step 0
-            if (steps(0).pred(ev)) {
-              val p = Partial(0, Vector(steps(0).name -> ev), ts, lastWasStep = true)
-              if (steps.length == 1 && !steps(0).oneOrMore) {
-                completed = Some(p); completedWithEv = true
-              } else { freshP = Some(p); nextPartials ::= p }
-            }
+              // completable = all remaining obligations satisfied
+              def completable(i: Int, c: Int): Boolean =
+                c >= steps(i).minTimes &&
+                  (i + 1 until steps.length).forall(steps(_).minTimes == 0)
 
-            partials.foreach { p =>
-              val cur = steps(p.stepIdx)
-              val nxt = if (p.stepIdx + 1 < steps.length) Some(steps(p.stepIdx + 1)) else None
-              var advanced = false
-              // (a) loop on a oneOrMore step
-              if (cur.oneOrMore && cur.pred(ev)) {
-                nextPartials ::= p.copy(acc = p.acc :+ (cur.name -> ev),
-                  lastWasStep = true)
-                advanced = true
+              // Route a new configuration: emit-now, defer (greedy open
+              // loop), or keep as a live partial. Greedy open loops with a
+              // completable config stay live and emit on close (case c).
+              def route(p: Partial[T]): Unit = {
+                val stp = steps(p.stepIdx)
+                val loopOpen = stp.isLoop && stp.maxTimes.forall(p.count < _)
+                if (completable(p.stepIdx, p.count)) {
+                  if (stp.greedy && loopOpen) nextPartials ::= p // defer
+                  else if (!stp.greedy && loopOpen) {
+                    candidates += p; nextPartials ::= p // emit AND continue
+                  } else candidates += p // closed: emit, consumed
+                } else nextPartials ::= p
               }
-              // (b) advance to the next step
-              nxt.foreach { n =>
-                if (n.pred(ev)) {
-                  val p2 = Partial(p.stepIdx + 1, p.acc :+ (n.name -> ev),
-                    p.startTs, lastWasStep = true)
-                  if (p.stepIdx + 2 == steps.length && !n.oneOrMore) {
-                    if (completed.isEmpty) { completed = Some(p2); completedWithEv = true }
-                  } else nextPartials ::= p2
+
+              // start new partial(s) at each reachable leading position
+              var j = 0
+              var scan = true
+              while (scan && j < steps.length) {
+                if (steps(j).canTake(ev))
+                  route(Partial(j, 1, Vector((steps(j).name, s, ev)), ts, s))
+                scan = steps(j).minTimes == 0 // deeper starts need skippable prefix
+                j += 1
+              }
+
+              partials.foreach { p =>
+                val cur = steps(p.stepIdx)
+                var advanced = false
+                // (a) loop on the current step
+                if (cur.isLoop && cur.maxTimes.forall(p.count < _) &&
+                    cur.canTake(ev)) {
+                  route(p.copy(count = p.count + 1,
+                    acc = p.acc :+ ((cur.name, s, ev))))
                   advanced = true
                 }
+                // (b) advance to a later step (skipping min-0 steps)
+                if (p.count >= cur.minTimes) {
+                  var i = p.stepIdx + 1
+                  var go = true
+                  while (go && i < steps.length) {
+                    if (steps(i).canTake(ev)) {
+                      route(Partial(i, 1, p.acc :+ ((steps(i).name, s, ev)),
+                        p.startTs, p.startSeq))
+                      advanced = true
+                    }
+                    go = steps(i).minTimes == 0
+                    i += 1
+                  }
+                }
+                if (!advanced) {
+                  // (c) a greedy completable loop closes on a non-taking
+                  // event: emit the maximal match (partial consumed)
+                  if (cur.greedy && cur.isLoop && completable(p.stepIdx, p.count))
+                    candidates += p
+                  // (d) else keep waiting under relaxed contiguity; strict
+                  // obligations kill the partial
+                  else {
+                    val strictNext = p.stepIdx + 1 < steps.length &&
+                      steps(p.stepIdx + 1).strict
+                    val strictLoop = cur.strict && cur.isLoop
+                    val strictFill = cur.strict && p.count < cur.minTimes
+                    if (!(strictNext || strictLoop || strictFill))
+                      nextPartials ::= p
+                  }
+                }
               }
-              // (c) oneOrMore final step: a non-matching event closes it
-              if (cur.oneOrMore && p.stepIdx + 1 == steps.length && !cur.pred(ev)) {
-                if (completed.isEmpty) completed = Some(p)
-                advanced = true
+
+              // emit candidates in start order, applying the after-match
+              // skip strategy to both later candidates and live partials
+              val ordered = candidates.sortBy(c => (c.startSeq, -c.acc.length))
+              val killed = scala.collection.mutable.Set[Partial[T]]()
+              ordered.foreach { c =>
+                if (!killed(c)) {
+                  out += toMatch(k, c, steps)
+                  val keep = keepAfter(c, skip)
+                  ordered.foreach(o => if (!keep(o.startSeq)) killed += o)
+                  nextPartials = nextPartials.filter(p => keep(p.startSeq))
+                }
               }
-              // (d) keep waiting only if the NEXT event may still match
-              //     (relaxed contiguity); strict steps drop unadvanced
-              if (!advanced && !(nxt.exists(_.strict) ||
-                  (cur.oneOrMore && cur.strict))) {
-                nextPartials ::= p
-              }
+              partials = nextPartials.reverse
             }
 
-            completed match {
-              case Some(c) =>
-                out += toMatch(k, c, steps)
-                // SKIP_PAST_LAST_EVENT resumes after the match's LAST row:
-                // partials overlapping the match die, but when the match was
-                // closed by a non-matching event (case c, current event not
-                // in the match) that event's own step-0 partial survives —
-                // otherwise e.g. `a then b+` over a,b,a,b finds 1 match
-                // instead of 2.
-                nextPartials = if (completedWithEv) Nil else freshP.toList
-              case None =>
-            }
-            partials = nextPartials.reverse
+            // No live partials -> nothing references the seq counter, so
+            // the key's state can vanish entirely (counter restarts at 0).
+            if (partials.isEmpty) state.remove()
+            else { state.update(NfaState(partials, seq)); Ttl.arm(state, ttlMs) }
+            out.iterator
           }
-
-          state.update(NfaState(partials))
-          out.iterator
       }
+  }
+
+  // Which start-seqs survive after emitting match `m`?
+  private def keepAfter[T](m: Partial[T], skip: SkipStrategy): Long => Boolean = {
+    val lastSeq = m.acc.last._2
+    skip match {
+      case SkipStrategy.NoSkip => _ => true
+      case SkipStrategy.SkipToNext => _ != m.startSeq
+      case SkipStrategy.SkipPastLastEvent => _ > lastSeq
+      case SkipStrategy.SkipToFirst(stepName) =>
+        val first = m.acc.collectFirst { case (n, q, _) if n == stepName => q }
+          .getOrElse(m.startSeq)
+        _ >= first
+      case SkipStrategy.SkipToLast(stepName) =>
+        val last = m.acc.reverseIterator
+          .collectFirst { case (n, q, _) if n == stepName => q }
+          .getOrElse(m.startSeq)
+        _ >= last
+    }
   }
 
   private def toMatch[K, T](k: K, p: Partial[T],
       steps: Vector[Step[T]]): Match[K, T] = {
     val grouped = steps.map(s => s.name ->
-      p.acc.filter(_._1 == s.name).map(_._2).toSeq).toMap
+      p.acc.filter(_._1 == s.name).map(_._3).toSeq).toMap
     Match(k, grouped)
   }
 }

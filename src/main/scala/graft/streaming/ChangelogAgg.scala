@@ -23,38 +23,44 @@ object ChangelogAgg {
   case class Acc(sum: Double, count: Long)
 
   /** @param kind   row_kind accessor (+I/+U add, -U/-D retract)
-    * @param value  the aggregated value accessor */
+    * @param value  the aggregated value accessor
+    * @param ttlMs  idle TTL: a group unseen this long is evicted */
   def sumCount[K: Encoder, T: Encoder](ds: Dataset[T])(
-      key: T => K, kind: T => String, value: T => Double): Dataset[GroupUpdate[K]] = {
+      key: T => K, kind: T => String, value: T => Double,
+      ttlMs: Option[Long] = None): Dataset[GroupUpdate[K]] = {
     implicit val stateEnc: Encoder[Acc] = Encoders.kryo[Acc]
     implicit val outEnc: Encoder[GroupUpdate[K]] = Encoders.kryo[GroupUpdate[K]]
     ds.groupByKey(key)
       .flatMapGroupsWithState[Acc, GroupUpdate[K]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[Acc]) =>
-          val before = state.getOption.getOrElse(Acc(0.0, 0L))
-          var acc = before
-          rows.foreach { t =>
-            val v = value(t)
-            kind(t) match {
-              case StreamOps.Insert | StreamOps.UpdateAfter =>
-                acc = Acc(acc.sum + v, acc.count + 1)
-              case StreamOps.UpdateBefore | StreamOps.Delete =>
-                acc = Acc(acc.sum - v, acc.count - 1)
-              case other =>
-                throw new IllegalArgumentException(s"bad row_kind: $other")
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.getOrElse(Acc(0.0, 0L))
+            var acc = before
+            rows.foreach { t =>
+              val v = value(t)
+              kind(t) match {
+                case StreamOps.Insert | StreamOps.UpdateAfter =>
+                  acc = Acc(acc.sum + v, acc.count + 1)
+                case StreamOps.UpdateBefore | StreamOps.Delete =>
+                  acc = Acc(acc.sum - v, acc.count - 1)
+                case other =>
+                  throw new IllegalArgumentException(s"bad row_kind: $other")
+              }
             }
-          }
-          if (acc.count <= 0L) {
-            state.remove()
-            if (before.count > 0L)
-              Iterator.single(GroupUpdate(StreamOps.Delete, k, 0.0, 0L))
-            else Iterator.empty
-          } else {
-            state.update(acc)
-            if (acc != before)
-              Iterator.single(GroupUpdate(StreamOps.UpdateAfter, k, acc.sum, acc.count))
-            else Iterator.empty
+            if (acc.count <= 0L) {
+              state.remove()
+              if (before.count > 0L)
+                Iterator.single(GroupUpdate(StreamOps.Delete, k, 0.0, 0L))
+              else Iterator.empty
+            } else {
+              state.update(acc)
+              Ttl.arm(state, ttlMs)
+              if (acc != before)
+                Iterator.single(GroupUpdate(StreamOps.UpdateAfter, k, acc.sum, acc.count))
+              else Iterator.empty
+            }
           }
       }
   }

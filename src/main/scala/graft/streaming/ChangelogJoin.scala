@@ -42,7 +42,8 @@ object ChangelogJoin {
       lKey: L => K, lKind: L => String, lId: L => Any,
       rKey: R => K, rKind: R => String, rId: R => Any,
       lSeq: L => Long = (_: L) => 0L,
-      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[L, R]] = {
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[JoinDelta[L, R]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[L, R]] = Encoders.kryo[JoinDelta[L, R]]
@@ -52,8 +53,9 @@ object ChangelogJoin {
 
     unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
       .flatMapGroupsWithState[JoinState[L, R], JoinDelta[L, R]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, R]]()
           sortBySeq(rows, lSeq, rSeq).foreach {
@@ -78,8 +80,9 @@ object ChangelogJoin {
             case _ =>
           }
           if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
-          else state.update(st)
+          else { state.update(st); Ttl.arm(state, ttlMs) }
           out.iterator
+          }
       }
   }
 
@@ -93,7 +96,8 @@ object ChangelogJoin {
       lKey: L => K, lKind: L => String, lId: L => Any,
       rKey: R => K, rKind: R => String, rId: R => Any,
       lSeq: L => Long = (_: L) => 0L,
-      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[L, Option[R]]] = {
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[JoinDelta[L, Option[R]]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[L, Option[R]]] =
@@ -104,8 +108,9 @@ object ChangelogJoin {
 
     unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
       .flatMapGroupsWithState[JoinState[L, R], JoinDelta[L, Option[R]]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[L, Option[R]]]()
           sortBySeq(rows, lSeq, rSeq).foreach {
@@ -134,8 +139,9 @@ object ChangelogJoin {
             case _ =>
           }
           if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
-          else state.update(st)
+          else { state.update(st); Ttl.arm(state, ttlMs) }
           out.iterator
+          }
       }
   }
 
@@ -148,7 +154,8 @@ object ChangelogJoin {
       lKey: L => K, lKind: L => String, lId: L => Any,
       rKey: R => K, rKind: R => String, rId: R => Any,
       lSeq: L => Long = (_: L) => 0L,
-      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[Option[L], Option[R]]] = {
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[JoinDelta[Option[L], Option[R]]] = {
     implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
     implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
     implicit val outEnc: Encoder[JoinDelta[Option[L], Option[R]]] =
@@ -159,8 +166,9 @@ object ChangelogJoin {
 
     unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
       .flatMapGroupsWithState[JoinState[L, R], JoinDelta[Option[L], Option[R]]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer[JoinDelta[Option[L], Option[R]]]()
           sortBySeq(rows, lSeq, rSeq).foreach {
@@ -207,8 +215,9 @@ object ChangelogJoin {
             case _ =>
           }
           if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
-          else state.update(st)
+          else { state.update(st); Ttl.arm(state, ttlMs) }
           out.iterator
+          }
       }
   }
 
@@ -220,10 +229,11 @@ object ChangelogJoin {
       lKey: L => K, lKind: L => String, lId: L => Any,
       rKey: R => K, rKind: R => String, rId: R => Any,
       lSeq: L => Long = (_: L) => 0L,
-      rSeq: R => Long = (_: R) => 0L): Dataset[JoinDelta[Option[L], R]] = {
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[JoinDelta[Option[L], R]] = {
     implicit val outEnc: Encoder[JoinDelta[Option[L], R]] =
       Encoders.kryo[JoinDelta[Option[L], R]]
-    leftOuter(right, left)(rKey, rKind, rId, lKey, lKind, lId, rSeq, lSeq)
+    leftOuter(right, left)(rKey, rKind, rId, lKey, lKind, lId, rSeq, lSeq, ttlMs)
       .map(d => JoinDelta[Option[L], R](d.row_kind, d.right, d.left))
   }
 

@@ -15,24 +15,28 @@ object CountWindows {
     * `n` rows of each key in arrival order, drops the rest. State per
     * key is one counter. */
   def firstN[K: Encoder, T: Encoder](ds: Dataset[T], n: Int)(
-      key: T => K): Dataset[T] = {
+      key: T => K, ttlMs: Option[Long] = None): Dataset[T] = {
     implicit val cEnc: Encoder[Long] = Encoders.scalaLong
     ds.groupByKey(key)
       .flatMapGroupsWithState[Long, T](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[Long]) =>
-          var seen = state.getOption.getOrElse(0L)
-          val out = scala.collection.mutable.ListBuffer[T]()
-          rows.foreach { t => if (seen < n) { out += t; seen += 1 } }
-          state.update(seen)
-          out.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(0L)
+            val out = scala.collection.mutable.ListBuffer[T]()
+            rows.foreach { t => if (seen < n) { out += t; seen += 1 } }
+            state.update(seen)
+            Ttl.arm(state, ttlMs)
+            out.iterator
+          }
       }
   }
 
   case class CountWindow[K, T](key: K, window_no: Long, rows: Seq[T])
 
   def tumbling[K: Encoder, T: Encoder](ds: Dataset[T], size: Int)(
-      key: T => K): Dataset[CountWindow[K, T]] = {
+      key: T => K, ttlMs: Option[Long] = None): Dataset[CountWindow[K, T]] = {
     require(size >= 1)
     implicit val stateEnc: Encoder[(Long, List[T])] =
       Encoders.kryo[(Long, List[T])]
@@ -40,20 +44,24 @@ object CountWindows {
       Encoders.kryo[CountWindow[K, T]]
     ds.groupByKey(key)
       .flatMapGroupsWithState[(Long, List[T]), CountWindow[K, T]](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[(Long, List[T])]) =>
-          var (windowNo, buf) = state.getOption.getOrElse((0L, List.empty[T]))
-          val out = scala.collection.mutable.ArrayBuffer[CountWindow[K, T]]()
-          rows.foreach { t =>
-            buf = buf :+ t
-            if (buf.size == size) {
-              out += CountWindow(k, windowNo, buf)
-              windowNo += 1
-              buf = Nil
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (windowNo, buf) = state.getOption.getOrElse((0L, List.empty[T]))
+            val out = scala.collection.mutable.ArrayBuffer[CountWindow[K, T]]()
+            rows.foreach { t =>
+              buf = buf :+ t
+              if (buf.size == size) {
+                out += CountWindow(k, windowNo, buf)
+                windowNo += 1
+                buf = Nil
+              }
             }
+            state.update((windowNo, buf))
+            Ttl.arm(state, ttlMs)
+            out.iterator
           }
-          state.update((windowNo, buf))
-          out.iterator
       }
   }
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Late-data capture (SURVEY.md §2.5 gap; reference
+  * flink-streaming-java .../datastream/WindowedStream.java:108
+  * `sideOutputLateData(OutputTag)`): rows that arrive behind the
+  * watermark are routed to a side sink instead of being silently
+  * dropped by the windowed aggregation.
+  *
+  * Spark's built-in watermark drop is invisible; this operator makes
+  * it observable by tracking the watermark explicitly in foreachBatch:
+  * watermark = max(event ts over all PRIOR micro-batches) - delay —
+  * the exact definition Spark's WatermarkTracker uses — then routing
+  * each batch's rows by comparison against it. Run the windowed agg
+  * downstream of the main sink (or on `mainPath`) with the same delay
+  * and no row is ever lost unaccounted.
+  *
+  * The tracker lives in driver memory (foreachBatch runs driver-side):
+  * on query restart it re-learns the watermark from the first batch,
+  * i.e. the first post-restart batch classifies nothing as late —
+  * conservative, never spuriously late. State is one long — O(1).
+  */
+object LateData {
+
+  /** Route each micro-batch: rows with ts >= watermark append to
+    * `mainPath`, late rows append to `latePath` (both parquet). */
+  def sideOutputLate(stream: DataFrame, tsCol: String, delayMs: Long,
+      mainPath: String, latePath: String): DataStreamWriter[Row] = {
+    require(delayMs >= 0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val tsMillis = unix_millis(col(tsCol).cast("timestamp"))
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val wm = maxSeen.get() match {
+        case Long.MinValue => Long.MinValue // no prior batch: nothing late
+        case mx => mx - delayMs
+      }
+      val cached = batch.cache()
+      try {
+        cached.filter(tsMillis >= wm).write.mode("append").parquet(mainPath)
+        val late = cached.filter(tsMillis < wm)
+        if (!late.isEmpty) late.write.mode("append").parquet(latePath)
+        val mx = cached.agg(max(tsMillis)).head()
+        if (!mx.isNullAt(0))
+          maxSeen.getAndUpdate(m => math.max(m, mx.getLong(0)))
+      } finally { cached.unpersist(); () }
+      ()
+    }
+  }
+}

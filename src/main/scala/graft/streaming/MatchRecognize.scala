@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** MATCH_RECOGNIZE-style front end over the CEP engine (SURVEY.md
+  * §2.12; reference flink-table-planner
+  * .../nodes/exec/stream/StreamExecMatch.java:59, which lowers the SQL
+  * MATCH_RECOGNIZE clause onto flink-cep's Pattern/NFA — this object
+  * is the same lowering for a compact pattern string).
+  *
+  * Pattern grammar (the PATTERN(...) sub-language):
+  * {{{
+  *   pattern   := term (' ' term)*
+  *   term      := NAME quant? '?'?          // trailing '?' = reluctant
+  *   quant     := '+' | '*' | '?'           // 1+, 0+ (optional 1+), 0-1
+  *              | '{' n '}' | '{' n ',' m '}' | '{' n ',}'
+  * }}}
+  * Steps are relaxed-contiguity (`followedBy`) except the first, which
+  * anchors like `begin`. Example: `"down+ up{2,3} spike?"` with a
+  * predicate per name. `*` desugars to an optional one-or-more, exactly
+  * how Calcite's MATCH_RECOGNIZE planner normalizes it.
+  */
+object MatchRecognize {
+
+  private val Term = """([A-Za-z_][A-Za-z0-9_]*)(\+\??|\*\??|\?\??|\{\d+(,(\d+)?)?\}\??)?""".r
+
+  /** Compile a pattern string + per-name predicates into a
+    * [[Cep.Pattern]]. */
+  def compile[T](patternStr: String, defs: Map[String, T => Boolean],
+      withinMs: Option[Long] = None): Cep.Pattern[T] = {
+    val terms = patternStr.trim.split("""\s+""").toVector
+    require(terms.nonEmpty, "empty pattern")
+    val steps = terms.map {
+      case Term(name, quant, _, _) =>
+        val pred = defs.getOrElse(name,
+          throw new IllegalArgumentException(s"no predicate DEFINEd for '$name'"))
+        val q = Option(quant).getOrElse("")
+        val reluctant = q.endsWith("??") ||
+          (q.endsWith("?") && q.length > 1 && q != "??")
+        val core = q.stripSuffix("?") match {
+          case "" | "?" => (if (q.startsWith("?")) 0 else 1, Some(1))
+          case "+" => (1, None)
+          case "*" => (0, None)
+          case b if b.startsWith("{") =>
+            val body = b.stripPrefix("{").stripSuffix("}")
+            body.split(",", -1) match {
+              case Array(n) => (n.toInt, Some(n.toInt))
+              case Array(n, "") => (n.toInt, None)
+              case Array(n, m) => (n.toInt, Some(m.toInt))
+              case _ => throw new IllegalArgumentException(s"bad quantifier $q")
+            }
+          case other => throw new IllegalArgumentException(s"bad quantifier $other")
+        }
+        Cep.Step[T](name, pred, minTimes = core._1, maxTimes = core._2,
+          strict = false, greedy = !reluctant)
+      case bad => throw new IllegalArgumentException(s"bad pattern term '$bad'")
+    }
+    // anchor the first step strictly, like Pattern.begin
+    Cep.Pattern(steps.updated(0, steps.head.copy(strict = true)), withinMs)
+  }
+
+  /** One-call MATCH_RECOGNIZE: PARTITION BY `key`, ORDER BY arrival
+    * (compose with EventTimeSort for rowtime order), PATTERN + DEFINE
+    * via `compile`, AFTER MATCH `skip`. */
+  def apply[K: Encoder, T: Encoder](ds: Dataset[T], patternStr: String,
+      defs: Map[String, T => Boolean],
+      skip: Cep.SkipStrategy = Cep.SkipStrategy.SkipPastLastEvent,
+      withinMs: Option[Long] = None,
+      ttlMs: Option[Long] = None)(
+      key: T => K, tsMillis: T => Long): Dataset[Cep.Match[K, T]] =
+    Cep.run(ds, compile(patternStr, defs, withinMs), skip, ttlMs)(key, tsMillis)
+}

@@ -55,21 +55,38 @@ object StreamOps {
     * the latest row per key (Update-mode changelog of an upsert stream).
     * seqNo breaks ordering ties (use event-time micros + a unique id). */
   def keepLast[K: Encoder, T: Encoder](ds: Dataset[T])(
-      key: T => K, seqNo: T => Long): Dataset[T] = {
+      key: T => K, seqNo: T => Long,
+      ttlMs: Option[Long] = None): Dataset[T] = {
     implicit val stateEnc: Encoder[(Long, T)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, implicitly[Encoder[T]])
     ds.groupByKey(key)
       .flatMapGroupsWithState[(Long, T), T](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[(Long, T)]) =>
-          val best = (state.getOption.iterator ++ rows.map(t => (seqNo(t), t)))
-            .maxBy(_._1)
-          val changed = state.getOption.forall(_._1 < best._1) ||
-            state.getOption.isEmpty
-          state.update(best)
-          if (changed) Iterator.single(best._2) else Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val best = (state.getOption.iterator ++ rows.map(t => (seqNo(t), t)))
+              .maxBy(_._1)
+            val changed = state.getOption.forall(_._1 < best._1) ||
+              state.getOption.isEmpty
+            state.update(best)
+            Ttl.arm(state, ttlMs)
+            if (changed) Iterator.single(best._2) else Iterator.empty
+          }
       }
+  }
+
+  /** Streaming global limit (SURVEY.md §2.8; reference
+    * StreamExecLimit.java): pass through the first `n` rows of the
+    * whole stream, in arrival order, across triggers. All rows route
+    * to ONE key — the same single-parallelism constraint Flink's
+    * StreamExecLimit has (a global limit is inherently serial); state
+    * is a single counter. */
+  def limit[T: Encoder](ds: Dataset[T], n: Int): Dataset[T] = {
+    implicit val kEnc: Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    CountWindows.firstN(ds, n)((_: T) => true)
   }
 
   /** Stream-stream interval join: right rows within [leftTs - before,

@@ -22,34 +22,41 @@ object StreamingTopN {
 
   /** @param score   bigger wins
     * @param tieSeq  deterministic tie-break (smaller wins), e.g. event id
+    * @param ttlMs   idle TTL: a key's leaderboard unseen this long is
+    *                evicted (see [[Ttl]])
     */
   def apply[K: Encoder, T: Encoder](ds: Dataset[T], n: Int)(
-      key: T => K, score: T => Double, tieSeq: T => Long): Dataset[Change[K, T]] = {
+      key: T => K, score: T => Double, tieSeq: T => Long,
+      ttlMs: Option[Long] = None): Dataset[Change[K, T]] = {
     implicit val stateEnc: Encoder[List[T]] = Encoders.kryo[List[T]]
     implicit val outEnc: Encoder[Change[K, T]] = Encoders.kryo[Change[K, T]]
     val ord = Ordering.by[T, (Double, Long)](t => (-score(t), tieSeq(t)))
 
     ds.groupByKey(key)
       .flatMapGroupsWithState[List[T], Change[K, T]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[List[T]]) =>
-          val before = state.getOption.getOrElse(Nil)
-          val after = (before ++ rows).sorted(ord).take(n)
-          state.update(after)
-          val changes = scala.collection.mutable.ArrayBuffer[Change[K, T]]()
-          val bi = before.iterator.zipWithIndex.toMap
-          after.zipWithIndex.foreach { case (t, i) =>
-            bi.get(t) match {
-              case Some(j) if j == i => // unchanged at same rank
-              case Some(_) => changes += Change(StreamOps.UpdateAfter, k, i + 1, t)
-              case None => changes += Change(StreamOps.Insert, k, i + 1, t)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.getOrElse(Nil)
+            val after = (before ++ rows).sorted(ord).take(n)
+            state.update(after)
+            Ttl.arm(state, ttlMs)
+            val changes = scala.collection.mutable.ArrayBuffer[Change[K, T]]()
+            val bi = before.iterator.zipWithIndex.toMap
+            after.zipWithIndex.foreach { case (t, i) =>
+              bi.get(t) match {
+                case Some(j) if j == i => // unchanged at same rank
+                case Some(_) => changes += Change(StreamOps.UpdateAfter, k, i + 1, t)
+                case None => changes += Change(StreamOps.Insert, k, i + 1, t)
+              }
             }
+            before.zipWithIndex.foreach { case (t, _) =>
+              if (!after.contains(t))
+                changes += Change(StreamOps.Delete, k, 0, t)
+            }
+            changes.iterator
           }
-          before.zipWithIndex.foreach { case (t, _) =>
-            if (!after.contains(t))
-              changes += Change(StreamOps.Delete, k, 0, t)
-          }
-          changes.iterator
       }
   }
 }

@@ -17,11 +17,13 @@ class CepSpec extends AnyFunSuite {
   def ts(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
 
   private var qn = 0
-  def run(ticks: Seq[Tick], pattern: Cep.Pattern[Tick]): Seq[Cep.Match[String, Tick]] = {
+  def run(ticks: Seq[Tick], pattern: Cep.Pattern[Tick],
+      skip: Cep.SkipStrategy = Cep.SkipStrategy.SkipPastLastEvent)
+      : Seq[Cep.Match[String, Tick]] = {
     qn += 1
     val name = s"cep_out_$qn"
     val in = MemoryStream[Tick]
-    val q = Cep.run(in.toDS(), pattern)(_.symbol, _.ts.getTime)
+    val q = Cep.run(in.toDS(), pattern, skip)(_.symbol, _.ts.getTime)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     in.addData(ticks: _*)
     q.processAllAvailable()
@@ -148,5 +150,123 @@ class CepSpec extends AnyFunSuite {
       Tick("X", 90, ts(0)), Tick("Y", 110, ts(1)),
       Tick("X", 110, ts(2)), Tick("X", 95, ts(3))), riseFall)
     assert(ms.size == 1 && ms.head.key == "X")
+  }
+
+  // ---- ports of flink-cep NFAITCase / AfterMatchSkipStrategy cases ----
+
+  test("optional step can be skipped or taken (NFAITCase testOptional)") {
+    val p = Cep.Pattern.begin[Tick]("a", _.price < 100)
+      .followedBy("b", t => t.price >= 100 && t.price < 150).optional
+      .followedBy("c", _.price >= 150)
+    val skipped = run(Seq(Tick("O1", 90, ts(0)), Tick("O1", 160, ts(1))), p)
+    assert(skipped.size == 1)
+    assert(skipped.head.steps("b").isEmpty)
+    assert(skipped.head.steps("c").map(_.price) == Seq(160.0))
+    val taken = run(Seq(
+      Tick("O2", 90, ts(0)), Tick("O2", 120, ts(1)), Tick("O2", 160, ts(2))), p)
+    assert(taken.size == 1)
+    assert(taken.head.steps("b").map(_.price) == Seq(120.0))
+  }
+
+  test("times(from,to) range quantifier (NFAITCase testTimesRange)") {
+    val p = Cep.Pattern.begin[Tick]("a", _.price < 100)
+      .followedBy("b", t => t.price >= 100 && t.price < 150).times(2, 3)
+      .followedBy("c", _.price >= 150)
+    val two = run(Seq(
+      Tick("T2", 90, ts(0)), Tick("T2", 110, ts(1)), Tick("T2", 120, ts(2)),
+      Tick("T2", 160, ts(3))), p)
+    assert(two.size == 1)
+    assert(two.head.steps("b").map(_.price) == Seq(110.0, 120.0))
+    val three = run(Seq(
+      Tick("T3", 90, ts(0)), Tick("T3", 110, ts(1)), Tick("T3", 120, ts(2)),
+      Tick("T3", 130, ts(3)), Tick("T3", 160, ts(4))), p)
+    assert(three.size == 1)
+    assert(three.head.steps("b").map(_.price) == Seq(110.0, 120.0, 130.0))
+    val tooFew = run(Seq(
+      Tick("T1", 90, ts(0)), Tick("T1", 110, ts(1)), Tick("T1", 160, ts(2))), p)
+    assert(tooFew.isEmpty)
+  }
+
+  test("reluctant loop emits each completion as it grows (greedy emits maximal only)") {
+    val rel = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .followedByOneOrMore("high", _.price >= 100).reluctant
+    val ms = run(Seq(
+      Tick("RL", 90, ts(0)), Tick("RL", 110, ts(1)), Tick("RL", 120, ts(2))),
+      rel, Cep.SkipStrategy.NoSkip)
+    assert(ms.map(_.steps("high").map(_.price)).toSet ==
+      Set(Seq(110.0), Seq(110.0, 120.0)))
+  }
+
+  test("until stops a greedy loop from absorbing further events") {
+    val p = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .followedByOneOrMore("high", _.price >= 100).until(_.price >= 200)
+    val ms = run(Seq(
+      Tick("UN", 90, ts(0)), Tick("UN", 110, ts(1)), Tick("UN", 120, ts(2)),
+      Tick("UN", 210, ts(3))), p)
+    assert(ms.size == 1)
+    assert(ms.head.steps("high").map(_.price) == Seq(110.0, 120.0))
+  }
+
+  // Flink AfterMatchSkipStrategy doc example: pattern a+ b over
+  // a1 a2 a3 b. NO_SKIP -> {a1a2a3 b, a2a3 b, a3 b};
+  // SKIP_PAST_LAST_EVENT -> {a1a2a3 b}; SKIP_TO_LAST(a) -> {a1a2a3 b, a3 b}.
+  val aPlusB: Cep.Pattern[Tick] =
+    Cep.Pattern.begin[Tick]("a", _.price < 100).timesOrMore(1)
+      .followedBy("b", _.price >= 100)
+  val aaab = Seq(
+    Tick("K", 90, ts(0)), Tick("K", 91, ts(1)), Tick("K", 92, ts(2)),
+    Tick("K", 110, ts(3)))
+
+  test("NO_SKIP emits all overlapping matches") {
+    val ms = run(aaab, aPlusB, Cep.SkipStrategy.NoSkip)
+    assert(ms.map(_.steps("a").map(_.price)).toSet ==
+      Set(Seq(90.0, 91.0, 92.0), Seq(91.0, 92.0), Seq(92.0)))
+  }
+
+  test("SKIP_PAST_LAST_EVENT keeps only the earliest match") {
+    val ms = run(aaab, aPlusB, Cep.SkipStrategy.SkipPastLastEvent)
+    assert(ms.map(_.steps("a").map(_.price)) == Seq(Seq(90.0, 91.0, 92.0)))
+  }
+
+  test("SKIP_TO_LAST(a) resumes at the last a of the emitted match") {
+    val ms = run(aaab, aPlusB, Cep.SkipStrategy.SkipToLast("a"))
+    assert(ms.map(_.steps("a").map(_.price)).toSet ==
+      Set(Seq(90.0, 91.0, 92.0), Seq(92.0)))
+  }
+
+  test("SKIP_TO_FIRST(a) keeps matches starting at or after the first a") {
+    val ms = run(aaab, aPlusB, Cep.SkipStrategy.SkipToFirst("a"))
+    assert(ms.size == 3) // first a is the stream head: nothing pruned
+  }
+
+  test("MATCH_RECOGNIZE quantifier grammar compiles to the step algebra") {
+    import graft.streaming.MatchRecognize
+    val defs = Map[String, Tick => Boolean](
+      "a" -> (_ => true), "b" -> (_ => true), "c" -> (_ => true))
+    val p = MatchRecognize.compile[Tick]("a{2,3} b* c??", defs)
+    assert(p.steps(0).minTimes == 2 && p.steps(0).maxTimes.contains(3))
+    assert(p.steps(0).strict) // first term anchors like begin
+    assert(p.steps(1).minTimes == 0 && p.steps(1).maxTimes.isEmpty)
+    assert(p.steps(2).minTimes == 0 && p.steps(2).maxTimes.contains(1))
+    assert(!p.steps(2).greedy) // ?? = reluctant optional
+    val pn = MatchRecognize.compile[Tick]("a{4} b+ c{1,}", defs)
+    assert(pn.steps(0).minTimes == 4 && pn.steps(0).maxTimes.contains(4))
+    assert(pn.steps(1).minTimes == 1 && pn.steps(1).maxTimes.isEmpty)
+    assert(pn.steps(2).minTimes == 1 && pn.steps(2).maxTimes.isEmpty)
+  }
+
+  test("MATCH_RECOGNIZE front end runs the rise-then-fall pattern") {
+    import graft.streaming.MatchRecognize
+    val defs = Map[String, Tick => Boolean](
+      "low" -> ((t: Tick) => t.price < 100),
+      "high" -> ((t: Tick) => t.price >= 100),
+      "drop" -> ((t: Tick) => t.price < 100))
+    val p = MatchRecognize.compile[Tick]("low high+ drop", defs)
+    val ms = run(Seq(
+      Tick("M", 90, ts(0)), Tick("M", 110, ts(1)), Tick("M", 120, ts(2)),
+      Tick("M", 95, ts(3))), p)
+    assert(ms.size == 1)
+    assert(ms.head.steps("high").map(_.price) == Seq(110.0, 120.0))
+    assert(ms.head.steps("drop").map(_.price) == Seq(95.0))
   }
 }

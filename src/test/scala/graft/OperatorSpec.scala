@@ -86,4 +86,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Set("2024-01-01 10:30:00", "2024-01-01 10:45:00",
       "2024-01-01 11:00:00"))
   }
+
+  test("AvroFormat round-trips nulls, binary, and every primitive type") {
+    import graft.sources.AvroFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
+    val src = Seq(
+      (1, Option(2L), Option(1.5), Option("x"), Option(true),
+        Option(Array[Byte](1, 2, 3))),
+      (2, Option.empty[Long], Option.empty[Double], Option.empty[String],
+        Option.empty[Boolean], Option.empty[Array[Byte]]))
+      .toDF("i", "l", "d", "s", "b", "bin")
+    AvroFormat.write(src, dir)
+    val back = AvroFormat.read(spark, dir, src.schema)
+    val got = back.select($"i", $"l", $"d", $"s", $"b",
+        base64($"bin").as("bin64"))
+      .as[(Int, Option[Long], Option[Double], Option[String],
+        Option[Boolean], Option[String])].collect().toSet
+    assert(got == Set(
+      (1, Some(2L), Some(1.5), Some("x"), Some(true), Some("AQID")),
+      (2, None, None, None, None, None)))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.Sinks
+import graft.streaming.{Lookup, Sinks}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -89,6 +89,60 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Set((1, "name_1"), (2, "name_2"), (3, "name_3")))
   }
 
+  test("late rows are captured to the side output, not dropped") {
+    val base = Files.createTempDirectory("graft_late").toString
+    val in = MemoryStream[Ev]
+    val q = graft.streaming.LateData.sideOutputLate(in.toDF(), "ts",
+      delayMs = 5000, s"$base/main", s"$base/late")
+      .queryName("late1").start()
+    in.addData(Ev(1, ts("2024-01-01 00:00:10"), 7, "a", 1.0))
+    q.processAllAvailable() // watermark becomes 00:00:10 - 5s = 00:00:05
+    in.addData(
+      Ev(2, ts("2024-01-01 00:00:01"), 7, "a", 2.0), // behind watermark
+      Ev(3, ts("2024-01-01 00:00:12"), 7, "a", 3.0)) // on time
+    q.processAllAvailable()
+    q.stop()
+    val main = spark.read.parquet(s"$base/main")
+      .select($"event_id").as[Long].collect().toSet
+    val late = spark.read.parquet(s"$base/late")
+      .select($"event_id").as[Long].collect().toSet
+    assert(main == Set(1L, 3L))
+    assert(late == Set(2L))
+  }
+
+  test("lookup retry recovers from transient failures") {
+    LookupProbe.attempts.clear()
+    val f = Lookup.withRetry(Lookup.RetryPolicy(maxAttempts = 3, delayMs = 1))(
+      LookupProbe.flaky)
+    val got = Sinks.asyncLookup(Seq(1, 2, 3).toDS(), maxInFlight = 2)(f)
+      .collect().toSet
+    assert(got == Set((1, "v1"), (2, "v2"), (3, "v3")))
+  }
+
+  test("lookup retry gives up after maxAttempts") {
+    LookupProbe.attempts.clear()
+    // flaky needs 3 attempts; 2 are allowed -> the task must fail
+    val f = Lookup.withRetry(Lookup.RetryPolicy(maxAttempts = 2, delayMs = 0))(
+      LookupProbe.flaky)
+    intercept[Exception] {
+      Sinks.asyncLookup(Seq(9).toDS(), maxInFlight = 1)(f).collect()
+    }
+  }
+
+  test("executor-shared lookup cache serves repeats without re-fetching") {
+    Lookup.invalidate("dim_test")
+    LookupProbe.calls.set(0)
+    val f = Lookup.cached("dim_test", maxRows = 100)(LookupProbe.counting)
+    val rows = (1 to 50).map(_ % 5) // 5 distinct keys, 50 rows
+    // single partition + 1 in flight: deterministic miss-per-key count
+    val got = Sinks.asyncLookup(rows.toDS().repartition(1), maxInFlight = 1)(f)
+      .collect()
+    assert(got.length == 50)
+    assert(LookupProbe.calls.get() == 5, "each distinct key fetched once")
+    assert(Lookup.missCount("dim_test") == 5)
+    assert(Lookup.hitCount("dim_test") == 45)
+  }
+
   test("stream-static (broadcast-state) join enriches a stream from a table") {
     val in = MemoryStream[Ev]
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
@@ -104,4 +158,19 @@ class SinksSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "gold"), (2L, null)))
   }
+}
+
+/** Static probes shared with executor code (same JVM under local[*]). */
+object LookupProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val attempts = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.util.concurrent.atomic.AtomicInteger]()
+  /** Succeeds on the 3rd attempt per key. */
+  def flaky(i: Int): (Int, String) = {
+    val a = attempts.computeIfAbsent(i,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+    if (a < 3) throw new RuntimeException(s"transient failure for $i")
+    (i, s"v$i")
+  }
+  def counting(i: Int): (Int, String) = { calls.incrementAndGet(); (i, s"v$i") }
 }

@@ -84,6 +84,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == Seq(3L, 5L)) // stale row 2 never emitted
   }
 
+  test("state TTL evicts an idle key (StateTtlConfig analog)") {
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always-true, so
+    // processAllAvailable() would livelock on a 0ms trigger. Drive the
+    // query in AvailableNow hops sharing one checkpoint instead: each
+    // hop processes pending data + expired timers, then terminates.
+    val in = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt")
+      .toString
+    // 1ms idle TTL: any later trigger finds the key expired
+    val kl = StreamOps.keepLast(in.toDS())(_.user_id, _.event_id,
+      ttlMs = Some(1L))
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def hop(): Seq[Long] = {
+      val before = seen.size
+      val q = kl.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.select($"event_id").as[Long].collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update").start()
+      q.awaitTermination(30000)
+      q.stop()
+      seen.drop(before).toSeq
+    }
+    in.addData(Ev(5, ts("2024-01-01 00:00:05"), 7, "a", 5.0))
+    val e1 = hop()
+    Thread.sleep(150) // key 7 sits idle past its TTL
+    // an unrelated key's batch fires the expired timer -> state dropped
+    in.addData(Ev(100, ts("2024-01-01 00:00:06"), 8, "b", 1.0))
+    val e2 = hop()
+    // without eviction this stale row (seq 1 < 5) would be suppressed;
+    // after eviction the key restarts fresh and it must be emitted
+    in.addData(Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0))
+    val e3 = hop()
+    assert(e1 == Seq(5L))
+    assert(e2 == Seq(100L))
+    assert(e3 == Seq(1L), "idle key was not evicted: stale row suppressed")
+  }
+
+  test("streaming limit passes the first n rows across triggers") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val q = StreamOps.limit(in.toDS(), 4).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 2, "a", 1.0),
+      Ev(3, ts("2024-01-01 00:00:03"), 3, "a", 1.0))
+    runAll(q)
+    in.addData(
+      Ev(4, ts("2024-01-01 00:00:04"), 4, "a", 1.0),
+      Ev(5, ts("2024-01-01 00:00:05"), 5, "a", 1.0),
+      Ev(6, ts("2024-01-01 00:00:06"), 6, "a", 1.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"event_id").as[Long].collect().toSeq
+    assert(got.size == 4)
+    assert(got.take(3) == Seq(1L, 2L, 3L)) // first trigger passes whole
+  }
+
+  test("rowTimeRangeBoundedPreceding equals the batch RANGE frame") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val withWm = in.toDS().withWatermark("ts", "2 seconds")
+    val agg = StreamingOverAgg.rowTimeRangeBoundedPreceding(withWm, 10000L)(
+      _.user_id, _.ts.getTime, _.event_id, _.value)
+    val q = agg.map(w => (w.payload.event_id, w.running_sum, w.running_count))
+      .toDF("event_id", "s", "n")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:05"), 7, "a", 2.0),
+      Ev(3, ts("2024-01-01 00:00:12"), 7, "a", 4.0),
+      Ev(4, ts("2024-01-01 00:00:13"), 7, "a", 8.0),
+      Ev(5, ts("2024-01-01 00:00:13"), 7, "a", 16.0), // rowtime peer of 4
+      Ev(6, ts("2024-01-01 00:00:30"), 7, "a", 32.0))
+    in.addData(evs: _*)
+    runAll(q)
+    // sentinel advances the watermark past every key-7 row
+    in.addData(Ev(99, ts("2024-01-01 01:00:00"), 9, "z", 0.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch oracle: RANGE BETWEEN 10s PRECEDING AND CURRENT ROW
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_timestamp($"ts")).rangeBetween(-10, 0)
+    val expect = spark.createDataset(evs)
+      .withColumn("s", sum($"value").over(w))
+      .withColumn("n", count(lit(1)).over(w).cast("int"))
+      .select($"event_id", $"s", $"n").as[(Long, Double, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
   test("StreamingTopN changelog replays to the batch top-N") {
     val in = MemoryStream[Ev]
     val name = nextName()
