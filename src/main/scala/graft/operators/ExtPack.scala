@@ -71,6 +71,57 @@ object ExtPack extends QueryPack {
           lit(0L), (a, x) => a + x).as("n_bpe_est"))
     }),
 
+    // Sliding-window chunking: fixed 32-token chunks at stride 24
+    // (8-token overlap) — the standard training-data prep step before
+    // tokenization/packing. Pure per-row HOFs + posexplode: linear,
+    // no shuffle, partition-parallel at 100 TB.
+    "q_chunking" -> ((s, d) => {
+      import s.implicits._
+      val sz = 32; val stride = 24
+      val base = T.documents(s, d)
+        .withColumn("ws", TextOps.tokens($"text"))
+        .withColumn("nch",
+          when(size($"ws") <= sz, lit(1)).otherwise(
+            ceil((size($"ws") - sz) / lit(stride.toDouble)).cast("int") + 1))
+        .withColumn("chunks", expr(
+          s"transform(sequence(0, nch-1), i -> array_join(slice(ws, i*$stride+1, $sz), ' '))"))
+      base.select($"doc_id", size($"ws").as("nw"),
+          posexplode($"chunks").as(Seq("chunk_no", "chunk_text")))
+        .select($"doc_id", $"chunk_no".cast("long").as("chunk_no"),
+          $"chunk_text",
+          least($"nw" - $"chunk_no" * stride, lit(sz)).cast("long").as("n_tokens"))
+    }),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    // duplicate-word fraction, duplicate-bigram fraction, and the share
+    // of the most frequent word. Dup fractions are per-row HOFs (no
+    // shuffle); top-word share is one explode+groupBy — linear and
+    // partition-parallel at 100 TB.
+    "q_quality_repetition" -> ((s, d) => {
+      import s.implicits._
+      val base = T.documents(s, d)
+        .withColumn("ws", TextOps.tokens($"text"))
+        .withColumn("bg", when(size($"ws") >= 2,
+          expr("transform(sequence(1, size(ws)-1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
+          .otherwise(expr("array()").cast("array<string>")))
+      val perDoc = base.select(
+        $"doc_id",
+        ((size($"ws") - size(array_distinct($"ws")))
+          / size($"ws").cast("double")).as("dup_word_frac"),
+        when(size($"bg") > 0,
+          (size($"bg") - size(array_distinct($"bg")))
+            / size($"bg").cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      val top = base.select($"doc_id", explode($"ws").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg((max($"c") / sum($"c").cast("double")).as("top_word_frac"))
+      perDoc.join(top, Seq("doc_id"))
+        .select($"doc_id", $"dup_word_frac", $"dup_bigram_frac",
+          $"top_word_frac")
+    }),
+
     "q_fingerprint" -> ((s, d) => {
       import s.implicits._
       T.documents(s, d).select(
@@ -221,6 +272,46 @@ object ExtPack extends QueryPack {
          CAST(list_aggregate(list_transform(string_split(text, ' '),
            t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_est
          FROM documents""",
+    "q_chunking" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         n AS (
+           SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 32 THEN 1
+                  ELSE CAST(ceil((len(ws) - 32) / 24.0) AS INTEGER) + 1
+             END AS nch
+           FROM base),
+         c AS (
+           SELECT doc_id, ws, len(ws) AS nw,
+                  unnest(generate_series(0, nch - 1)) AS chunk_no
+           FROM n)
+         SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+                array_to_string(ws[chunk_no*24+1 : chunk_no*24+32], ' ')
+                  AS chunk_text,
+                CAST(least(nw - chunk_no*24, 32) AS BIGINT) AS n_tokens
+         FROM c""",
+    "q_quality_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bgd AS (
+           SELECT doc_id, ws,
+                  list_transform(generate_series(1, len(ws)-1),
+                    i -> ws[i] || ' ' || ws[i+1]) AS bg
+           FROM base),
+         perdoc AS (
+           SELECT doc_id,
+             CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+               AS dup_word_frac,
+             CASE WHEN len(bg) > 0
+               THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               ELSE 0.0 END AS dup_bigram_frac
+           FROM bgd),
+         w AS (SELECT doc_id, unnest(ws) AS w FROM base),
+         c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         t AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c)
+                 AS top_word_frac FROM c GROUP BY doc_id)
+         SELECT perdoc.doc_id, dup_word_frac, dup_bigram_frac, top_word_frac
+         FROM perdoc JOIN t ON perdoc.doc_id = t.doc_id""",
     "q_fingerprint" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -119,6 +119,12 @@ object Cep {
   /** A completed match: events grouped per step name, in order. */
   case class Match[K, T](key: K, steps: Map[String, Seq[T]])
 
+  /** A completed match OR a `within`-expired partial match
+    * (timed_out=true) — Flink's TimedOutPartialMatchHandler side
+    * output, used for absence detection ("no b followed a within T"). */
+  case class MatchResult[K, T](key: K, steps: Map[String, Seq[T]],
+      timed_out: Boolean)
+
   // One partial match: step index, repetition count at that step,
   // accumulated (stepName, seq, event), first-event ts + seq. Public:
   // kryo state encoders reject non-public classes.
@@ -133,12 +139,30 @@ object Cep {
       skip: SkipStrategy = SkipStrategy.SkipPastLastEvent,
       ttlMs: Option[Long] = None)(
       key: T => K, tsMillis: T => Long): Dataset[Match[K, T]] = {
-    implicit val stateEnc: Encoder[NfaState[T]] = Encoders.kryo[NfaState[T]]
     implicit val outEnc: Encoder[Match[K, T]] = Encoders.kryo[Match[K, T]]
+    runWithTimeouts(ds, pattern, skip, ttlMs)(key, tsMillis)
+      .filter((r: MatchResult[K, T]) => !r.timed_out)
+      .map(r => Match(r.key, r.steps))
+  }
+
+  /** Like [[run]], but `within`-expired partial matches are ALSO
+    * emitted, flagged `timed_out = true` (reference flink-cep
+    * .../nfa/TimedOutPartialMatchHandler.java — Flink's side output
+    * for timed-out partials). Expiry is detected lazily, when the
+    * key's next event arrives — feed keepalive/punctuation events for
+    * prompt absence alerts on quiet keys. */
+  def runWithTimeouts[K: Encoder, T: Encoder](ds: Dataset[T],
+      pattern: Pattern[T],
+      skip: SkipStrategy = SkipStrategy.SkipPastLastEvent,
+      ttlMs: Option[Long] = None)(
+      key: T => K, tsMillis: T => Long): Dataset[MatchResult[K, T]] = {
+    implicit val stateEnc: Encoder[NfaState[T]] = Encoders.kryo[NfaState[T]]
+    implicit val outEnc: Encoder[MatchResult[K, T]] =
+      Encoders.kryo[MatchResult[K, T]]
     val steps = pattern.steps
 
     ds.groupByKey(key)
-      .flatMapGroupsWithState[NfaState[T], Match[K, T]](
+      .flatMapGroupsWithState[NfaState[T], MatchResult[K, T]](
         OutputMode.Append(), Ttl.conf(ttlMs)) {
         (k: K, rows: Iterator[T], state: GroupState[NfaState[T]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -146,14 +170,18 @@ object Cep {
             val st0 = state.getOption.getOrElse(NfaState[T](Nil, 0L))
             var partials = st0.partials
             var seq = st0.nextSeq
-            val out = scala.collection.mutable.ArrayBuffer[Match[K, T]]()
+            val out = scala.collection.mutable.ArrayBuffer[MatchResult[K, T]]()
 
             rows.foreach { ev =>
               val ts = tsMillis(ev)
               val s = seq; seq += 1
-              // expire partials beyond the within-window
-              partials = partials.filter(p =>
-                pattern.withinMs.forall(w => ts - p.startTs <= w))
+              // expire partials beyond the within-window; surface them
+              // as timed-out partial matches
+              pattern.withinMs.foreach { w =>
+                val (live, dead) = partials.partition(p => ts - p.startTs <= w)
+                dead.foreach(p => out += toResult(k, p, steps, timedOut = true))
+                partials = live
+              }
 
               var nextPartials = List.empty[Partial[T]]
               // completed-match candidates from this event, in creation order
@@ -236,7 +264,7 @@ object Cep {
               val killed = scala.collection.mutable.Set[Partial[T]]()
               ordered.foreach { c =>
                 if (!killed(c)) {
-                  out += toMatch(k, c, steps)
+                  out += toResult(k, c, steps, timedOut = false)
                   val keep = keepAfter(c, skip)
                   ordered.foreach(o => if (!keep(o.startSeq)) killed += o)
                   nextPartials = nextPartials.filter(p => keep(p.startSeq))
@@ -273,10 +301,10 @@ object Cep {
     }
   }
 
-  private def toMatch[K, T](k: K, p: Partial[T],
-      steps: Vector[Step[T]]): Match[K, T] = {
+  private def toResult[K, T](k: K, p: Partial[T], steps: Vector[Step[T]],
+      timedOut: Boolean): MatchResult[K, T] = {
     val grouped = steps.map(s => s.name ->
       p.acc.filter(_._1 == s.name).map(_._3).toSeq).toMap
-    Match(k, grouped)
+    MatchResult(k, grouped, timedOut)
   }
 }

@@ -58,20 +58,34 @@ object StreamingOverAgg {
   case class RangeState[T](pending: List[(Long, Long, T)],
       hist: List[(Long, Double)])
 
-  /** RANGE INTERVAL .. PRECEDING frame over event time. Input must
-    * carry a watermark (`withWatermark`) — emission is deferred until
-    * the watermark passes a row's timestamp, which is what guarantees
-    * the frame is complete. Rows with equal rowtime are peers: they
-    * all see the full peer group in their frame (SQL RANGE).
-    *
-    * @param rangeMs frame width: [rowTs - rangeMs, rowTs]
-    * @param seq     deterministic tie-break for output order of peers
-    */
+  /** RANGE INTERVAL .. PRECEDING frame over event time:
+    * [rowTs - rangeMs, rowTs]. See [[rowTimeRangeFrame]]. */
   def rowTimeRangeBoundedPreceding[K: Encoder, T: Encoder](
       ds: Dataset[T], rangeMs: Long)(
       key: T => K, tsMillis: T => Long, seq: T => Long,
+      value: T => Double): Dataset[WithAgg[T]] =
+    rowTimeRangeFrame(ds, rangeMs, 0L)(key, tsMillis, seq, value)
+
+  /** General event-time RANGE frame
+    * [rowTs - beforeMs, rowTs + afterMs] — PRECEDING and FOLLOWING
+    * bounds. Input must carry a watermark (`withWatermark`) — a row is
+    * released only once the watermark passes rowTs + afterMs, which is
+    * what guarantees every frame member (including future ones) has
+    * arrived. Rows with equal rowtime are peers: they share one frame
+    * (SQL RANGE semantics).
+    *
+    * State per key: the un-released rows + the (ts, value) history
+    * inside the eviction horizon (watermark - after - before) — the
+    * same bound Flink's RowTimeRangeBoundedPrecedingFunction keeps,
+    * extended by the lookahead.
+    *
+    * @param seq deterministic tie-break for output order of peers
+    */
+  def rowTimeRangeFrame[K: Encoder, T: Encoder](
+      ds: Dataset[T], beforeMs: Long, afterMs: Long)(
+      key: T => K, tsMillis: T => Long, seq: T => Long,
       value: T => Double): Dataset[WithAgg[T]] = {
-    require(rangeMs >= 0)
+    require(beforeMs >= 0 && afterMs >= 0)
     implicit val stEnc: Encoder[RangeState[T]] = Encoders.kryo[RangeState[T]]
     implicit val outEnc: Encoder[WithAgg[T]] = Encoders.kryo[WithAgg[T]]
     ds.groupByKey(key)
@@ -80,9 +94,12 @@ object StreamingOverAgg {
         (k: K, rows: Iterator[T], state: GroupState[RangeState[T]]) =>
           val wm = state.getCurrentWatermarkMs()
           val st = state.getOption.getOrElse(RangeState[T](Nil, Nil))
-          val pending = st.pending ++ rows.map(t => (tsMillis(t), seq(t), t))
-          val (ripe, young) = pending.partition(_._1 <= wm)
-          var hist = st.hist
+          val newRows = rows.map(t => (tsMillis(t), seq(t), t)).toList
+          // every arrival enters history immediately: it may sit in the
+          // FOLLOWING part of an earlier row's frame
+          var hist = st.hist ++ newRows.map(p => (p._1, value(p._3)))
+          val pending = st.pending ++ newRows
+          val (ripe, young) = pending.partition(_._1 + afterMs <= wm)
           val out = scala.collection.mutable.ArrayBuffer[WithAgg[T]]()
           val sorted = ripe.sortBy(p => (p._1, p._2))
           var i = 0
@@ -91,22 +108,23 @@ object StreamingOverAgg {
             var j = i
             while (j < sorted.length && sorted(j)._1 == t0) j += 1
             val peers = sorted.slice(i, j) // equal-rowtime peer group
-            hist = hist ++ peers.map(p => (p._1, value(p._3)))
-            val lo = t0 - rangeMs
-            val frame = hist.filter(h => h._1 >= lo && h._1 <= t0)
+            val frame = hist.filter(h => h._1 >= t0 - beforeMs &&
+              h._1 <= t0 + afterMs)
             val s = frame.map(_._2).sum
             peers.foreach(p => out += WithAgg(p._3, s, frame.size))
             i = j
           }
-          // anything below (wm - range) can't be in any future frame
-          hist = hist.filter(_._1 >= wm - rangeMs)
+          // anything below (wm - after - before) can't be in any frame
+          // of a still-unreleased row (their ts > wm - after)
+          hist = hist.filter(_._1 >= wm - afterMs - beforeMs)
           if (young.isEmpty && hist.isEmpty) state.remove()
           else {
             state.update(RangeState(young, hist))
             if (young.nonEmpty) // wake when a pending row can release
-              state.setTimeoutTimestamp(young.map(_._1).min)
-            else // wake when the last history entry falls out of range
-              state.setTimeoutTimestamp(hist.map(_._1).max + rangeMs + 1)
+              state.setTimeoutTimestamp(young.map(_._1).min + afterMs)
+            else // wake when the last history entry leaves the horizon
+              state.setTimeoutTimestamp(
+                hist.map(_._1).max + beforeMs + afterMs + 1)
           }
           out.iterator
       }

@@ -239,6 +239,27 @@ class CepSpec extends AnyFunSuite {
     assert(ms.size == 3) // first a is the stream head: nothing pruned
   }
 
+  test("within-expired partials surface as timed-out matches (absence detection)") {
+    val p = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .followedBy("high", _.price >= 100).within(2000)
+    qn += 1
+    val name = s"cep_out_$qn"
+    val in = MemoryStream[Tick]
+    val q = Cep.runWithTimeouts(in.toDS(), p)(_.symbol, _.ts.getTime)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // 90 starts a partial; no 'high' arrives within 2s -> the event at
+    // t=10s expires it and must surface it as a timed-out partial
+    in.addData(Tick("W", 90, ts(0)), Tick("W", 95, ts(10)))
+    q.processAllAvailable()
+    q.stop()
+    val rs = spark.table(name).as[Cep.MatchResult[String, Tick]](
+      org.apache.spark.sql.Encoders.kryo[Cep.MatchResult[String, Tick]])
+      .collect().toSeq
+    assert(rs.size == 1 && rs.head.timed_out)
+    assert(rs.head.steps("low").map(_.price) == Seq(90.0))
+    assert(rs.head.steps("high").isEmpty)
+  }
+
   test("MATCH_RECOGNIZE quantifier grammar compiles to the step algebra") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

@@ -186,6 +186,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("rowTimeRangeFrame with FOLLOWING equals the batch frame") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val withWm = in.toDS().withWatermark("ts", "2 seconds")
+    // RANGE BETWEEN 10s PRECEDING AND 5s FOLLOWING
+    val agg = StreamingOverAgg.rowTimeRangeFrame(withWm, 10000L, 5000L)(
+      _.user_id, _.ts.getTime, _.event_id, _.value)
+    val q = agg.map(w => (w.payload.event_id, w.running_sum, w.running_count))
+      .toDF("event_id", "s", "n")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:04"), 7, "a", 2.0), // in 1's following
+      Ev(3, ts("2024-01-01 00:00:12"), 7, "a", 4.0),
+      Ev(4, ts("2024-01-01 00:00:16"), 7, "a", 8.0), // in 3's following
+      Ev(5, ts("2024-01-01 00:00:40"), 7, "a", 16.0))
+    in.addData(evs: _*)
+    runAll(q)
+    in.addData(Ev(99, ts("2024-01-01 01:00:00"), 9, "z", 0.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_timestamp($"ts")).rangeBetween(-10, 5)
+    val expect = spark.createDataset(evs)
+      .withColumn("s", sum($"value").over(w))
+      .withColumn("n", count(lit(1)).over(w).cast("int"))
+      .select($"event_id", $"s", $"n").as[(Long, Double, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
   test("StreamingTopN changelog replays to the batch top-N") {
     val in = MemoryStream[Ev]
     val name = nextName()
