@@ -168,6 +168,42 @@ object ScalarFunctionPack extends QueryPack {
         initcap($"p_name").as("ic"))
     }),
 
+    // Third string batch: OVERLAY, SPLIT_INDEX, ASCII, BIN/HEX,
+    // LEFT/RIGHT, REPEAT, REVERSE (FlinkSqlOperatorTable rows not yet
+    // exercised by q_string_funcs/q_string_funcs2).
+    "q_string_funcs3" -> ((s, d) => {
+      import s.implicits._
+      T.part(s, d).select(
+        $"p_partkey",
+        overlay($"p_name", lit("XX"), lit(3)).as("ov"),
+        element_at(split($"p_name", " "), 2).as("split_idx"),
+        ascii(substring($"p_name", 1, 1)).as("asc"),
+        bin($"p_size").as("bn"),
+        upper(hex($"p_size")).as("hx"),
+        substring($"p_name", 1, 4).as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        repeat($"p_brand", 2).as("rep"),
+        reverse($"p_name").as("rev"))
+    }),
+
+    // Collection functions: ARRAY_UNION/INTERSECT/EXCEPT, FLATTEN,
+    // CARDINALITY, map construction (§2.10 collection rows). Array
+    // results are sort+join scalar-encoded for the cross-engine hash.
+    "q_collection_funcs" -> ((s, d) => {
+      import s.implicits._
+      val ws = graft.ext.TextOps.distinctTokens($"text")
+      val lita = array(lit("the"), lit("data"), lit("spark"))
+      T.documents(s, d).select(
+        $"doc_id",
+        array_join(array_sort(array_union(ws, lita)), ",").as("un"),
+        array_join(array_sort(array_intersect(ws, lita)), ",").as("inter"),
+        array_join(array_sort(array_except(ws, lita)), ",").as("ex"),
+        array_join(flatten(array(slice(graft.ext.TextOps.tokens($"text"), 1, 3),
+          slice(graft.ext.TextOps.tokens($"text"), 4, 3))), ",").as("fl"),
+        size(map_from_arrays(slice(ws, 1, 3), slice(ws, 1, 3)))
+          .cast("long").as("card"))
+    }),
+
     "q_parse_url" -> ((s, d) => {
       import s.implicits._
       val url = concat(lit("https://"), lower($"c_mktsegment"),
@@ -296,6 +332,35 @@ object ScalarFunctionPack extends QueryPack {
          array_to_string(list_transform(string_split(p_name, ' '),
            w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS ic
          FROM part""",
+    "q_string_funcs3" ->
+      """SELECT p_partkey,
+         substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS ov,
+         string_split(p_name, ' ')[2] AS split_idx,
+         ascii(substr(p_name, 1, 1)) AS asc,
+         bin(p_size) AS bn,
+         upper(hex(p_size)) AS hx,
+         substr(p_name, 1, 4) AS l4,
+         substr(p_name, length(p_name) - 3) AS r4,
+         repeat(p_brand, 2) AS rep,
+         reverse(p_name) AS rev
+         FROM part""",
+    "q_collection_funcs" ->
+      """WITH base AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
+                  string_split(text, ' ') AS raw
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_concat(ws, ['the','data','spark']))), ',') AS un,
+           coalesce(array_to_string(list_sort(
+             list_filter(ws, x -> list_contains(['the','data','spark'], x))),
+             ','), '') AS inter,
+           array_to_string(list_sort(
+             list_filter(ws, x -> NOT list_contains(['the','data','spark'], x))),
+             ',') AS ex,
+           array_to_string(flatten([raw[1:3], raw[4:6]]), ',') AS fl,
+           CAST(len(ws[1:3]) AS BIGINT) AS card
+         FROM base""",
     "q_parse_url" ->
       """SELECT c_custkey,
          lower(c_mktsegment) || '.example.com' AS host,

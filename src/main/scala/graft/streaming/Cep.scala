@@ -63,13 +63,19 @@ object Cep {
   /** One pattern step. minTimes/maxTimes quantify repetitions
     * (maxTimes=None = unbounded); strict = must match the immediately
     * next event; greedy applies to looping steps; until stops a loop
-    * from accepting further events. */
+    * from accepting further events; predCtx is an iterative condition
+    * (flink-cep IterativeCondition.java:57): it additionally sees the
+    * events matched so far in this partial, keyed by step name —
+    * Flink's ctx.getEventsForPattern. */
   case class Step[T](name: String, pred: T => Boolean,
       minTimes: Int = 1, maxTimes: Option[Int] = Some(1),
       strict: Boolean = false, greedy: Boolean = true,
-      until: Option[T => Boolean] = None) {
+      until: Option[T => Boolean] = None,
+      predCtx: Option[(T, Map[String, Seq[T]]) => Boolean] = None) {
     def isLoop: Boolean = maxTimes != Some(1)
     def canTake(ev: T): Boolean = pred(ev) && !until.exists(_(ev))
+    def canTake(ev: T, soFar: => Map[String, Seq[T]]): Boolean =
+      canTake(ev) && predCtx.forall(_(ev, soFar))
   }
 
   case class Pattern[T](steps: Vector[Step[T]], withinMs: Option[Long] = None) {
@@ -109,6 +115,10 @@ object Cep {
     def reluctant: Pattern[T] = mod(_.copy(greedy = false))
     /** Pattern.java:199 — loop stop condition. */
     def until(p: T => Boolean): Pattern[T] = mod(_.copy(until = Some(p)))
+    /** IterativeCondition on the last step: the predicate also sees the
+      * partial match so far (events per step name, in match order). */
+    def whereCtx(p: (T, Map[String, Seq[T]]) => Boolean): Pattern[T] =
+      mod(_.copy(predCtx = Some(p)))
   }
 
   object Pattern {
@@ -207,10 +217,11 @@ object Cep {
               }
 
               // start new partial(s) at each reachable leading position
+              val emptyCtx = Map.empty[String, Seq[T]].withDefaultValue(Seq.empty)
               var j = 0
               var scan = true
               while (scan && j < steps.length) {
-                if (steps(j).canTake(ev))
+                if (steps(j).canTake(ev, emptyCtx))
                   route(Partial(j, 1, Vector((steps(j).name, s, ev)), ts, s))
                 scan = steps(j).minTimes == 0 // deeper starts need skippable prefix
                 j += 1
@@ -218,10 +229,15 @@ object Cep {
 
               partials.foreach { p =>
                 val cur = steps(p.stepIdx)
+                // iterative-condition context: events matched so far,
+                // per step name (Flink ctx.getEventsForPattern)
+                lazy val soFar: Map[String, Seq[T]] = p.acc.groupBy(_._1)
+                  .map { case (n, v) => n -> v.map(_._3).toSeq }
+                  .withDefaultValue(Seq.empty)
                 var advanced = false
                 // (a) loop on the current step
                 if (cur.isLoop && cur.maxTimes.forall(p.count < _) &&
-                    cur.canTake(ev)) {
+                    cur.canTake(ev, soFar)) {
                   route(p.copy(count = p.count + 1,
                     acc = p.acc :+ ((cur.name, s, ev))))
                   advanced = true
@@ -231,7 +247,7 @@ object Cep {
                   var i = p.stepIdx + 1
                   var go = true
                   while (go && i < steps.length) {
-                    if (steps(i).canTake(ev)) {
+                    if (steps(i).canTake(ev, soFar)) {
                       route(Partial(i, 1, p.acc :+ ((steps(i).name, s, ev)),
                         p.startTs, p.startSeq))
                       advanced = true

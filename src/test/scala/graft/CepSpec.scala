@@ -260,6 +260,22 @@ class CepSpec extends AnyFunSuite {
     assert(rs.head.steps("high").isEmpty)
   }
 
+  test("iterative condition sees the partial match so far (IterativeCondition)") {
+    // strictly-increasing run: each 'up' must beat the previous 'up'.
+    // A context-rejected event closes the greedy loop exactly like a
+    // pred-rejected one (Flink: IterativeCondition false == not met).
+    val p = Cep.Pattern.begin[Tick]("first", _.price < 100)
+      .followedByOneOrMore("up", _.price >= 100)
+      .whereCtx((t, ctx) => ctx("up").lastOption.forall(_.price < t.price))
+    val ms = run(Seq(
+      Tick("I", 90, ts(0)), Tick("I", 110, ts(1)), Tick("I", 120, ts(2)),
+      Tick("I", 115, ts(3)), Tick("I", 80, ts(4))), p)
+    // 115 >= 100 would extend a context-free b+ — the iterative
+    // condition (115 < 120 fails) is what stops the run at [110, 120]
+    assert(ms.size == 1)
+    assert(ms.head.steps("up").map(_.price) == Seq(110.0, 120.0))
+  }
+
   test("MATCH_RECOGNIZE quantifier grammar compiles to the step algebra") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

@@ -22,7 +22,10 @@ class GoldenPlanSpec extends AnyFunSuite {
 
   private val tracked = Seq(
     "q1_agg", "q_multiway_join", "q_topn", "q_subquery_in", "q_sort_limit",
-    "q_asof_join", "q_interval_join")
+    "q_asof_join", "q_interval_join",
+    // TPC-H star-join shapes: all dims must stay broadcast with ONE
+    // fact shuffle; Q2's correlated MIN must stay decorrelated
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q9", "q_tpch_q2")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

@@ -128,6 +128,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(e3 == Seq(1L), "idle key was not evicted: stale row suppressed")
   }
 
+  test("streaming session window merges gap-close events, splits on gap") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val agg = in.toDF().withWatermark("ts", "10 seconds")
+      .groupBy($"user_id", session_window($"ts", "30 seconds"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"user_id", $"session_window.start".cast("string").as("ws"),
+        $"n", $"sv")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:10"), 7, "a", 2.0), // gap < 30s: same session
+      Ev(3, ts("2024-01-01 00:01:30"), 7, "a", 4.0)) // gap > 30s: new session
+    runAll(q)
+    in.addData(Ev(99, ts("2024-01-01 01:00:00"), 9, "z", 0.0)) // flush
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"user_id", $"ws", $"n", $"sv")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got.contains((7L, "2024-01-01 00:00:00", 2L, 3.0)))
+    assert(got.contains((7L, "2024-01-01 00:01:30", 1L, 4.0)))
+  }
+
   test("streaming limit passes the first n rows across triggers") {
     val in = MemoryStream[Ev]
     val name = nextName()
