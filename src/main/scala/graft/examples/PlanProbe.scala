@@ -22,7 +22,8 @@ object PlanProbe {
     df.count() // force AQE final plan
     val plan = df.queryExecution.executedPlan.toString
     def n(pat: String) = pat.r.findAllIn(plan).length
-    println(s"[planprobe] $name shuffles=${n("ShuffleExchange")} " +
+    println(s"[planprobe] $name " +
+      s"shuffles=${n("""Exchange (hash|range|SinglePartition)""")} " +
       s"broadcasts=${n("BroadcastExchange")} reused=${n("ReusedExchange")} " +
       s"scans=${n("Scan parquet")} wholestage=${n("""\*\(\d+\)""")}")
     if (args.contains("full")) println(plan)

@@ -106,6 +106,23 @@ object AggregatePack extends QueryPack {
             / $"exact_parts".cast("double") <= 0.05).as("within_tol"))
     }),
 
+    // Approximate percentile sketch (KLL/GK-style; Flink exposes the
+    // same family through its PERCENTILE/approx aggs). Engine sketches
+    // differ, so the check is the q_approx_distinct tolerance pattern:
+    // emit the exact value and an in-query accuracy boolean.
+    "q_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap_tmp"))
+        .select(
+          $"l_returnflag",
+          $"exact_p50",
+          (abs($"ap_tmp".cast("double") - $"exact_p50")
+            / $"exact_p50" <= 0.01).as("within_tol"))
+    }),
+
     // MAX_BY / MIN_BY (acctbal unique per nation -> deterministic).
     "q_minmax_by" -> ((s, d) => {
       import s.implicits._
@@ -203,6 +220,11 @@ object AggregatePack extends QueryPack {
     "q_approx_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS exact_parts,
+         true AS within_tol
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS exact_p50,
          true AS within_tol
          FROM lineitem GROUP BY l_returnflag""",
     "q_stddev_var" ->

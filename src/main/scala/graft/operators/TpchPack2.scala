@@ -323,11 +323,17 @@ object TpchPack2 extends QueryPack {
             .otherwise(0).as("late"))
       val perOS = lo.groupBy($"l_orderkey", $"l_suppkey")
         .agg(max($"late").as("late"))
-      val perO = perOS.groupBy($"l_orderkey")
-        .agg(count(lit(1)).as("nsupp"), sum($"late").as("nlate"))
-      perOS.filter($"late" === 1)
-        .join(perO, Seq("l_orderkey"))
-        .filter($"nsupp" > 1 && $"nlate" === 1)
+      // per-order totals as a window over perOS, NOT a second aggregate
+      // + self-join: the perOS subtree is evaluated once (one lineitem
+      // scan), and the window reuses perOS's (l_orderkey, l_suppkey)
+      // shuffle with a repartition on its prefix — strictly cheaper at
+      // every scale than re-deriving perOS for the join's right side
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_orderkey")
+      perOS
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate", sum($"late").over(w))
+        .filter($"late" === 1 && $"nsupp" > 1 && $"nlate" === 1)
         .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
         .join(T.nation(s, d).filter($"n_name" === "NATION_3"),
           $"s_nationkey" === $"n_nationkey")
