@@ -67,6 +67,21 @@ object SourceSinkPack extends QueryPack {
       graft.sources.AvroFormat.read(s, dir, src.schema)
     }),
 
+    // JDBC connector roundtrip through embedded Derby (the same
+    // spark-jdbc path a Postgres/MySQL URL would take; flink-connector-
+    // jdbc analog). Embedded = in-JVM, so single-partition write; a
+    // server URL lifts that restriction with numPartitions/partitionColumn.
+    "q_jdbc_source" -> ((s, d) => {
+      val url = s"jdbc:derby:${tmpDir("derby_db")};create=true"
+      T.nation(s, d).coalesce(1).write.mode("overwrite")
+        .format("jdbc").option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver").save()
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver").load()
+    }),
+
     // Window join: purchases joined to clicks of the same user within
     // the same 1h tumbling window.
     "q_window_join" -> ((s, d) => {
@@ -124,6 +139,8 @@ object SourceSinkPack extends QueryPack {
       """SELECT * FROM region""",
     "q_orc_source" ->
       """SELECT * FROM part""",
+    "q_jdbc_source" ->
+      """SELECT * FROM nation""",
     "q_avro_source" ->
       """SELECT * FROM supplier""",
     "q_window_join" ->

@@ -143,6 +143,36 @@ class SinksSpec extends AnyFunSuite {
     assert(Lookup.hitCount("dim_test") == 45)
   }
 
+  test("broadcast rules: control-stream updates reach later data batches") {
+    import graft.streaming.BroadcastRules
+    val rulesPath = Files.createTempDirectory("graft_rules").toString + "/r"
+    val ctrl = MemoryStream[(Long, String, Long)]
+    val ctrlQ = BroadcastRules.materialize(
+      ctrl.toDS().toDF("user_id", "tier", "seq"),
+      Seq("user_id"), "seq", rulesPath)
+      .queryName("rules_m").start()
+    ctrl.addData((7L, "gold", 1L))
+    ctrlQ.processAllAvailable()
+
+    val data = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val dataQ = BroadcastRules.enrich(data.toDF(), rulesPath, Seq("user_id")) {
+      (df, _) =>
+        got.synchronized {
+          got ++= df.select($"event_id", $"tier").as[(Long, String)].collect()
+        }
+        ()
+    }.queryName("rules_e").start()
+    data.addData(Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0))
+    dataQ.processAllAvailable()
+    ctrl.addData((7L, "silver", 2L)) // rule update mid-stream
+    ctrlQ.processAllAvailable()
+    data.addData(Ev(2, ts("2024-01-01 00:00:02"), 7, "a", 2.0))
+    dataQ.processAllAvailable()
+    ctrlQ.stop(); dataQ.stop()
+    assert(got.toSet == Set((1L, "gold"), (2L, "silver")))
+  }
+
   test("stream-static (broadcast-state) join enriches a stream from a table") {
     val in = MemoryStream[Ev]
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
