@@ -71,7 +71,8 @@ object Cep {
       minTimes: Int = 1, maxTimes: Option[Int] = Some(1),
       strict: Boolean = false, greedy: Boolean = true,
       until: Option[T => Boolean] = None,
-      predCtx: Option[(T, Map[String, Seq[T]]) => Boolean] = None) {
+      predCtx: Option[(T, Map[String, Seq[T]]) => Boolean] = None,
+      negated: Boolean = false) {
     def isLoop: Boolean = maxTimes != Some(1)
     def canTake(ev: T): Boolean = pred(ev) && !until.exists(_(ev))
     def canTake(ev: T, soFar: => Map[String, Seq[T]]): Boolean =
@@ -119,6 +120,13 @@ object Cep {
       * partial match so far (events per step name, in match order). */
     def whereCtx(p: (T, Map[String, Seq[T]]) => Boolean): Pattern[T] =
       mod(_.copy(predCtx = Some(p)))
+    /** Negative pattern (Pattern.java:222 `notFollowedBy`): while a
+      * partial waits between the previous step and the next positive
+      * step, an event matching `pred` KILLS it. Consumes nothing;
+      * cannot end the pattern. */
+    def notFollowedBy(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, minTimes = 0,
+        maxTimes = Some(0), negated = true))
   }
 
   object Pattern {
@@ -170,6 +178,8 @@ object Cep {
     implicit val outEnc: Encoder[MatchResult[K, T]] =
       Encoders.kryo[MatchResult[K, T]]
     val steps = pattern.steps
+    require(!steps.head.negated && !steps.last.negated,
+      "a negative pattern cannot begin or end the sequence (Flink rule)")
 
     ds.groupByKey(key)
       .flatMapGroupsWithState[NfaState[T], MatchResult[K, T]](
@@ -221,7 +231,7 @@ object Cep {
               var j = 0
               var scan = true
               while (scan && j < steps.length) {
-                if (steps(j).canTake(ev, emptyCtx))
+                if (!steps(j).negated && steps(j).canTake(ev, emptyCtx))
                   route(Partial(j, 1, Vector((steps(j).name, s, ev)), ts, s))
                 scan = steps(j).minTimes == 0 // deeper starts need skippable prefix
                 j += 1
@@ -242,21 +252,33 @@ object Cep {
                     acc = p.acc :+ ((cur.name, s, ev))))
                   advanced = true
                 }
-                // (b) advance to a later step (skipping min-0 steps)
+                // (b) advance to a later step (skipping min-0 steps);
+                // a negative guard (notFollowedBy) consumes nothing —
+                // an event matching it kills the waiting partial and
+                // blocks advancing through it
+                var guardKilled = false
                 if (p.count >= cur.minTimes) {
                   var i = p.stepIdx + 1
                   var go = true
                   while (go && i < steps.length) {
-                    if (steps(i).canTake(ev, soFar)) {
-                      route(Partial(i, 1, p.acc :+ ((steps(i).name, s, ev)),
-                        p.startTs, p.startSeq))
-                      advanced = true
+                    val st = steps(i)
+                    if (st.negated) {
+                      if (st.canTake(ev, soFar)) { guardKilled = true; go = false }
+                    } else {
+                      if (st.canTake(ev, soFar)) {
+                        route(Partial(i, 1, p.acc :+ ((st.name, s, ev)),
+                          p.startTs, p.startSeq))
+                        advanced = true
+                      }
+                      go = st.minTimes == 0
                     }
-                    go = steps(i).minTimes == 0
                     i += 1
                   }
                 }
-                if (!advanced) {
+                if (guardKilled) {
+                  // the waiting interpretation dies (loop branches taken
+                  // above survive as their own interpretation)
+                } else if (!advanced) {
                   // (c) a greedy completable loop closes on a non-taking
                   // event: emit the maximal match (partial consumed)
                   if (cur.greedy && cur.isLoop && completable(p.stepIdx, p.count))

@@ -276,6 +276,24 @@ class CepSpec extends AnyFunSuite {
     assert(ms.head.steps("up").map(_.price) == Seq(110.0, 120.0))
   }
 
+  test("notFollowedBy guard kills the waiting partial (negative pattern)") {
+    val p = Cep.Pattern.begin[Tick]("low",
+        t => t.price >= 50 && t.price < 100)
+      .notFollowedBy("crash", _.price < 50)
+      .followedBy("high", _.price >= 100)
+    val ok = run(Seq(Tick("N1", 90, ts(0)), Tick("N1", 110, ts(1))), p)
+    assert(ok.size == 1)
+    // a crash event between low and high poisons the partial
+    val bad = run(Seq(
+      Tick("N2", 90, ts(0)), Tick("N2", 40, ts(1)), Tick("N2", 110, ts(2))), p)
+    assert(bad.isEmpty)
+    // a non-crash gap event is fine under relaxed contiguity
+    val gap = run(Seq(
+      Tick("N3", 90, ts(0)), Tick("N3", 60, ts(1)), Tick("N3", 110, ts(2))), p)
+    assert(gap.size == 1)
+    assert(gap.head.steps("low").map(_.price) == Seq(90.0))
+  }
+
   test("MATCH_RECOGNIZE quantifier grammar compiles to the step algebra") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

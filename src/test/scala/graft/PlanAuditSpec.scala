@@ -19,4 +19,19 @@ class PlanAuditSpec extends AnyFunSuite {
       else assert(!hasCartesian, s"unexpected CartesianProduct in $name:\n$plan")
     }
   }
+
+  // Per-row operators must stay shuffle-free: at 100 TB a stray
+  // exchange on these would be the whole job cost. Budget = 0.
+  private val shuffleFree = Seq("q_chunking", "q_token_count", "q_lang_id",
+    "q_fingerprint", "q_embedding_lsh", "q_text_stats", "q_multimodal_meta")
+
+  shuffleFree.foreach { name =>
+    test(s"$name plans zero shuffle exchanges (per-row operator)") {
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      val shuffles = """Exchange (hash|range|SinglePartition)""".r
+        .findAllIn(plan).length
+      assert(shuffles == 0, s"$name should be shuffle-free:\n$plan")
+    }
+  }
 }
