@@ -77,6 +77,41 @@ object StreamOps {
       }
   }
 
+  /** Two-stream keyed co-process (SURVEY.md §2.13; reference
+    * flink-streaming-java .../datastream/ConnectedStreams.java:57 +
+    * co/KeyedCoProcessFunction.java): both streams are keyed to the
+    * same key space; `fn` sees each element tagged by side (Left =
+    * first stream) with shared per-key state — the primitive under
+    * ChangelogJoin and every two-input stateful operator here.
+    *
+    * `ttlMs` evicts idle keys (see [[Ttl]]). Within a micro-batch the
+    * two sides' rows arrive in nondeterministic relative order — carry
+    * a sequence in the payloads and sort inside `fn` if cross-side
+    * ordering matters (same caveat as ChangelogJoin's lSeq/rSeq). */
+  def connect[K: Encoder, L: Encoder, R: Encoder, S, O](
+      left: Dataset[L], right: Dataset[R],
+      ttlMs: Option[Long] = None)(
+      lKey: L => K, rKey: R => K)(
+      fn: (K, Iterator[Either[L, R]], GroupState[S]) => Iterator[O])
+      (implicit sEnc: Encoder[S], oEnc: Encoder[O]): Dataset[O] = {
+    implicit val eEnc: Encoder[Either[L, R]] =
+      org.apache.spark.sql.Encoders.kryo[Either[L, R]]
+    left.map(l => (Left(l): Either[L, R]))
+      .union(right.map(r => (Right(r): Either[L, R])))
+      .groupByKey(e => e.fold(lKey, rKey))
+      .flatMapGroupsWithState[S, O](OutputMode.Update(), Ttl.conf(ttlMs)) {
+        (k: K, rows: Iterator[Either[L, R]], state: GroupState[S]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // materialize: GroupState must not be touched after return,
+            // and the output iterator is consumed later
+            val out = fn(k, rows, state).toVector
+            Ttl.arm(state, ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming global limit (SURVEY.md §2.8; reference
     * StreamExecLimit.java): pass through the first `n` rows of the
     * whole stream, in arrival order, across triggers. All rows route

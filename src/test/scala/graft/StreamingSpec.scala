@@ -152,6 +152,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((7L, "2024-01-01 00:01:30", 1L, 4.0)))
   }
 
+  test("connect: keyed two-stream co-process shares state across sides") {
+    val a = MemoryStream[Ev]
+    val b = MemoryStream[Ev]
+    val name = nextName()
+    val out = StreamOps.connect(a.toDS(), b.toDS())(_.user_id, _.user_id) {
+      (k: Long, rows: Iterator[Either[Ev, Ev]],
+          st: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+        var (lc, rc) = st.getOption.getOrElse((0L, 0L))
+        rows.foreach { case Left(_) => lc += 1; case Right(_) => rc += 1 }
+        st.update((lc, rc))
+        Iterator.single((k, lc, rc))
+    }
+    val q = out.toDF("key", "lc", "rc").writeStream.format("memory")
+      .queryName(name).outputMode("update").start()
+    a.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 7, "a", 2.0))
+    runAll(q)
+    b.addData(Ev(3, ts("2024-01-01 00:00:03"), 7, "b", 3.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 0L), (7L, 2L, 1L)))
+  }
+
   test("streaming limit passes the first n rows across triggers") {
     val in = MemoryStream[Ev]
     val name = nextName()
