@@ -71,6 +71,31 @@ object ExtPack extends QueryPack {
           lit(0L), (a, x) => a + x).as("n_bpe_est"))
     }),
 
+    // Benchmark decontamination: flag corpus documents sharing any
+    // word 3-gram with a (small) benchmark set — the standard
+    // train/test-overlap scrub (GPT-3 appendix C / PaLM-style n-gram
+    // decontamination). The benchmark shingle set is aggregated to ONE
+    // row and broadcast, so the corpus pass is map-side only: no
+    // shuffle of the 100 TB side, exactly how decontamination runs at
+    // scale (benchmarks are tiny, corpora are not).
+    "q_decontamination" -> ((s, d) => {
+      import s.implicits._
+      val shingles = expr("transform(sequence(1, size(ws)-2), " +
+        "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))")
+      val withSh = T.documents(s, d)
+        .withColumn("ws", TextOps.tokens($"text"))
+        .withColumn("sh", shingles)
+      val bench = withSh.filter($"doc_id" < 5)
+        .select(explode($"sh").as("s")).distinct()
+        .agg(collect_set($"s").as("bs"))
+      val overlap = size(array_intersect(array_distinct($"sh"), $"bs"))
+      withSh.filter($"doc_id" >= 5)
+        .crossJoin(broadcast(bench))
+        .select($"doc_id",
+          overlap.cast("long").as("n_contaminated"),
+          (overlap > 0).as("contaminated"))
+    }),
+
     // Sliding-window chunking: fixed 32-token chunks at stride 24
     // (8-token overlap) — the standard training-data prep step before
     // tokenization/packing. Pure per-row HOFs + posexplode: linear,
@@ -272,6 +297,22 @@ object ExtPack extends QueryPack {
          CAST(list_aggregate(list_transform(string_split(text, ' '),
            t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_est
          FROM documents""",
+    "q_decontamination" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(generate_series(1, len(w)-2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+           FROM ws),
+         bench AS (
+           SELECT list_distinct(flatten(list(s))) AS bs
+           FROM sh WHERE doc_id < 5)
+         SELECT doc_id,
+           CAST(len(list_filter(list_distinct(s),
+             x -> list_contains(bs, x))) AS BIGINT) AS n_contaminated,
+           len(list_filter(list_distinct(s),
+             x -> list_contains(bs, x))) > 0 AS contaminated
+         FROM sh, bench WHERE doc_id >= 5""",
     "q_chunking" ->
       """WITH base AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -11,14 +11,16 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * Pattern grammar (the PATTERN(...) sub-language):
   * {{{
   *   pattern   := term (' ' term)*
-  *   term      := NAME quant? '?'?          // trailing '?' = reluctant
+  *   term      := '!' NAME                  // negative guard (notFollowedBy)
+  *              | NAME quant? '?'?          // trailing '?' = reluctant
   *   quant     := '+' | '*' | '?'           // 1+, 0+ (optional 1+), 0-1
   *              | '{' n '}' | '{' n ',' m '}' | '{' n ',}'
   * }}}
   * Steps are relaxed-contiguity (`followedBy`) except the first, which
-  * anchors like `begin`. Example: `"down+ up{2,3} spike?"` with a
-  * predicate per name. `*` desugars to an optional one-or-more, exactly
-  * how Calcite's MATCH_RECOGNIZE planner normalizes it.
+  * anchors like `begin`. Example: `"down+ !cancel up{2,3} spike?"` with
+  * a predicate per name. `*` desugars to an optional one-or-more,
+  * exactly how Calcite's MATCH_RECOGNIZE planner normalizes it; `!n`
+  * is the PATTERN-exclusion syntax `{- n -}` lowered to notFollowedBy.
   */
 object MatchRecognize {
 
@@ -31,6 +33,12 @@ object MatchRecognize {
     val terms = patternStr.trim.split("""\s+""").toVector
     require(terms.nonEmpty, "empty pattern")
     val steps = terms.map {
+      case t if t.startsWith("!") =>
+        val name = t.drop(1)
+        val pred = defs.getOrElse(name,
+          throw new IllegalArgumentException(s"no predicate DEFINEd for '$name'"))
+        Cep.Step[T](name, pred, minTimes = 0, maxTimes = Some(0),
+          negated = true)
       case Term(name, quant, _, _) =>
         val pred = defs.getOrElse(name,
           throw new IllegalArgumentException(s"no predicate DEFINEd for '$name'"))

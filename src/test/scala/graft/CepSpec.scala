@@ -310,6 +310,21 @@ class CepSpec extends AnyFunSuite {
     assert(pn.steps(2).minTimes == 1 && pn.steps(2).maxTimes.isEmpty)
   }
 
+  test("MATCH_RECOGNIZE '!name' term compiles to a negative guard") {
+    import graft.streaming.MatchRecognize
+    val defs = Map[String, Tick => Boolean](
+      "low" -> ((t: Tick) => t.price >= 50 && t.price < 100),
+      "crash" -> ((t: Tick) => t.price < 50),
+      "high" -> ((t: Tick) => t.price >= 100))
+    val p = MatchRecognize.compile[Tick]("low !crash high", defs)
+    assert(p.steps(1).negated)
+    val ok = run(Seq(Tick("G1", 90, ts(0)), Tick("G1", 110, ts(1))), p)
+    assert(ok.size == 1)
+    val bad = run(Seq(
+      Tick("G2", 90, ts(0)), Tick("G2", 40, ts(1)), Tick("G2", 110, ts(2))), p)
+    assert(bad.isEmpty)
+  }
+
   test("MATCH_RECOGNIZE front end runs the rise-then-fall pattern") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](
