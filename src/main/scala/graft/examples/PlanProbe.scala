@@ -19,7 +19,10 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.count() // force AQE final plan
+    df.count() // force AQE final plan (and warm)
+    val t0 = System.nanoTime()
+    df.count()
+    println(f"[planprobe] $name warm=${(System.nanoTime - t0) / 1e9}%.3f s")
     val plan = df.queryExecution.executedPlan.toString
     def n(pat: String) = pat.r.findAllIn(plan).length
     println(s"[planprobe] $name " +

@@ -80,8 +80,17 @@ object ExtPack extends QueryPack {
     // scale (benchmarks are tiny, corpora are not).
     "q_decontamination" -> ((s, d) => {
       import s.implicits._
-      val shingles = expr("transform(sequence(1, size(ws)-2), " +
-        "i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))")
+      // 3-grams via aligned slices + zip_with: zip_with arguments are
+      // evaluated ONCE per row. A transform(sequence(...), i ->
+      // element_at(ws, i)...) lambda holds `ws` as a free variable and
+      // Catalyst's project-collapse inlines ws = split(text) INTO the
+      // lambda body, re-running split() per element (~900x per row
+      // here) — measured 10x slower on this query.
+      val n3 = "greatest(size(ws)-2, 0)"
+      val shingles = expr(
+        s"zip_with(zip_with(slice(ws, 1, $n3), slice(ws, 2, $n3), " +
+        s"(a, b) -> concat(a, ' ', b)), slice(ws, 3, $n3), " +
+        "(ab, c) -> concat(ab, ' ', c))")
       val withSh = T.documents(s, d)
         .withColumn("ws", TextOps.tokens($"text"))
         .withColumn("sh", shingles)
@@ -124,12 +133,14 @@ object ExtPack extends QueryPack {
     // partition-parallel at 100 TB.
     "q_quality_repetition" -> ((s, d) => {
       import s.implicits._
+      // bigrams via zip_with over aligned slices — see q_decontamination
+      // for why element_at-in-lambda is a per-element split() trap
       val base = T.documents(s, d)
         .withColumn("ws", TextOps.tokens($"text"))
-        .withColumn("bg", when(size($"ws") >= 2,
-          expr("transform(sequence(1, size(ws)-1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
-          .otherwise(expr("array()").cast("array<string>")))
+        .withColumn("bg", expr(
+          "zip_with(slice(ws, 1, greatest(size(ws)-1, 0)), " +
+          "slice(ws, 2, greatest(size(ws)-1, 0)), " +
+          "(a, b) -> concat(a, ' ', b))"))
       val perDoc = base.select(
         $"doc_id",
         ((size($"ws") - size(array_distinct($"ws")))
