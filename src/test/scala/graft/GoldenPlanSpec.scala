@@ -25,7 +25,10 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_asof_join", "q_interval_join",
     // TPC-H star-join shapes: all dims must stay broadcast with ONE
     // fact shuffle; Q2's correlated MIN must stay decorrelated
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q9", "q_tpch_q2")
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q9", "q_tpch_q2",
+    // decontamination must stay map-side on the corpus (benchmark set
+    // broadcast as one row; no corpus shuffle, no lambda-inlined split)
+    "q_decontamination")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
