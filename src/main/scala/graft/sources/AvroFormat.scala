@@ -106,6 +106,10 @@ object AvroFormat {
               case (v, StringType) => v.toString
               case (v: java.nio.ByteBuffer, BinaryType) =>
                 val a = new Array[Byte](v.remaining()); v.get(a); a
+              // write() widens Short/Byte to Avro int; narrow back so the
+              // value matches the declared Spark type
+              case (v: Integer, ShortType) => v.shortValue()
+              case (v: Integer, ByteType) => v.byteValue()
               case (v, _) => v
             }
           }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row}
 import org.apache.spark.sql.functions.broadcast
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
 
 /** Dynamic broadcast state (SURVEY.md §2.13; reference
   * flink-streaming-java .../datastream/BroadcastConnectedStream.java +
@@ -32,20 +33,27 @@ object BroadcastRules {
 
   /** Enrich each data micro-batch with the rules current at batch
     * time: left join on `joinKeys` against the snapshot, explicitly
-    * broadcast. `sink` consumes the enriched batch. Before the first
-    * rule arrives the batch passes through un-enriched (left join
-    * with an empty frame is identity + null columns is not possible
-    * pre-snapshot, so the batch is handed over as-is). */
-  def enrich(data: DataFrame, rulesPath: String, joinKeys: Seq[String])(
+    * broadcast. `sink` consumes the enriched batch. `rulesSchema` is
+    * the snapshot's schema (sans the internal bucket column): before
+    * the first control batch commits, the batch left-joins an EMPTY
+    * rules frame of that schema, so the sink sees one stable schema
+    * (rule columns all-null) from batch 0 — a schema flip mid-stream
+    * breaks parquet/Delta-style sinks. Only a missing-path read is
+    * treated as "not created yet"; real read errors propagate. */
+  def enrich(data: DataFrame, rulesPath: String, joinKeys: Seq[String],
+      rulesSchema: StructType)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     data.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
       val rules =
-        try Some(Sinks.readSnapshot(batch.sparkSession, rulesPath))
-        catch { case _: Exception => None } // snapshot not created yet
-      val enriched = rules match {
-        case Some(r) => batch.join(broadcast(r), joinKeys, "left")
-        case None => batch
-      }
-      sink(enriched, id)
+        try Sinks.readSnapshot(spark, rulesPath)
+        catch {
+          case e: AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getMessage.contains("Path does not exist") =>
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), rulesSchema)
+        }
+      sink(batch.join(broadcast(rules), joinKeys, "left"), id)
     }
 }

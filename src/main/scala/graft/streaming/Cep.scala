@@ -284,10 +284,13 @@ object Cep {
                   if (cur.greedy && cur.isLoop && completable(p.stepIdx, p.count))
                     candidates += p
                   // (d) else keep waiting under relaxed contiguity; strict
-                  // obligations kill the partial
+                  // obligations kill the partial. Negative guards consume
+                  // nothing, so the contiguity obligation is carried by the
+                  // first POSITIVE step after them.
                   else {
-                    val strictNext = p.stepIdx + 1 < steps.length &&
-                      steps(p.stepIdx + 1).strict
+                    var nx = p.stepIdx + 1
+                    while (nx < steps.length && steps(nx).negated) nx += 1
+                    val strictNext = nx < steps.length && steps(nx).strict
                     val strictLoop = cur.strict && cur.isLoop
                     val strictFill = cur.strict && p.count < cur.minTimes
                     if (!(strictNext || strictLoop || strictFill))

@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object LateData {
 
   /** Route each micro-batch: rows with ts >= watermark append to
-    * `mainPath`, late rows append to `latePath` (both parquet). */
+    * `mainPath`, late rows append to `latePath` (both parquet). Rows
+    * whose ts is null or fails the timestamp cast have no position
+    * relative to any watermark; they route to `latePath` (a windowed
+    * agg downstream would drop them too), so every input row lands in
+    * exactly one of the two sinks. */
   def sideOutputLate(stream: DataFrame, tsCol: String, delayMs: Long,
       mainPath: String, latePath: String): DataStreamWriter[Row] = {
     require(delayMs >= 0)
@@ -40,7 +44,9 @@ object LateData {
       val cached = batch.cache()
       try {
         cached.filter(tsMillis >= wm).write.mode("append").parquet(mainPath)
-        val late = cached.filter(tsMillis < wm)
+        // null/uncastable ts satisfies neither comparison — route it
+        // explicitly so no row vanishes from both sinks
+        val late = cached.filter(tsMillis < wm || tsMillis.isNull)
         if (!late.isEmpty) late.write.mode("append").parquet(latePath)
         val mx = cached.agg(max(tsMillis)).head()
         if (!mx.isNullAt(0))

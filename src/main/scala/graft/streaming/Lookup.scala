@@ -36,13 +36,17 @@ object Lookup {
   def withRetry[I, O](policy: RetryPolicy)(lookup: I => O): I => O = { i =>
     var attempt = 1
     var out: Option[O] = None
-    var lastErr: Throwable = null
     while (out.isEmpty) {
       try out = Some(lookup(i))
       catch {
-        case e: Throwable =>
-          lastErr = e
-          if (attempt >= policy.maxAttempts) throw lastErr
+        // Task cancellation must not be swallowed into retries: restore
+        // the interrupt flag and let the executor shut the task down.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        // NonFatal only — retrying OutOfMemoryError/LinkageError etc.
+        // would just delay the JVM's death by maxAttempts*delayMs.
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= policy.maxAttempts) throw e
           attempt += 1
           if (policy.delayMs > 0) Thread.sleep(policy.delayMs)
       }

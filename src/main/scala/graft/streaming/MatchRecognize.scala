@@ -16,11 +16,16 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *   quant     := '+' | '*' | '?'           // 1+, 0+ (optional 1+), 0-1
   *              | '{' n '}' | '{' n ',' m '}' | '{' n ',}'
   * }}}
-  * Steps are relaxed-contiguity (`followedBy`) except the first, which
-  * anchors like `begin`. Example: `"down+ !cancel up{2,3} spike?"` with
-  * a predicate per name. `*` desugars to an optional one-or-more,
-  * exactly how Calcite's MATCH_RECOGNIZE planner normalizes it; `!n`
-  * is the PATTERN-exclusion syntax `{- n -}` lowered to notFollowedBy.
+  * Contiguity: SQL MATCH_RECOGNIZE is STRICT-contiguous over the
+  * partition — `PATTERN (low high)` does NOT match `low, gap, high`
+  * (the reference lowering, CommonExecMatch.java:365, chains terms
+  * with `previousPattern.next`). Terms therefore compile strict by
+  * default; pass `relaxed = true` to chain with `followedBy`
+  * (Flink CEP DataStream-style skip-over-gaps semantics) instead.
+  * Example: `"down+ !cancel up{2,3} spike?"` with a predicate per
+  * name. `*` desugars to an optional one-or-more, exactly how
+  * Calcite's MATCH_RECOGNIZE planner normalizes it; `!n` is the
+  * PATTERN-exclusion syntax `{- n -}` lowered to notFollowedBy.
   */
 object MatchRecognize {
 
@@ -29,7 +34,8 @@ object MatchRecognize {
   /** Compile a pattern string + per-name predicates into a
     * [[Cep.Pattern]]. */
   def compile[T](patternStr: String, defs: Map[String, T => Boolean],
-      withinMs: Option[Long] = None): Cep.Pattern[T] = {
+      withinMs: Option[Long] = None,
+      relaxed: Boolean = false): Cep.Pattern[T] = {
     val terms = patternStr.trim.split("""\s+""").toVector
     require(terms.nonEmpty, "empty pattern")
     val steps = terms.map {
@@ -60,7 +66,7 @@ object MatchRecognize {
           case other => throw new IllegalArgumentException(s"bad quantifier $other")
         }
         Cep.Step[T](name, pred, minTimes = core._1, maxTimes = core._2,
-          strict = false, greedy = !reluctant)
+          strict = !relaxed, greedy = !reluctant)
       case bad => throw new IllegalArgumentException(s"bad pattern term '$bad'")
     }
     // anchor the first step strictly, like Pattern.begin
@@ -74,7 +80,9 @@ object MatchRecognize {
       defs: Map[String, T => Boolean],
       skip: Cep.SkipStrategy = Cep.SkipStrategy.SkipPastLastEvent,
       withinMs: Option[Long] = None,
-      ttlMs: Option[Long] = None)(
+      ttlMs: Option[Long] = None,
+      relaxed: Boolean = false)(
       key: T => K, tsMillis: T => Long): Dataset[Cep.Match[K, T]] =
-    Cep.run(ds, compile(patternStr, defs, withinMs), skip, ttlMs)(key, tsMillis)
+    Cep.run(ds, compile(patternStr, defs, withinMs, relaxed), skip, ttlMs)(
+      key, tsMillis)
 }

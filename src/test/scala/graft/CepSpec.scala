@@ -325,6 +325,25 @@ class CepSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("MATCH_RECOGNIZE terms are strict-contiguous like SQL; relaxed opts out") {
+    import graft.streaming.MatchRecognize
+    val defs = Map[String, Tick => Boolean](
+      "low" -> ((t: Tick) => t.price >= 50 && t.price < 100),
+      "high" -> ((t: Tick) => t.price >= 100))
+    val strict = MatchRecognize.compile[Tick]("low high", defs)
+    // SQL PATTERN (low high) is strict over the partition: a gap event
+    // matching neither step breaks the match (CommonExecMatch.java:365
+    // chains terms with previousPattern.next)
+    def gap(sym: String) = Seq(
+      Tick(sym, 90, ts(0)), Tick(sym, 40, ts(1)), Tick(sym, 110, ts(2)))
+    assert(run(gap("S1"), strict).isEmpty)
+    assert(run(Seq(Tick("S2", 90, ts(0)), Tick("S2", 110, ts(1))),
+      strict).size == 1)
+    // relaxed = true -> Flink-CEP followedBy (skip over gaps)
+    val rel = MatchRecognize.compile[Tick]("low high", defs, relaxed = true)
+    assert(run(gap("S3"), rel).size == 1)
+  }
+
   test("MATCH_RECOGNIZE front end runs the rise-then-fall pattern") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

@@ -106,4 +106,20 @@ class OperatorSpec extends AnyFunSuite {
       (1, Some(2L), Some(1.5), Some("x"), Some(true), Some("AQID")),
       (2, None, None, None, None, None)))
   }
+
+  test("AvroFormat narrows Avro int back to Short/Byte columns on read") {
+    import graft.sources.AvroFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_sb").toString
+    // Short/Byte widen to Avro int on write; read must narrow them back
+    // or createDataFrame rejects Integer values under Short/ByteType
+    val src = Seq((1.toShort, 2.toByte, Option(3.toShort)),
+        (4.toShort, 5.toByte, Option.empty[Short]))
+      .toDF("s", "b", "so")
+    AvroFormat.write(src, dir)
+    val back = AvroFormat.read(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.as[(Short, Byte, Option[Short])].collect().toSet ==
+      Set((1.toShort, 2.toByte, Some(3.toShort)),
+        (4.toShort, 5.toByte, None)))
+  }
 }

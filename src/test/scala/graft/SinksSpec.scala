@@ -110,6 +110,62 @@ class SinksSpec extends AnyFunSuite {
     assert(late == Set(2L))
   }
 
+  test("late-data capture routes null-ts rows to the late sink") {
+    val base = Files.createTempDirectory("graft_late_null").toString
+    val in = MemoryStream[Ev]
+    val q = graft.streaming.LateData.sideOutputLate(in.toDF(), "ts",
+      delayMs = 5000, s"$base/main", s"$base/late")
+      .queryName("late_null").start()
+    // a null ts has no position vs any watermark: it must land in the
+    // late sink, not vanish from both
+    in.addData(Ev(1, ts("2024-01-01 00:00:10"), 7, "a", 1.0),
+      Ev(2, null, 7, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val main = spark.read.parquet(s"$base/main")
+      .select($"event_id").as[Long].collect().toSet
+    val late = spark.read.parquet(s"$base/late")
+      .select($"event_id").as[Long].collect().toSet
+    assert(main == Set(1L))
+    assert(late == Set(2L))
+  }
+
+  test("lookup retry does not retry an interrupt and restores the flag") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val f = Lookup.withRetry(Lookup.RetryPolicy(maxAttempts = 3, delayMs = 0)) {
+      (_: Int) => calls.incrementAndGet(); throw new InterruptedException("cancel")
+    }
+    intercept[InterruptedException] { f(1) }
+    assert(calls.get() == 1, "task cancellation must not be retried")
+    assert(Thread.interrupted(), "interrupt status must be restored")
+  }
+
+  test("broadcast rules: pre-snapshot batches already carry the rule columns") {
+    import graft.streaming.BroadcastRules
+    import org.apache.spark.sql.types._
+    // rulesPath never materialized: every batch joins the empty frame
+    val rulesPath = Files.createTempDirectory("graft_rules_pre").toString + "/nope"
+    val rulesSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("tier", StringType), StructField("seq", LongType)))
+    val data = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer[(Seq[String], Seq[Option[String]])]()
+    val q = BroadcastRules.enrich(data.toDF(), rulesPath, Seq("user_id"),
+        rulesSchema) { (df, _) =>
+      seen.synchronized {
+        seen += ((df.schema.fieldNames.toSeq,
+          df.select($"tier").as[Option[String]].collect().toSeq))
+      }
+    }.queryName("rules_pre").start()
+    data.addData(Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val batches = seen.filter(_._2.nonEmpty)
+    assert(batches.nonEmpty)
+    // schema is stable from batch 0 (rule columns present, all-null)
+    assert(batches.forall(_._1.contains("tier")))
+    assert(batches.forall(_._2.forall(_.isEmpty)))
+  }
+
   test("lookup retry recovers from transient failures") {
     LookupProbe.attempts.clear()
     val f = Lookup.withRetry(Lookup.RetryPolicy(maxAttempts = 3, delayMs = 1))(
@@ -156,7 +212,12 @@ class SinksSpec extends AnyFunSuite {
 
     val data = MemoryStream[Ev]
     val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
-    val dataQ = BroadcastRules.enrich(data.toDF(), rulesPath, Seq("user_id")) {
+    val rulesSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tier", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    val dataQ = BroadcastRules.enrich(data.toDF(), rulesPath, Seq("user_id"),
+        rulesSchema) {
       (df, _) =>
         got.synchronized {
           got ++= df.select($"event_id", $"tier").as[(Long, String)].collect()
