@@ -18,6 +18,7 @@ object SparkEntry {
     ScalarFunctionPack,
     TemporalJoinPack,
     ExtPack,
+    ExtPack2,
     SourceSinkPack,
     TypesPack,
     TpchPack,

@@ -45,6 +45,35 @@ object MinHashLSH {
       .withColumn("is_dup", col("rep_id") < col("doc_id"))
   }
 
+  /** Transitive duplicate CLUSTERS: like [[dedupByLSH]], but closes the
+    * bucket graph under connectivity — if A shares a bucket with B and
+    * B with C, all three land in one cluster even when A and C never
+    * collide (dedupByLSH's one-hop rep assignment would split them).
+    * Edges are doc -> bucket-minimum only (O(n * bands), never the
+    * in-bucket clique), then [[ConnectedComponents]] resolves the
+    * transitive closure. Output: doc_id, cluster_id (= min doc id in
+    * the cluster), is_dup. */
+  def clusters(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val banded = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(TextOps.bandKeys(
+          TextOps.minhashSignature(col(textCol), numHashes), bands, rows))
+          .as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketMin = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("mid"))
+    val edges = banded.join(bucketMin, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("mid"))
+      .select(col("doc_id").as("a"), col("mid").as("b"))
+      .distinct()
+    ConnectedComponents.run(docs.select(col(idCol).as("id")), edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("lbl") < col("id")).as("is_dup"))
+  }
+
   /** Candidate near-duplicate pairs with exact Jaccard >= threshold.
     * Output: id1, id2 (id1 < id2), jaccard. Use for bounded candidate
     * sets; for corpus-scale dedup prefer dedupByLSH (see above). */

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import graft.ext.{MinHashLSH, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators, part 2 (north star; SURVEY.md
+  * §7.1 ext/): transitive duplicate clustering, deterministic dataset
+  * splitting, stratified + weighted sampling, PII scrubbing, and
+  * winnowing document fingerprints.
+  *
+  * Randomness is md5-derived (TextOps.tokenHash32 style) so every
+  * sampling decision is bit-identical in the DuckDB oracle — the same
+  * verification design as ExtPack.
+  */
+object ExtPack2 extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Transitive duplicate clusters: MinHash band buckets give
+    // doc->bucket-min edges (O(n*bands), never in-bucket cliques);
+    // ConnectedComponents closes them so chained near-dups (A~B~C with
+    // A,C never colliding) land in ONE cluster. This is the dedup form
+    // template-heavy corpora need at 100 TB: duplicate groups are
+    // equivalence classes, not pairwise hits.
+    "q_dedup_clusters" -> ((s, d) =>
+      MinHashLSH.clusters(T.documents(s, d), "doc_id", "text",
+        numHashes = 16, bands = 4)),
+
+    // Deterministic train/valid/test split: hash the doc id, bucket
+    // mod 100, 80/10/10. Hash-based splits survive corpus re-shards
+    // and incremental appends (a doc's split never changes), unlike
+    // positional sampling. Pure per-row expressions — no shuffle.
+    "q_hash_split" -> ((s, d) => {
+      import s.implicits._
+      val b = TextOps.tokenHash32(concat(lit("split_"), $"doc_id")) % 100L
+      T.documents(s, d).select(
+        $"doc_id",
+        b.cast("long").as("bucket"),
+        when(b < 80, lit("train")).when(b < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+    }),
+
+    // Stratified sampling: per-language keep-rates applied via an
+    // exact integer hash threshold (h mod 1e6 < rate_ppm). The sample
+    // is deterministic, reproducible, and computed map-side — the
+    // standard way to rebalance language/domain mix in a 100 TB
+    // corpus without a shuffle.
+    "q_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val u = TextOps.tokenHash32(concat(lit("sample_"), $"doc_id")) % 1000000L
+      val ratePpm = when($"lang" === "en", 500000L)
+        .when($"lang" === "es", 300000L)
+        .when($"lang" === "de", 200000L)
+        .when($"lang" === "fr", 200000L)
+        .when($"lang" === "zh", 100000L)
+        .otherwise(50000L)
+      T.documents(s, d).filter(u < ratePpm).select($"doc_id", $"lang")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // top-3 docs per source by key ln(u)/w with weight w = token
+    // count — longer docs are proportionally likelier. One WindowGroupLimit
+    // top-k per source; key rounded to 6 decimals (ties broken by
+    // doc_id) so libm ulp differences can never flip an order.
+    "q_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val h = TextOps.tokenHash32(concat(lit("wsample_"), $"doc_id"))
+      val u = (h + 1L) / lit(4294967296.0) // (0, 1]: u=0 would send ln to -inf
+      val w = size(TextOps.tokens($"text")).cast("double")
+      val scored = T.documents(s, d)
+        .select($"doc_id", $"source", round(log(u) / w, 6).as("k"))
+      TopN(scored, Seq($"source"), Seq($"k".desc, $"doc_id".asc), 3)
+        .select($"source", $"doc_id", $"k", $"rank_no")
+    }),
+
+    // PII scrubbing: regex redaction of emails, IPv4 addresses, and
+    // phone numbers, with per-class counts. The PII-bearing text is
+    // synthesized deterministically from doc_id (the corpus itself is
+    // clean), so both engines scrub the exact same strings. Patterns
+    // use the RE2-compatible subset (works in Spark's java.util.regex
+    // and DuckDB's RE2 alike). Per-row, map-side, linear.
+    "q_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val pii = concat(
+        lit("contact user"), $"doc_id", lit(" at user"), $"doc_id",
+        lit("@mail.example.com or +1-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" ip 192.168."), ($"doc_id" % 256).cast("string"), lit("."),
+        (($"doc_id" * 7) % 256).cast("string"),
+        lit(" "), substring($"text", 1, 64))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val phoneRe = "\\+\\d-\\d{3}-\\d{4}"
+      T.documents(s, d).select(
+        $"doc_id",
+        size(regexp_extract_all(pii, lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(pii, lit(ipRe), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(pii, lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(pii, emailRe, "[EMAIL]"),
+            ipRe, "[IP]"),
+          phoneRe, "[PHONE]").as("scrubbed"))
+    }),
+
+    // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    // the MOSS algorithm): hash every word 3-gram, slide a window of 4
+    // hashes, keep each window's minimum. Guarantees any shared run of
+    // >= 6 tokens between two docs shares a fingerprint, at ~1/4 the
+    // hashes. Emitted as a canonical scalar sketch (md5 over the
+    // sorted selection) + count. Pure per-row HOFs — no shuffle.
+    "q_winnowing" -> ((s, d) => {
+      import s.implicits._
+      // 3-grams via aligned slices + zip_with (per-element free-var
+      // re-evaluation trap — see q_decontamination)
+      val n3 = "greatest(size(ws)-2, 0)"
+      val shingles = expr(
+        s"zip_with(zip_with(slice(ws, 1, $n3), slice(ws, 2, $n3), " +
+        s"(a, b) -> concat(a, ' ', b)), slice(ws, 3, $n3), " +
+        "(ab, c) -> concat(ab, ' ', c))")
+      val k = "greatest(size(hs)-3, 0)"
+      val wins = expr(
+        s"zip_with(zip_with(zip_with(slice(hs, 1, $k), slice(hs, 2, $k), " +
+        s"(a, b) -> least(a, b)), slice(hs, 3, $k), " +
+        s"(ab, c) -> least(ab, c)), slice(hs, 4, $k), " +
+        "(abc, e) -> least(abc, e))")
+      val base = T.documents(s, d)
+        .withColumn("ws", TextOps.tokens($"text"))
+        .withColumn("hs", transform(shingles, g => TextOps.tokenHash32(g)))
+      val sel = when(size($"hs") >= 4, wins)
+        .when(size($"hs") > 0, array(array_min($"hs")))
+        .otherwise(array().cast("array<bigint>"))
+      base.select(
+        $"doc_id",
+        size(array_distinct(sel)).cast("long").as("n_fp"),
+        md5(array_join(
+          transform(array_sort(array_distinct(sel)), x => x.cast("string")),
+          ",")).as("fp_sketch"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         bmin AS (
+           SELECT band, bkey, min(doc_id) AS mid FROM bands GROUP BY 1, 2),
+         edges AS (
+           SELECT DISTINCT b.doc_id AS a, m.mid AS b
+           FROM bands b JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey
+           WHERE m.mid <> b.doc_id),
+         sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+         cc AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM documents
+           UNION
+           SELECT s.a AS node, c.lbl AS lbl FROM sym s JOIN cc c ON c.node = s.b)
+         SELECT node AS doc_id, min(lbl) AS cluster_id,
+                min(lbl) < node AS is_dup
+         FROM cc GROUP BY node""",
+    "q_hash_split" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5('split_' || doc_id), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM h""",
+    "q_stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5('sample_' || doc_id), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) % 1000000 AS u
+           FROM documents)
+         SELECT doc_id, lang FROM h
+         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000
+                             WHEN 'de' THEN 200000 WHEN 'fr' THEN 200000
+                             WHEN 'zh' THEN 100000 ELSE 50000 END""",
+    "q_weighted_sample" ->
+      """WITH scored AS (
+           SELECT source, doc_id,
+                  round(ln((list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5('wsample_' || doc_id), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) + 1) / 4294967296.0)
+                    / len(string_split(text, ' ')), 6) AS k
+           FROM documents)
+         SELECT source, doc_id, k, rank_no FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY k DESC, doc_id ASC) AS rank_no
+           FROM scored) WHERE rank_no <= 3""",
+    "q_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  'contact user' || doc_id || ' at user' || doc_id ||
+                  '@mail.example.com or +1-555-' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                  ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                  CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                  ' ' || substr(text, 1, 64) AS pii
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(pii,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(pii,
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(pii,
+             '\+\d-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(pii,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+             '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
+         FROM p""",
+    "q_winnowing" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g3 AS (
+           SELECT doc_id, list_transform(generate_series(1, len(w)-2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+           FROM ws),
+         hs AS (
+           SELECT doc_id, list_transform(sh,
+                    g -> list_reduce(list_transform(range(1, 9),
+                      i -> strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1),
+                      (a, b) -> a * 16 + b)) AS h
+           FROM g3),
+         sel AS (
+           SELECT doc_id,
+                  CASE WHEN len(h) >= 4
+                       THEN list_transform(generate_series(1, len(h)-3),
+                              i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+                       WHEN len(h) > 0 THEN [list_min(h)]
+                       ELSE [] END AS s
+           FROM hs)
+         SELECT doc_id,
+                CAST(len(list_distinct(s)) AS BIGINT) AS n_fp,
+                md5(array_to_string(list_sort(list_distinct(s)), ',')) AS fp_sketch
+         FROM sel"""
+  )
+}

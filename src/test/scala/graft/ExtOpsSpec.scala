@@ -26,6 +26,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("ConnectedComponents closes chains transitively to the component min") {
+    import graft.ext.ConnectedComponents
+    // 1-2, 2-3, 3-4 chain (diameter 3: needs >1 propagation round) plus
+    // isolated 9 and a separate pair 7-8
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("clusters merges chained near-dups that one-hop rep assignment splits") {
+    // A~B and B~C near-dups; A and C share little directly. The cluster
+    // form must put all three in one group keyed by the min doc id.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "beta gamma delta epsilon eta theta"),
+      (10L, "one two three four five six")).toDF("doc_id", "text")
+    val got = MinHashLSH.clusters(df, "doc_id", "text", 16, 8)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(10L) == 10L)
+    assert(got(2L) == 1L, "B shares bands with A")
+    assert(got(3L) == 1L, "C reaches A transitively through B")
+  }
+
   test("nearDuplicates finds the identical-set pair with jaccard 1.0") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
