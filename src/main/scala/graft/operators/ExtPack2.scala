@@ -107,6 +107,75 @@ object ExtPack2 extends QueryPack {
           phoneRe, "[PHONE]").as("scrubbed"))
     }),
 
+    // Domain-mix reweighting: per-source token shares and the sampling
+    // weight that moves the mix to a uniform target (weight =
+    // target_share / actual_share — the DoReMi/Pile-style domain
+    // balancing step). One groupBy over the corpus + a broadcast of
+    // the one-row total: scales to any corpus, any source count.
+    "q_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val per = T.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens($"text")).cast("long")).as("n_tokens"))
+      val tot = per.agg(sum($"n_tokens").as("tot"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot)).select(
+        $"source", $"n_docs", $"n_tokens",
+        round($"n_tokens" / $"tot".cast("double"), 6).as("token_share"),
+        round(($"tot".cast("double") / $"n_sources") / $"n_tokens", 6)
+          .as("mix_weight"))
+    }),
+
+    // Sequence packing (concat-and-split): per source, documents are
+    // concatenated in doc_id order and cut into fixed 256-token
+    // context windows; each doc is tagged with the bin its first token
+    // lands in and its offset there — the standard pre-tokenization
+    // packing step. One window cumsum per source (single shuffle);
+    // WindowGroupLimit does not apply, but the running sum is
+    // map-side-combinable at any scale.
+    "q_seq_packing" -> ((s, d) => {
+      import s.implicits._
+      val budget = 256
+      val n = size(TextOps.tokens($"text")).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      T.documents(s, d)
+        .select($"doc_id", $"source", n.as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"source", $"n_tokens",
+          ($"cum_before" / budget).cast("long").as("bin"),
+          ($"cum_before" % budget).as("bin_offset"))
+    }),
+
+    // Int8 scalar quantization of embeddings: per-vector min/max
+    // affine codes (floor-based — floor is bit-deterministic across
+    // engines, unlike round's half-way ties), plus the dequantization
+    // RMSE. Per-row HOFs only; the 4x compression this models is what
+    // makes billion-vector ANN indexes fit on disk at 100 TB scale.
+    "q_embedding_quant" -> ((s, d) => {
+      import s.implicits._
+      val e = $"embedding".cast("array<double>")
+      val mn = array_min(e)
+      val mx = array_max(e)
+      val codes = transform(e, x =>
+        when(mx === mn, lit(0L)).otherwise(
+          least(floor((x - mn) * 256.0 / (mx - mn)), lit(255.0)).cast("long")))
+      val dq = transform(codes, q =>
+        mn + (q.cast("double") + 0.5) * (mx - mn) / 256.0)
+      val sqErr = aggregate(
+        zip_with(e, dq, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      T.embeddings(s, d).select(
+        $"vec_id",
+        round(mn, 6).as("v_min"),
+        round(mx, 6).as("v_max"),
+        round(sqrt(sqErr / size(e)), 6).as("rmse"),
+        md5(array_join(transform(codes, c => c.cast("string")), ","))
+          .as("code_sketch"))
+    }),
+
     // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
     // the MOSS algorithm): hash every word 3-gram, slide a window of 4
     // hashes, keep each window's minimum. Guarantees any shared run of
@@ -202,6 +271,47 @@ object ExtPack2 extends QueryPack {
          WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000
                              WHEN 'de' THEN 200000 WHEN 'fr' THEN 200000
                              WHEN 'zh' THEN 100000 ELSE 50000 END""",
+    "q_domain_mix" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                        count(*) AS n_sources FROM per)
+         SELECT source, n_docs, n_tokens,
+                round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share,
+                round((CAST(tot AS DOUBLE) / n_sources) / n_tokens, 6) AS mix_weight
+         FROM per, tot""",
+    "q_seq_packing" ->
+      """SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(cum_before // 256 AS BIGINT) AS bin,
+                CAST(cum_before % 256 AS BIGINT) AS bin_offset
+         FROM (
+           SELECT doc_id, source, text,
+                  coalesce(sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+           FROM documents)""",
+    "q_embedding_quant" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         mm AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+         c AS (SELECT vec_id, e, mn, mx,
+                 list_transform(e, x -> CASE WHEN mx = mn THEN 0
+                   ELSE CAST(least(floor((x - mn) * 256.0 / (mx - mn)), 255.0)
+                        AS BIGINT) END) AS codes
+               FROM mm),
+         dd AS (SELECT vec_id, e, mn, mx, codes,
+                 list_transform(codes, q -> mn + (q + 0.5) * (mx - mn) / 256.0) AS dq
+               FROM c)
+         SELECT vec_id, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+                round(sqrt(list_aggregate(
+                  list_transform(generate_series(1, len(e)),
+                    i -> (e[i] - dq[i]) * (e[i] - dq[i])), 'sum') / len(e)), 6)
+                  AS rmse,
+                md5(array_to_string(codes, ',')) AS code_sketch
+         FROM dd""",
     "q_weighted_sample" ->
       """WITH scored AS (
            SELECT source, doc_id,

@@ -23,7 +23,22 @@ class PlanAuditSpec extends AnyFunSuite {
   // Per-row operators must stay shuffle-free: at 100 TB a stray
   // exchange on these would be the whole job cost. Budget = 0.
   private val shuffleFree = Seq("q_chunking", "q_token_count", "q_lang_id",
-    "q_fingerprint", "q_embedding_lsh", "q_text_stats", "q_multimodal_meta")
+    "q_fingerprint", "q_embedding_lsh", "q_text_stats", "q_multimodal_meta",
+    "q_hash_split", "q_stratified_sample", "q_pii_scrub", "q_winnowing",
+    "q_embedding_quant")
+
+  // Bounded-shuffle operators: exactly one exchange (the top-k window
+  // partitioned by source). WindowGroupLimit must appear so map tasks
+  // pre-trim to k rows before that shuffle.
+  test("q_weighted_sample plans one shuffle with WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = """Exchange (hash|range|SinglePartition)""".r
+      .findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one exchange:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit map-side trim:\n$plan")
+  }
 
   shuffleFree.foreach { name =>
     test(s"$name plans zero shuffle exchanges (per-row operator)") {
