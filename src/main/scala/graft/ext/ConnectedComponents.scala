@@ -9,21 +9,26 @@ import org.apache.spark.storage.StorageLevel
   * if A~B and B~C come out of LSH, all three are one duplicate group
   * even when A and C never share a bucket).
   *
-  * Algorithm: hash-min label propagation. Every node starts labeled
-  * with its own id; each round every node takes the min label among
-  * itself and its neighbors; stop when no label changed. The fixpoint
+  * Algorithm: hash-min label propagation WITH pointer doubling. Every
+  * node starts labeled with its own id; each round a node takes the
+  * min of (its label, its neighbors' labels, its label's label); stop
+  * when nothing changed. Plain hash-min needs diameter rounds — a
+  * length-d chain of near-dups takes d rounds — but the label-of-label
+  * shortcut halves remaining path lengths every round (the classic
+  * pointer-jumping trick, same convergence class as large-star/
+  * small-star in Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14), so rounds are O(log diameter). The fixpoint
   * labels each node with the smallest node id in its component —
   * deterministic, engine-independent.
   *
-  * Scale posture: one round = one shuffle join (edges x labels) + one
-  * shuffle aggregation (min per node) — all narrow-key hash shuffles,
-  * no driver-side graph. Round count is bounded by the component
-  * diameter. The LSH dedup graphs this feeds are unions of stars
-  * (doc -> bucket representative), whose diameter stays tiny, so 2-4
-  * rounds settle them. For adversarial long-path graphs at 100 TB,
-  * swap the round body for alternating large-star/small-star (Kiveris
-  * et al., "Connected Components in MapReduce and Beyond", SoCC'14),
-  * which converges in O(log n) rounds with the same per-round shape.
+  * Scale posture: one round = two shuffle joins (edges x labels,
+  * labels x labels) + one shuffle aggregation (min per node) — all
+  * narrow-key hash shuffles, no driver-side graph. The LSH dedup
+  * graphs this feeds are unions of stars (doc -> bucket
+  * representative), which settle in 2-4 rounds; the log bound is the
+  * insurance against adversarial chain topologies. If maxRounds is
+  * hit before the fixpoint the call THROWS instead of returning
+  * silently-partial clusters.
   */
 object ConnectedComponents {
 
@@ -35,17 +40,26 @@ object ConnectedComponents {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): the label-of-label self-join would
+    // otherwise DOUBLE the logical plan every round — exponential plan
+    // strings and an OOM in explain/codegen by round ~10. Checkpointing
+    // cuts the lineage so every round starts from a leaf.
     var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // each neighbor of b offers b's current label to a; a keeps the min
-      val next = sym.join(labels, sym("b") === labels("id"))
+      // (a) each neighbor of b offers b's current label to a
+      val viaEdge = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
-        .union(labels)
+      // (b) pointer doubling: a node also takes its label's label,
+      // halving remaining chain lengths every round
+      val viaParent = labels.toDF("id", "mid")
+        .join(labels.toDF("pid", "plbl"), col("mid") === col("pid"))
+        .select(col("id"), col("plbl").as("lbl"))
+      val next = viaEdge.union(viaParent).union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") < col("prev")).isEmpty
       labels.unpersist()
@@ -53,6 +67,9 @@ object ConnectedComponents {
       round += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
     labels
   }
 }

@@ -38,6 +38,17 @@ class ExtOpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("ConnectedComponents converges on a 200-node chain (pointer doubling)") {
+    import graft.ext.ConnectedComponents
+    // path 0-1-2-...-199: diameter 199. Plain hash-min would need 199
+    // rounds (> maxRounds=30 -> throw); pointer doubling needs ~log2(199).
+    val nodes = (0L until 200L).toDF("id")
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
   test("clusters merges chained near-dups that one-hop rep assignment splits") {
     // A~B and B~C near-dups; A and C share little directly. The cluster
     // form must put all three in one group keyed by the min doc id.
