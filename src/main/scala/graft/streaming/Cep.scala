@@ -134,14 +134,19 @@ object Cep {
       Pattern(Vector(Step(name, pred, strict = true)))
   }
 
-  /** A completed match: events grouped per step name, in order. */
-  case class Match[K, T](key: K, steps: Map[String, Seq[T]])
+  /** A completed match: events grouped per step name, in order.
+    * `start_seq`/`end_seq` are the per-key arrival sequence numbers of
+    * the match's first/last event — a deterministic match identity and
+    * ordering (Flink's EventId pair), which MATCH_RECOGNIZE output
+    * modes (ALL ROWS PER MATCH) need to tag rows by match. */
+  case class Match[K, T](key: K, steps: Map[String, Seq[T]],
+      start_seq: Long = 0L, end_seq: Long = 0L)
 
   /** A completed match OR a `within`-expired partial match
     * (timed_out=true) — Flink's TimedOutPartialMatchHandler side
     * output, used for absence detection ("no b followed a within T"). */
   case class MatchResult[K, T](key: K, steps: Map[String, Seq[T]],
-      timed_out: Boolean)
+      timed_out: Boolean, start_seq: Long = 0L, end_seq: Long = 0L)
 
   // One partial match: step index, repetition count at that step,
   // accumulated (stepName, seq, event), first-event ts + seq. Public:
@@ -160,7 +165,7 @@ object Cep {
     implicit val outEnc: Encoder[Match[K, T]] = Encoders.kryo[Match[K, T]]
     runWithTimeouts(ds, pattern, skip, ttlMs)(key, tsMillis)
       .filter((r: MatchResult[K, T]) => !r.timed_out)
-      .map(r => Match(r.key, r.steps))
+      .map(r => Match(r.key, r.steps, r.start_seq, r.end_seq))
   }
 
   /** Like [[run]], but `within`-expired partial matches are ALSO
@@ -346,6 +351,6 @@ object Cep {
       timedOut: Boolean): MatchResult[K, T] = {
     val grouped = steps.map(s => s.name ->
       p.acc.filter(_._1 == s.name).map(_._3).toSeq).toMap
-    MatchResult(k, grouped, timedOut)
+    MatchResult(k, grouped, timedOut, p.startSeq, p.acc.last._2)
   }
 }

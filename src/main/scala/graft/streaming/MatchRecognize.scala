@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 /** MATCH_RECOGNIZE-style front end over the CEP engine (SURVEY.md
   * §2.12; reference flink-table-planner
@@ -85,4 +85,35 @@ object MatchRecognize {
       key: T => K, tsMillis: T => Long): Dataset[Cep.Match[K, T]] =
     Cep.run(ds, compile(patternStr, defs, withinMs, relaxed), skip, ttlMs)(
       key, tsMillis)
+
+  /** One matched event under ALL ROWS PER MATCH: tagged with the match
+    * identity (the match's first/last per-key sequence numbers), its
+    * position inside the match, and CLASSIFIER() — the step name that
+    * matched it. */
+  case class ClassifiedRow[K, T](key: K, match_start: Long, match_end: Long,
+      pos: Int, classifier: String, event: T)
+
+  /** ALL ROWS PER MATCH + CLASSIFIER() output mode (SQL MATCH_RECOGNIZE;
+    * reference CommonExecMatch MEASURES/output lowering): explode each
+    * match into one row per matched event, in match order (steps in
+    * pattern order, loop events in arrival order — advancement never
+    * goes backwards, so this IS temporal order). ONE ROW PER MATCH
+    * measures (FIRST/LAST/counts per step) need no helper: read
+    * `match.steps(name).head/.last/.size` directly. */
+  def allRowsPerMatch[K, T](ms: Dataset[Cep.Match[K, T]],
+      stepOrder: Seq[String]): Dataset[ClassifiedRow[K, T]] = {
+    implicit val enc: Encoder[ClassifiedRow[K, T]] =
+      Encoders.kryo[ClassifiedRow[K, T]]
+    ms.flatMap { m =>
+      val evs = stepOrder.flatMap(s =>
+        m.steps.getOrElse(s, Seq.empty).map(e => (s, e)))
+      evs.zipWithIndex.map { case ((s, e), i) =>
+        ClassifiedRow(m.key, m.start_seq, m.end_seq, i, s, e) }
+    }
+  }
+
+  /** [[allRowsPerMatch]] with the step order taken from the pattern. */
+  def allRowsPerMatch[K, T](ms: Dataset[Cep.Match[K, T]],
+      pattern: Cep.Pattern[T]): Dataset[ClassifiedRow[K, T]] =
+    allRowsPerMatch(ms, pattern.steps.map(_.name))
 }

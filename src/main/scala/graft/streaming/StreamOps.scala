@@ -112,6 +112,70 @@ object StreamOps {
       }
   }
 
+  /** Windowed coGroup (SURVEY.md §2.13; reference flink-streaming-java
+    * .../datastream/CoGroupedStreams.java:59 + the windowed
+    * CoGroupWindowFunction): both keyed streams buffer into the same
+    * tumbling event-time window; when the watermark passes the window
+    * end, `fn` sees the COMPLETE buffers of both sides at once. Window
+    * join is the special case that pairs them; coGroup exposes the raw
+    * groups (outer-join-like logic, per-window set reconciliation).
+    *
+    * Keyed by (key, window_start) under EventTimeTimeout, so state per
+    * live window is exactly its buffered rows, dropped at emission.
+    * The watermark (event time - `delayMs`) is applied INSIDE on the
+    * unioned stream: a typed map to the tagged union would erase any
+    * upstream watermark column, so callers pass the delay instead of
+    * pre-watermarking. Rows later than an already-fired window are
+    * re-buffered and fire on the next watermark advance (they form a
+    * second, late emission — downstream dedup by window if needed). */
+  def windowCoGroup[K: Encoder, L: Encoder, R: Encoder, O: Encoder](
+      left: Dataset[L], right: Dataset[R], windowMs: Long,
+      delayMs: Long = 0L)(
+      lKey: L => K, rKey: R => K, lTs: L => Long, rTs: R => Long)(
+      fn: (K, Long, Seq[L], Seq[R]) => IterableOnce[O]): Dataset[O] = {
+    require(windowMs > 0 && delayMs >= 0)
+    val kryoE = org.apache.spark.sql.Encoders.kryo[Either[L, R]]
+    implicit val teEnc: Encoder[(java.sql.Timestamp, Either[L, R])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP, kryoE)
+    implicit val kEnc: Encoder[(K, Long)] =
+      org.apache.spark.sql.Encoders.kryo[(K, Long)]
+    implicit val sEnc: Encoder[(List[L], List[R])] =
+      org.apache.spark.sql.Encoders.kryo[(List[L], List[R])]
+    left.map(l => (new java.sql.Timestamp(lTs(l)), Left(l): Either[L, R]))
+      .union(right.map(r =>
+        (new java.sql.Timestamp(rTs(r)), Right(r): Either[L, R])))
+      .toDF("ets", "tagged")
+      .withWatermark("ets", s"$delayMs milliseconds")
+      .as[(java.sql.Timestamp, Either[L, R])]
+      .groupByKey(p =>
+        (p._2.fold(lKey, rKey), p._1.getTime / windowMs * windowMs))
+      .flatMapGroupsWithState[(List[L], List[R]), O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (kw: (K, Long), rows: Iterator[(java.sql.Timestamp, Either[L, R])],
+            state: GroupState[(List[L], List[R])]) =>
+          val (k, winStart) = kw
+          if (state.hasTimedOut) {
+            val (ls, rs) = state.get
+            state.remove()
+            fn(k, winStart, ls.reverse, rs.reverse).iterator.toVector.iterator
+          } else {
+            var (ls, rs) = state.getOption.getOrElse((Nil: List[L], Nil: List[R]))
+            rows.foreach {
+              case (_, Left(l)) => ls ::= l
+              case (_, Right(r)) => rs ::= r
+            }
+            state.update((ls, rs))
+            // fire when the watermark passes the window end; a late
+            // window (watermark already beyond it) fires on the next
+            // watermark move
+            state.setTimeoutTimestamp(
+              math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming global limit (SURVEY.md §2.8; reference
     * StreamExecLimit.java): pass through the first `n` rows of the
     * whole stream, in arrival order, across triggers. All rows route

@@ -344,6 +344,37 @@ class CepSpec extends AnyFunSuite {
     assert(run(gap("S3"), rel).size == 1)
   }
 
+  test("ALL ROWS PER MATCH emits classifier-tagged rows in match order") {
+    import graft.streaming.MatchRecognize
+    val defs = Map[String, Tick => Boolean](
+      "low" -> ((t: Tick) => t.price < 100),
+      "high" -> ((t: Tick) => t.price >= 100))
+    val p = MatchRecognize.compile[Tick]("low high+", defs)
+    // two disjoint matches on one key: (90,110) and (80,120,130)
+    val ms = run(Seq(
+      Tick("R", 90, ts(0)), Tick("R", 110, ts(1)),
+      Tick("R", 80, ts(3)), Tick("R", 120, ts(4)), Tick("R", 130, ts(5)),
+      Tick("R", 10, ts(6))), p) // trailing low closes the greedy loop
+    assert(ms.size == 2)
+    val rows = MatchRecognize.allRowsPerMatch(
+      spark.createDataset(ms)(
+        org.apache.spark.sql.Encoders.kryo[Cep.Match[String, Tick]]), p)
+      .collect().toSeq
+    // match identity separates the two matches; classifier tags steps
+    val byMatch = rows.groupBy(_.match_start).toSeq.sortBy(_._1)
+    assert(byMatch.size == 2)
+    val first = byMatch.head._2.sortBy(_.pos)
+    assert(first.map(_.classifier) == Seq("low", "high"))
+    assert(first.map(_.event.price) == Seq(90.0, 110.0))
+    val second = byMatch(1)._2.sortBy(_.pos)
+    assert(second.map(_.classifier) == Seq("low", "high", "high"))
+    assert(second.map(_.event.price) == Seq(80.0, 120.0, 130.0))
+    // ONE ROW PER MATCH measures read directly off the grouped steps
+    val m2 = ms.maxBy(_.start_seq)
+    assert(m2.steps("high").head.price == 120.0) // FIRST(high)
+    assert(m2.steps("high").last.price == 130.0) // LAST(high)
+  }
+
   test("MATCH_RECOGNIZE front end runs the rise-then-fall pattern") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

@@ -177,6 +177,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((7L, 2L, 0L), (7L, 2L, 1L)))
   }
 
+  test("windowCoGroup: both sides' buffers arrive together when the window fires") {
+    val a = MemoryStream[Ev]
+    val b = MemoryStream[Ev]
+    val name = nextName()
+    val out = StreamOps.windowCoGroup(
+      a.toDS(), b.toDS(), windowMs = 10000L)(
+      _.user_id, _.user_id, _.ts.getTime, _.ts.getTime) {
+      (k: Long, winStart: Long, ls: Seq[Ev], rs: Seq[Ev]) =>
+        Iterator.single((k, winStart,
+          ls.map(_.event_id).sorted.mkString(","),
+          rs.map(_.event_id).sorted.mkString(",")))
+    }
+    val q = out.toDF("key", "win_start", "l_ids", "r_ids")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // window [epoch-aligned 00:00:00, 00:00:10): two left rows, one right
+    a.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:05"), 7, "a", 2.0))
+    b.addData(Ev(10, ts("2024-01-01 00:00:03"), 7, "b", 3.0))
+    runAll(q)
+    // advance the (min-of-sources) watermark past the window end
+    a.addData(Ev(3, ts("2024-01-01 00:00:30"), 7, "a", 4.0))
+    b.addData(Ev(11, ts("2024-01-01 00:00:30"), 7, "b", 5.0))
+    runAll(q)
+    q.stop()
+    val got = spark.table(name)
+      .as[(Long, Long, String, String)].collect().toSet
+    val winStart = ts("2024-01-01 00:00:00").getTime
+    assert(got.contains((7L, winStart, "1,2", "10")),
+      s"expected the closed window's cogrouped buffers, got $got")
+  }
+
   test("streaming limit passes the first n rows across triggers") {
     val in = MemoryStream[Ev]
     val name = nextName()
