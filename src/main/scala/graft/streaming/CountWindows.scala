@@ -35,6 +35,49 @@ object CountWindows {
 
   case class CountWindow[K, T](key: K, window_no: Long, rows: Seq[T])
 
+  /** Delta-triggered windows (reference flink-streaming-java
+    * .../api/windowing/triggers/DeltaTrigger.java wrapped in
+    * PurgingTrigger.java over GlobalWindows — the bounded-state
+    * combination): rows buffer per key until `delta(lastFirePoint,
+    * current) > threshold`, then the buffered window (including the
+    * firing row) emits AND purges, and the firing row becomes the next
+    * reference point. The first row of a key is the initial reference
+    * (no fire). State per key = reference point + current buffer —
+    * bounded by fire rate, `ttlMs` evicts idle keys. */
+  def deltaTriggered[K: Encoder, T: Encoder](ds: Dataset[T],
+      threshold: Double)(
+      key: T => K, measure: T => Double, ttlMs: Option[Long] = None,
+      delta: (Double, Double) => Double = (a, b) => math.abs(b - a))
+      : Dataset[CountWindow[K, T]] = {
+    implicit val stateEnc: Encoder[(Long, Double, List[T])] =
+      Encoders.kryo[(Long, Double, List[T])]
+    implicit val outEnc: Encoder[CountWindow[K, T]] =
+      Encoders.kryo[CountWindow[K, T]]
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Long, Double, List[T]), CountWindow[K, T]](
+        OutputMode.Append(), Ttl.conf(ttlMs)) {
+        (k: K, rows: Iterator[T], state: GroupState[(Long, Double, List[T])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[CountWindow[K, T]]()
+            var st = state.getOption
+            rows.foreach { t =>
+              st match {
+                case None => st = Some((0L, measure(t), List(t)))
+                case Some((winNo, ref, buf)) =>
+                  if (delta(ref, measure(t)) > threshold) {
+                    out += CountWindow(k, winNo, buf :+ t)
+                    st = Some((winNo + 1, measure(t), Nil))
+                  } else st = Some((winNo, ref, buf :+ t))
+              }
+            }
+            st.foreach(state.update)
+            Ttl.arm(state, ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   def tumbling[K: Encoder, T: Encoder](ds: Dataset[T], size: Int)(
       key: T => K, ttlMs: Option[Long] = None): Dataset[CountWindow[K, T]] = {
     require(size >= 1)

@@ -473,6 +473,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, "1,2"), (1L, 1L, "3,4")))
   }
 
+  test("CountWindows.deltaTriggered fires when the measure jumps past the threshold") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val dw = CountWindows.deltaTriggered(in.toDS(), threshold = 5.0)(
+        _.user_id, _.value)
+      .map(w => (w.key, w.window_no, w.rows.map(_.event_id).mkString(",")))
+      .toDF("key", "window_no", "ids")
+    val q = dw.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 10.0), // reference, no fire
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 12.0), // |12-10|=2: buffer
+      Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 16.0)) // |16-10|=6: fire w0
+    runAll(q)
+    in.addData(
+      Ev(4, ts("2024-01-01 00:00:04"), 1, "a", 18.0), // |18-16|=2: buffer
+      Ev(5, ts("2024-01-01 00:00:05"), 1, "a", 30.0)) // |30-16|=14: fire w1
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "1,2,3"), (1L, 1L, "4,5")))
+  }
+
   test("CountWindows.firstN passes only the first N rows per key") {
     val in = MemoryStream[Ev]
     val name = nextName()
