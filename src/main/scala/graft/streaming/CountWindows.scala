@@ -43,12 +43,18 @@ object CountWindows {
     * firing row) emits AND purges, and the firing row becomes the next
     * reference point. The first row of a key is the initial reference
     * (no fire). State per key = reference point + current buffer —
-    * bounded by fire rate, `ttlMs` evicts idle keys. */
+    * bounded by fire rate, `ttlMs` evicts idle keys. `maxBuffer` is
+    * the CountEvictor (.../api/windowing/evictors/CountEvictor.java)
+    * composed in: only the most recent `maxBuffer` rows are retained
+    * (older ones evicted front-of-window, exactly Flink's
+    * evictBefore), giving a HARD state bound per key even for keys
+    * whose measure never jumps. */
   def deltaTriggered[K: Encoder, T: Encoder](ds: Dataset[T],
-      threshold: Double)(
+      threshold: Double, maxBuffer: Option[Int] = None)(
       key: T => K, measure: T => Double, ttlMs: Option[Long] = None,
       delta: (Double, Double) => Double = (a, b) => math.abs(b - a))
       : Dataset[CountWindow[K, T]] = {
+    require(maxBuffer.forall(_ >= 1))
     implicit val stateEnc: Encoder[(Long, Double, List[T])] =
       Encoders.kryo[(Long, Double, List[T])]
     implicit val outEnc: Encoder[CountWindow[K, T]] =
@@ -66,9 +72,16 @@ object CountWindows {
                 case None => st = Some((0L, measure(t), List(t)))
                 case Some((winNo, ref, buf)) =>
                   if (delta(ref, measure(t)) > threshold) {
-                    out += CountWindow(k, winNo, buf :+ t)
+                    val win = buf :+ t
+                    out += CountWindow(k, winNo,
+                      maxBuffer.fold(win)(m => win.takeRight(m)))
                     st = Some((winNo + 1, measure(t), Nil))
-                  } else st = Some((winNo, ref, buf :+ t))
+                  } else {
+                    val grown = buf :+ t
+                    // CountEvictor.evictBefore: drop from the FRONT
+                    st = Some((winNo, ref,
+                      maxBuffer.fold(grown)(m => grown.takeRight(m))))
+                  }
               }
             }
             st.foreach(state.update)

@@ -496,6 +496,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, "1,2,3"), (1L, 1L, "4,5")))
   }
 
+  test("deltaTriggered with CountEvictor keeps only the last N buffered rows") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val dw = CountWindows.deltaTriggered(in.toDS(), threshold = 5.0,
+        maxBuffer = Some(2))(_.user_id, _.value)
+      .map(w => (w.key, w.window_no, w.rows.map(_.event_id).mkString(",")))
+      .toDF("key", "window_no", "ids")
+    val q = dw.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 10.0), // reference
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 11.0), // buffer [1,2]
+      Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 12.0), // evict 1 -> [2,3]
+      Ev(4, ts("2024-01-01 00:00:04"), 1, "a", 20.0)) // fire: last 2 = [3,4]
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "3,4")))
+  }
+
   test("CountWindows.firstN passes only the first N rows per key") {
     val in = MemoryStream[Ev]
     val name = nextName()
