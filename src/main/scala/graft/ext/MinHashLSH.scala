@@ -54,6 +54,18 @@ object MinHashLSH {
     * transitive closure. Output: doc_id, cluster_id (= min doc id in
     * the cluster), is_dup. */
   def clusters(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    ConnectedComponents.run(docs.select(col(idCol).as("id")),
+        bucketMinEdges(docs, idCol, textCol, numHashes, bands))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("lbl") < col("id")).as("is_dup"))
+
+  /** The candidate edge set behind [[clusters]]: each doc connects to
+    * the MINIMUM doc id of every band bucket it falls in — at most
+    * n * bands edges regardless of bucket sizes (a 10^6-doc template
+    * bucket contributes 10^6 - 1 edges, not the 10^12-row clique), with
+    * connectivity identical to the full in-bucket clique graph. */
+  def bucketMinEdges(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -65,13 +77,10 @@ object MinHashLSH {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketMin = banded.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("mid"))
-    val edges = banded.join(bucketMin, Seq("band", "bkey"))
+    banded.join(bucketMin, Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("mid"))
       .select(col("doc_id").as("a"), col("mid").as("b"))
       .distinct()
-    ConnectedComponents.run(docs.select(col(idCol).as("id")), edges)
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("lbl") < col("id")).as("is_dup"))
   }
 
   /** Candidate near-duplicate pairs with exact Jaccard >= threshold.

@@ -63,6 +63,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((900L, 901L, 0.6))) // |∩|=3, |∪|=5
   }
 
+  test("cluster edges stay O(n*bands) on a template-heavy corpus") {
+    import graft.ext.MinHashLSH
+    // 100 identical docs (one mega-bucket per band — the template-heavy
+    // web-corpus shape) + 50 unique docs. The in-bucket CLIQUE would be
+    // 100*99/2 = 4950 pairs; bucket-min edges must stay <= n * bands.
+    val docs = ((1 to 100).map(i =>
+        (i.toLong, "all the same template text here body")) ++
+      (101 to 150).map(i =>
+        (i.toLong, s"unique_${i}_a unique_${i}_b unique_${i}_c unique_${i}_d")))
+      .toDF("doc_id", "text")
+    val bands = 4
+    val nEdges = MinHashLSH.bucketMinEdges(docs, "doc_id", "text", 16, bands)
+      .count()
+    assert(nEdges <= 150L * bands,
+      s"edge count $nEdges exceeds the n*bands bound ${150 * bands}")
+    // and the clustering over those edges is still exact: one cluster of
+    // 100 under rep 1, singletons elsewhere
+    val cl = MinHashLSH.clusters(docs, "doc_id", "text", 16, bands)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert((1 to 100).forall(i => cl(i.toLong) == 1L))
+    assert((101 to 150).forall(i => cl(i.toLong) == i.toLong))
+  }
+
   test("simhashBandPairs equals brute-force all-pairs hd<=3") {
     val docs = (1 to 120).map { i =>
       // sketches clustered so some pairs are within hd 3 and most are not
