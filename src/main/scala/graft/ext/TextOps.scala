@@ -139,4 +139,62 @@ object TextOps {
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Register the text operators as SQL functions (SURVEY §2.10/§2.11
+    * SQL surface), as Spark 4 SQL UDFs (`CREATE TEMPORARY FUNCTION ...
+    * RETURN <expr>`): the bodies are inlined into the plan at analysis
+    * time, so they stay inside whole-stage codegen — unlike Scala UDFs.
+    * Bodies mirror the Column API exactly; `SqlFunctionsSpec` pins the
+    * parity. (Building them via the expression-registry bridge instead
+    * fails: a composed Column converts to an unresolved
+    * ColumnNodeExpression the analyzer won't resolve from a registry
+    * builder — only concrete expressions like HammingDistance can go
+    * that route.) */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val hash32 = "CAST(conv(substring(md5(%s), 1, 8), 16, 10) AS BIGINT)"
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_fingerprint(t STRING)
+         RETURNS STRING RETURN
+         md5(array_join(array_sort(array_distinct(split(t, ' '))), ' '))""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_token_hash32(t STRING)
+         RETURNS BIGINT RETURN ${hash32.format("t")}""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_minhash(t STRING, numHashes INT)
+         RETURNS ARRAY<BIGINT> RETURN
+         aggregate(
+           transform(array_distinct(split(t, ' ')), tk -> ${hash32.format("tk")}),
+           array_repeat(CAST(9223372036854775807 AS BIGINT), numHashes),
+           (acc, h) -> zip_with(acc,
+             transform(sequence(0, numHashes - 1),
+               j -> (h * (CAST(j AS BIGINT) * 2 + 1) + CAST(j AS BIGINT) * 12345 + 7) % 1000000007),
+             (a, b) -> least(a, b)))""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_simhash16(t STRING)
+         RETURNS BIGINT RETURN
+         aggregate(
+           zip_with(
+             aggregate(
+               transform(array_distinct(split(t, ' ')), tk -> ${hash32.format("tk")}),
+               array_repeat(CAST(0 AS BIGINT), 16),
+               (acc, h) -> zip_with(acc,
+                 transform(sequence(0, 15),
+                   b -> (CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1),
+                 (x, y) -> x + y)),
+             sequence(0, 15),
+             (s, b) -> CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+    val score = (ms: Seq[String]) =>
+      s"size(array_intersect(array_distinct(split(t, ' ')), " +
+        s"array(${ms.map("'" + _ + "'").mkString(", ")})))"
+    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores
+      .map { case (l, s) => s"WHEN $s = $best THEN '$l'" }.mkString(" ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_lang_guess(t STRING)
+         RETURNS STRING RETURN
+         CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END""")
+  }
 }

@@ -20,4 +20,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     """).as[(String, Boolean, Boolean, Boolean, Boolean, Boolean, Double)].head()
     assert(r == (("b", true, false, true, true, false, 3.1)))
   }
+
+  test("ext text ops are callable from SQL and match the Column API") {
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions._
+    TextOps.registerSqlFunctions(spark)
+    val df = Seq("b a a", "the quick fox").toDF("t")
+    val viaSql = spark.sql(
+      """SELECT graft_fingerprint('b a a') AS fp,
+                graft_simhash16('b a a') AS sh,
+                graft_lang_guess('the quick fox') AS lg,
+                graft_token_hash32('fox') AS th,
+                size(graft_minhash('b a a', 8)) AS mh_n""")
+      .as[(String, Long, String, Long, Int)].head()
+    val viaCols = df.agg(
+      first(TextOps.fingerprint(lit("b a a"))),
+      first(TextOps.simhash16(lit("b a a"))),
+      first(TextOps.langGuess(lit("the quick fox"))),
+      first(TextOps.tokenHash32(lit("fox"))),
+      first(size(TextOps.minhashSignature(lit("b a a"), 8))))
+      .as[(String, Long, String, Long, Int)].head()
+    assert(viaSql == viaCols)
+    assert(viaSql._3 == "en" && viaSql._5 == 8)
+  }
 }
