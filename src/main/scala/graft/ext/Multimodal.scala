@@ -31,6 +31,33 @@ object Multimodal {
   def withMedia(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("media", col(textCol).cast("binary"))
 
+  case class FrameRow(doc_id: Long, frame_no: Long, frame_sha: String)
+
+  /** Frame sampling (the video path): treat the payload as a fake
+    * nFrames = max(bytes/16, 1) frame clip and emit every `every`-th
+    * frame index with a STUB frame digest (sha256 of payload ++
+    * "#frameNo" — a real decoder would put decoded frame bytes here).
+    * Per-partition digest reuse, per-row fan-out via flatMap: the
+    * linear, shuffle-free shape frame extraction keeps at 100 TB. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      every: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(every >= 1)
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val n = math.max(r.media.length / 16, 1)
+        (0 until n by every).iterator.map { fn =>
+          md.reset()
+          md.update(r.media)
+          md.update(s"#$fn".getBytes("UTF-8"))
+          FrameRow(r.doc_id, fn.toLong,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition metadata extraction: one MessageDigest per
     * partition (not per row) — the batch-shape that matters for real
     * codecs too. */

@@ -176,6 +176,18 @@ object ExtPack2 extends QueryPack {
           .as("code_sketch"))
     }),
 
+    // Multimodal frame sampling: the video-column path — every 4th
+    // frame of a fake (bytes/16)-frame clip, with a deterministic stub
+    // digest per frame (no codecs in this container; the plumbing —
+    // per-partition batch shape, frame fan-out, schema — is real).
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.ext.Multimodal
+        .withMedia(T.documents(s, d), "text")
+        .select($"doc_id", $"media").as[graft.ext.Multimodal.MediaRow]
+      graft.ext.Multimodal.sampleFrames(s, media, every = 4).toDF()
+    }),
+
     // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
     // the MOSS algorithm): hash every word 3-gram, slide a window of 4
     // hashes, keep each window's minimum. Guarantees any shared run of
@@ -347,6 +359,14 @@ object ExtPack2 extends QueryPack {
              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  greatest(octet_length(text::BLOB) // 16, 1) AS n_frames
+           FROM documents)
+         SELECT doc_id, CAST(r.fn AS BIGINT) AS frame_no,
+                sha256(text || '#' || r.fn) AS frame_sha
+         FROM f, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS fn) r""",
     "q_winnowing" ->
       """WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
