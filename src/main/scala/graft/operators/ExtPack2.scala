@@ -131,19 +131,18 @@ object ExtPack2 extends QueryPack {
     // concatenated in doc_id order and cut into fixed 256-token
     // context windows; each doc is tagged with the bin its first token
     // lands in and its offset there — the standard pre-tokenization
-    // packing step. One window cumsum per source (single shuffle);
-    // WindowGroupLimit does not apply, but the running sum is
-    // map-side-combinable at any scale.
+    // packing step. The running total comes from the two-phase
+    // distributed prefix sum (ext/PrefixSum), NOT a per-source window:
+    // a window runs ONE task per source, which dies at 100 TB with a
+    // handful of sources; the prefix sum stays fully parallel.
     "q_seq_packing" -> ((s, d) => {
       import s.implicits._
       val budget = 256
       val n = size(TextOps.tokens($"text")).cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      T.documents(s, d)
+      val base = T.documents(s, d)
         .select($"doc_id", $"source", n.as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      graft.ext.PrefixSum
+        .cumBefore(s, base, "source", "doc_id", "n_tokens")
         .select($"doc_id", $"source", $"n_tokens",
           ($"cum_before" / budget).cast("long").as("bin"),
           ($"cum_before" % budget).as("bin_offset"))

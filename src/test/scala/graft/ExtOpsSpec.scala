@@ -64,6 +64,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(3L) == 1L, "C reaches A transitively through B")
   }
 
+  test("PrefixSum.cumBefore equals the single-task window cumsum") {
+    import graft.ext.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i =>
+      (s"src_${i % 3}", i.toLong, (i % 7 + 1).toLong)).toDF("g", "k", "v")
+    val viaPs = PrefixSum.cumBefore(spark, df, "g", "k", "v", partitions = 8)
+      .orderBy("g", "k").collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = df
+      .withColumn("cum_before", coalesce(sum($"v").over(w), lit(0L)))
+      .select($"g", $"k", $"v", $"cum_before")
+      .orderBy("g", "k").collect().toSeq
+    assert(viaPs == viaWin)
+  }
+
   test("nearDuplicates finds the identical-set pair with jaccard 1.0") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
