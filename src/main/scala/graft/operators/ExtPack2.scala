@@ -175,6 +175,48 @@ object ExtPack2 extends QueryPack {
           .as("code_sketch"))
     }),
 
+    // Incremental dedup: new-crawl docs (delta, doc_id >= 100) checked
+    // against the EXISTING corpus (base, doc_id < 100) only — the
+    // asymmetric shape incremental pipelines need at 100 TB: the base
+    // side's band signatures are computed once (in production: stored),
+    // delta-vs-delta pairs are not emitted, and each new doc reports
+    // the smallest base doc it collides with (or null = genuinely new).
+    "q_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val sig = T.documents(s, d).select($"doc_id",
+          posexplode(TextOps.bandKeys(
+            TextOps.minhashSignature($"text", 16), 4, 4))
+            .as(Seq("band", "bkey")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = sig.filter($"doc_id" >= 100)
+      val base = sig.filter($"doc_id" < 100)
+      val m = delta.as("d").join(base.as("b"), Seq("band", "bkey"))
+        .groupBy($"d.doc_id").agg(min($"b.doc_id").as("dup_of"))
+      T.documents(s, d).filter($"doc_id" >= 100).select($"doc_id")
+        .join(m, Seq("doc_id"), "left")
+        .select($"doc_id", $"dup_of", $"dup_of".isNotNull.as("is_dup"))
+    }),
+
+    // Filter funnel: per-stage survivor counts of the cumulative
+    // cleaning pipeline (length gate -> +language gate -> +type-token
+    // quality gate) — the observability report every corpus-cleaning
+    // run ships with. ONE pass, conditional aggregates, no shuffle
+    // beyond the final single-row reduce.
+    "q_filter_funnel" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val nTok = size(toks)
+      val ttr = size(array_distinct(toks)) / nTok.cast("double")
+      val f1 = nTok >= 30
+      val f2 = f1 && $"lang" === "en"
+      val f3 = f2 && ttr >= lit(0.5)
+      T.documents(s, d).agg(
+        count(lit(1)).as("n_total"),
+        sum(f1.cast("long")).as("n_len"),
+        sum(f2.cast("long")).as("n_len_lang"),
+        sum(f3.cast("long")).as("n_len_lang_qual"))
+    }),
+
     // Multimodal frame sampling: the video-column path — every 4th
     // frame of a fake (bytes/16)-frame clip, with a deterministic stub
     // digest per frame (no codecs in this container; the plumbing —
@@ -358,6 +400,47 @@ object ExtPack2 extends QueryPack {
              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
+    "q_incremental_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         m AS (
+           SELECT d.doc_id, min(b.doc_id) AS dup_of
+           FROM bands d JOIN bands b
+             ON d.band = b.band AND d.bkey = b.bkey
+           WHERE d.doc_id >= 100 AND b.doc_id < 100
+           GROUP BY d.doc_id)
+         SELECT n.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) n
+         LEFT JOIN m ON n.doc_id = m.doc_id""",
+    "q_filter_funnel" ->
+      """SELECT count(*) AS n_total,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 30
+                              AND lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_lang,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 30
+                              AND lang = 'en'
+                              AND len(list_distinct(string_split(text, ' ')))
+                                  * 1.0 / len(string_split(text, ' ')) >= 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_lang_qual
+         FROM documents""",
     "q_multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id, text,
