@@ -40,11 +40,18 @@ object ConnectedComponents {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The label universe must cover every id the edges mention: an
+    // endpoint missing from `nodes` would otherwise never receive a
+    // label row, its contributions would be dropped by the convergence
+    // inner-join, and the loop could declare victory on wrong labels.
     // localCheckpoint (not persist): the label-of-label self-join would
     // otherwise DOUBLE the logical plan every round — exponential plan
     // strings and an OOM in explain/codegen by round ~10. Checkpointing
     // cuts the lineage so every round starts from a leaf.
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var labels = nodes.select(col("id"))
+      .union(sym.select(col("a").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var round = 0
     var converged = false

@@ -59,9 +59,11 @@ object PrefixSum {
       }
       .toDF("pid", "g", "k", "v", "local_before")
       .localCheckpoint(true)
-    // tiny: partitions x groups rows
+    // tiny: partitions x groups rows. The slice's contribution to later
+    // partitions is its SUM (not max of prefixes — that breaks on
+    // negative values).
     val subtotals = tagged.groupBy($"pid", $"g")
-      .agg(max($"local_before" + $"v").as("subtotal"))
+      .agg(sum($"v").as("subtotal"))
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val bases = subtotals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>

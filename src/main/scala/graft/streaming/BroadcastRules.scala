@@ -48,8 +48,12 @@ object BroadcastRules {
       val rules =
         try Sinks.readSnapshot(spark, rulesPath)
         catch {
+          // not created yet — or created but mid-first-commit (dir
+          // exists, no readable footer yet): both mean "no rules yet";
+          // real read errors still propagate
           case e: AnalysisException
               if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
                 e.getMessage.contains("Path does not exist") =>
             spark.createDataFrame(
               java.util.Collections.emptyList[Row](), rulesSchema)

@@ -291,11 +291,15 @@ object Cep {
                   // (d) else keep waiting under relaxed contiguity; strict
                   // obligations kill the partial. Negative guards consume
                   // nothing, so the contiguity obligation is carried by the
-                  // first POSITIVE step after them.
+                  // first POSITIVE step after them — and it binds only once
+                  // the partial is ELIGIBLE to advance (count >= minTimes):
+                  // while a relaxed loop is still filling, gaps are the
+                  // loop's own business, not the next step's.
                   else {
                     var nx = p.stepIdx + 1
                     while (nx < steps.length && steps(nx).negated) nx += 1
-                    val strictNext = nx < steps.length && steps(nx).strict
+                    val strictNext = p.count >= cur.minTimes &&
+                      nx < steps.length && steps(nx).strict
                     val strictLoop = cur.strict && cur.isLoop
                     val strictFill = cur.strict && p.count < cur.minTimes
                     if (!(strictNext || strictLoop || strictFill))

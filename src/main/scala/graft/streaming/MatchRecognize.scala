@@ -112,8 +112,12 @@ object MatchRecognize {
     }
   }
 
-  /** [[allRowsPerMatch]] with the step order taken from the pattern. */
+  /** [[allRowsPerMatch]] with the step order taken from the pattern.
+    * A name used by several pattern positions (e.g. `"a b a"`) appears
+    * once, at its first position: `Match.steps` already merges all its
+    * events under that name, so listing it per position would emit
+    * duplicates. */
   def allRowsPerMatch[K, T](ms: Dataset[Cep.Match[K, T]],
       pattern: Cep.Pattern[T]): Dataset[ClassifiedRow[K, T]] =
-    allRowsPerMatch(ms, pattern.steps.map(_.name))
+    allRowsPerMatch(ms, pattern.steps.map(_.name).distinct)
 }

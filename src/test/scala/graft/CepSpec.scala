@@ -344,6 +344,26 @@ class CepSpec extends AnyFunSuite {
     assert(run(gap("S3"), rel).size == 1)
   }
 
+  test("a strict next step binds only once the relaxed loop has filled") {
+    // s, then a relaxed a{2}, then STRICT b. The gap (47) arrives while
+    // the a-loop is still below minTimes: the loop's relaxed contiguity
+    // owns that gap — b's strictness must not kill the partial yet.
+    val p = Cep.Pattern.begin[Tick]("s", _.price < 45)
+      .followedBy("a", t => t.price >= 50 && t.price < 100).times(2, 2)
+      .next("b", _.price >= 100)
+    val ms = run(Seq(
+      Tick("F", 40, ts(0)), Tick("F", 60, ts(1)), Tick("F", 47, ts(2)),
+      Tick("F", 70, ts(3)), Tick("F", 110, ts(4))), p)
+    assert(ms.size == 1)
+    assert(ms.head.steps("a").map(_.price) == Seq(60.0, 70.0))
+    assert(ms.head.steps("b").map(_.price) == Seq(110.0))
+    // but once the loop HAS filled, a gap before the strict b kills it
+    val killed = run(Seq(
+      Tick("G", 40, ts(0)), Tick("G", 60, ts(1)), Tick("G", 70, ts(2)),
+      Tick("G", 47, ts(3)), Tick("G", 110, ts(4))), p)
+    assert(killed.isEmpty)
+  }
+
   test("ALL ROWS PER MATCH emits classifier-tagged rows in match order") {
     import graft.streaming.MatchRecognize
     val defs = Map[String, Tick => Boolean](

@@ -36,6 +36,12 @@ class ExtOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 8L -> 7L, 9L -> 9L))
+    // edge endpoints missing from `nodes` still join the label universe
+    // (id 1 below is edge-only) — they must not break propagation
+    val got2 = ConnectedComponents.run(Seq(5L).toDF("id"),
+        Seq((1L, 5L)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 5L -> 1L))
   }
 
   test("ConnectedComponents converges on a 200-node chain (pointer doubling)") {
@@ -67,8 +73,10 @@ class ExtOpsSpec extends AnyFunSuite {
   test("PrefixSum.cumBefore equals the single-task window cumsum") {
     import graft.ext.PrefixSum
     import org.apache.spark.sql.expressions.Window
+    // negative values included: the per-partition subtotal must be the
+    // slice SUM, not the max running prefix
     val df = (1 to 500).map(i =>
-      (s"src_${i % 3}", i.toLong, (i % 7 + 1).toLong)).toDF("g", "k", "v")
+      (s"src_${i % 3}", i.toLong, (i % 7 - 3).toLong)).toDF("g", "k", "v")
     val viaPs = PrefixSum.cumBefore(spark, df, "g", "k", "v", partitions = 8)
       .orderBy("g", "k").collect().toSeq
     val w = Window.partitionBy($"g").orderBy($"k")
