@@ -28,6 +28,18 @@ object ScalingProbe {
       val n = MinHashLSH.dedupByLSH(d, "doc_id", "text").filter(col("is_dup")).count()
       println(f"mult=$mult docs=${5000 * mult} dups=$n time=${(System.nanoTime - t0) / 1e9}%.2f s")
     }
+    // transitive clusters: same corpus, adds the connected-components
+    // rounds on top of banding — still linear in docs (edges are
+    // doc -> bucket-min only) with a small constant for the rounds
+    Seq(1, 2, 4).foreach { mult =>
+      val d = (0 until mult).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionAll _)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = MinHashLSH.clusters(d, "doc_id", "text").filter(col("is_dup")).count()
+      println(f"clusters mult=$mult dups=$n time=${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
