@@ -45,18 +45,34 @@ object BroadcastRules {
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     data.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
+      def empty() = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), rulesSchema)
+      def missingPath(e: AnalysisException) =
+        e.getCondition == "PATH_NOT_FOUND" ||
+          e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+          e.getMessage.contains("Path does not exist")
+      def midOverwrite(e: Throwable): Boolean = e != null &&
+        (e.isInstanceOf[java.io.FileNotFoundException] ||
+          midOverwrite(e.getCause))
+      // localCheckpoint(true) pins the (small, broadcast-bound) rules
+      // frame EAGERLY, so a concurrent bucket overwrite by the
+      // materializer surfaces HERE as FileNotFoundException — where we
+      // can retry — instead of mid-sink where it would kill the query
+      def read() = Sinks.readSnapshot(spark, rulesPath).localCheckpoint(true)
       val rules =
-        try Sinks.readSnapshot(spark, rulesPath)
+        try read()
         catch {
-          // not created yet — or created but mid-first-commit (dir
-          // exists, no readable footer yet): both mean "no rules yet";
-          // real read errors still propagate
-          case e: AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" ||
-                e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
-                e.getMessage.contains("Path does not exist") =>
-            spark.createDataFrame(
-              java.util.Collections.emptyList[Row](), rulesSchema)
+          // not created yet / mid-first-commit: no rules yet
+          case e: AnalysisException if missingPath(e) => empty()
+          // snapshot replaced between listing and read: one retry, then
+          // fall back to un-enriched (all-null rule columns) for this
+          // batch rather than failing the stream; real errors propagate
+          case e if midOverwrite(e) =>
+            try read()
+            catch {
+              case e2 if midOverwrite(e2) => empty()
+              case e2: AnalysisException if missingPath(e2) => empty()
+            }
         }
       sink(batch.join(broadcast(rules), joinKeys, "left"), id)
     }

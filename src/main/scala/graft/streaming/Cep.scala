@@ -197,25 +197,33 @@ object Cep {
             var seq = st0.nextSeq
             val out = scala.collection.mutable.ArrayBuffer[MatchResult[K, T]]()
 
+            // completable = all remaining obligations satisfied
+            def completable(i: Int, c: Int): Boolean =
+              c >= steps(i).minTimes &&
+                (i + 1 until steps.length).forall(steps(_).minTimes == 0)
+
             rows.foreach { ev =>
               val ts = tsMillis(ev)
               val s = seq; seq += 1
-              // expire partials beyond the within-window; surface them
-              // as timed-out partial matches
+              // expire partials beyond the within-window. A GREEDY open
+              // loop that was deferring its emission (waiting for more
+              // loop events) and is completable emits its maximal MATCH
+              // — the window closing is its closing signal; dropping it
+              // as a mere timed-out partial would lose a valid match.
+              // Everything else surfaces as a timed-out partial.
               pattern.withinMs.foreach { w =>
                 val (live, dead) = partials.partition(p => ts - p.startTs <= w)
-                dead.foreach(p => out += toResult(k, p, steps, timedOut = true))
+                dead.foreach { p =>
+                  val greedyDeferred = steps(p.stepIdx).greedy &&
+                    completable(p.stepIdx, p.count)
+                  out += toResult(k, p, steps, timedOut = !greedyDeferred)
+                }
                 partials = live
               }
 
               var nextPartials = List.empty[Partial[T]]
               // completed-match candidates from this event, in creation order
               val candidates = scala.collection.mutable.ArrayBuffer[Partial[T]]()
-
-              // completable = all remaining obligations satisfied
-              def completable(i: Int, c: Int): Boolean =
-                c >= steps(i).minTimes &&
-                  (i + 1 until steps.length).forall(steps(_).minTimes == 0)
 
               // Route a new configuration: emit-now, defer (greedy open
               // loop), or keep as a live partial. Greedy open loops with a
@@ -323,9 +331,13 @@ object Cep {
               partials = nextPartials.reverse
             }
 
-            // No live partials -> nothing references the seq counter, so
-            // the key's state can vanish entirely (counter restarts at 0).
-            if (partials.isEmpty) state.remove()
+            // The seq counter persists even with no live partials: it IS
+            // the match identity (start_seq/end_seq) — resetting it would
+            // collide ids of later matches on the same key. Idle-key
+            // state is one counter; `ttlMs` evicts it (match identity is
+            // then unique within the TTL window, like Flink's EventId
+            // under state TTL).
+            if (partials.isEmpty && seq == 0L) state.remove()
             else { state.update(NfaState(partials, seq)); Ttl.arm(state, ttlMs) }
             out.iterator
           }

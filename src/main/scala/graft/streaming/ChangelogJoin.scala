@@ -247,8 +247,11 @@ object ChangelogJoin {
       case _ => Long.MaxValue
     }
 
-  private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = xs match {
-    case Nil => Nil
-    case h :: t => if (p(h)) t else h :: removeOneBy(t)(p)
+  // iterative (span + splice): a recursive version overflows the stack
+  // on hot keys with ~100k live rows — exactly the skew this op's scale
+  // posture anticipates
+  private def removeOneBy[T](xs: List[T])(p: T => Boolean): List[T] = {
+    val (pre, post) = xs.span(x => !p(x))
+    if (post.isEmpty) xs else pre ::: post.tail
   }
 }

@@ -36,18 +36,25 @@ object LateData {
     require(delayMs >= 0)
     val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val tsMillis = unix_millis(col(tsCol).cast("timestamp"))
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    // per-batch partition + dynamic overwrite: a RETRIED micro-batch
+    // replaces its own previous output instead of appending duplicates
+    def write(df: DataFrame, id: Long, path: String): Unit =
+      df.withColumn("__batch", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(path)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val wm = maxSeen.get() match {
         case Long.MinValue => Long.MinValue // no prior batch: nothing late
         case mx => mx - delayMs
       }
       val cached = batch.cache()
       try {
-        cached.filter(tsMillis >= wm).write.mode("append").parquet(mainPath)
+        write(cached.filter(tsMillis >= wm), id, mainPath)
         // null/uncastable ts satisfies neither comparison — route it
         // explicitly so no row vanishes from both sinks
         val late = cached.filter(tsMillis < wm || tsMillis.isNull)
-        if (!late.isEmpty) late.write.mode("append").parquet(latePath)
+        if (!late.isEmpty) write(late, id, latePath)
         val mx = cached.agg(max(tsMillis)).head()
         if (!mx.isNullAt(0))
           maxSeen.getAndUpdate(m => math.max(m, mx.getLong(0)))

@@ -47,11 +47,20 @@ object Sinks {
         // Touched-bucket ids: driver-side but bounded by `buckets`.
         val touched = newRows.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        // Narrow catch: ONLY missing-dir/no-footer (first batch) may be
+        // treated as "no snapshot yet". A transient read error swallowed
+        // here would make the overwrite below silently drop every prior
+        // key in the touched buckets — real errors must fail the batch.
         val existing =
           try Some(spark.read.parquet(path)
             .withColumn("__bucket", col("__bucket").cast("int"))
             .filter(col("__bucket").isin(touched: _*))) // partition-pruned
-          catch { case _: Exception => None }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+                  e.getMessage.contains("Path does not exist") => None
+          }
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(seqCol).desc)
         val snapshot = existing.map(_.unionByName(newRows)).getOrElse(newRows)
@@ -69,26 +78,50 @@ object Sinks {
     spark.read.parquet(path).drop("__bucket")
 
   /** Side outputs: route each micro-batch into multiple sinks by
-    * predicate (main + named side channels). */
+    * predicate (main + named side channels). Each batch writes into its
+    * own `__batch=<id>` partition via dynamic overwrite, so a RETRIED
+    * micro-batch replaces its previous (possibly partial) output
+    * instead of appending duplicates — the standard foreachBatch
+    * idempotence pattern. */
   def sideOutputs(stream: DataFrame,
       routes: Seq[(String, org.apache.spark.sql.Column, String)]): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val cached = batch.cache()
       try routes.foreach { case (_, pred, path) =>
-        cached.filter(pred).write.mode("append").parquet(path)
+        cached.filter(pred).withColumn("__batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(path)
       } finally { cached.unpersist(); () }
     }
 
-  /** Async lookup over an external service: batched per partition with
-    * at most `maxInFlight` outstanding futures (AsyncWaitOperator's
-    * ordered mode). `lookup` is user code hitting the external system. */
+  /** Async lookup over an external service: a SLIDING window of at
+    * most `maxInFlight` outstanding futures per partition, emitting in
+    * input order (AsyncWaitOperator's ordered mode). As each head
+    * future completes the window refills immediately — no per-group
+    * barrier, so one slow call delays only the results behind it, not
+    * the launching of new requests. `lookup` is user code hitting the
+    * external system. */
   def asyncLookup[I, O](ds: Dataset[I], maxInFlight: Int)(lookup: I => O)(
       implicit enc: org.apache.spark.sql.Encoder[O]): Dataset[O] =
     ds.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
-      it.grouped(maxInFlight).flatMap { group =>
-        val futs = group.map(i => Future(lookup(i)))
-        futs.map(f => Await.result(f, Duration.Inf))
+      val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
+      def refill(): Unit =
+        while (inFlight.size < maxInFlight && it.hasNext) {
+          // pull on THIS thread: the source iterator is not thread-safe,
+          // and Future(...) would defer it.next() onto the pool
+          val i = it.next()
+          inFlight.enqueue(Future(lookup(i)))
+        }
+      new Iterator[O] {
+        def hasNext: Boolean = { refill(); inFlight.nonEmpty }
+        def next(): O = {
+          refill()
+          val r = Await.result(inFlight.dequeue(), Duration.Inf)
+          refill()
+          r
+        }
       }
     }
 }

@@ -166,11 +166,14 @@ object StreamOps {
               case (_, Right(r)) => rs ::= r
             }
             state.update((ls, rs))
-            // fire when the watermark passes the window end; a late
-            // window (watermark already beyond it) fires on the next
-            // watermark move
+            // fire when the watermark REACHES the window end: Spark
+            // event-time timeouts fire when wm > t, so arm at end-1 (a
+            // timer at `end` would withhold a window whose end equals
+            // the final watermark forever). A late window (watermark
+            // already beyond it) fires on the next watermark move.
             state.setTimeoutTimestamp(
-              math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
+              math.max(winStart + windowMs - 1,
+                state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -195,8 +198,11 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       before: String, after: String): DataFrame =
+    // qualify the ts columns through their side: unqualified col(...)
+    // is AMBIGUOUS_REFERENCE when both sides name their event time the
+    // same way (the common two-instances-of-one-schema case)
     left.join(right,
       left(key) === right(key) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $before") &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $after"))
 }

@@ -34,7 +34,8 @@ object StreamingTemporalJoin {
     *               the watermark past versions still in flight on the
     *               other side (which would drop them as late). */
   def asOf[K: Encoder, P: Encoder, V: Encoder](
-      probes: Dataset[P], versions: Dataset[V], delay: String = "0 seconds")(
+      probes: Dataset[P], versions: Dataset[V], delay: String = "0 seconds",
+      ttlMs: Option[Long] = None)(
       pKey: P => K, pTs: P => Long, pSeq: P => Long,
       vKey: V => K, vTs: V => Long): Dataset[(P, Option[V])] = {
     implicit val stEnc: Encoder[TState[P, V]] = Encoders.kryo[TState[P, V]]
@@ -72,11 +73,22 @@ object StreamingTemporalJoin {
           // GC: versions newer than the watermark + the latest one <= wm
           val (old, fresh) = sortedVersions.partition(v => vTs(v) <= wm)
           val kept = old.lastOption.toList ++ fresh
-          if (young.isEmpty && kept.isEmpty) state.remove()
-          else {
+          // idle eviction: the GC above keeps >= 1 version per key
+          // forever, so quiet keys need the ttl path — a pure-timeout
+          // invocation (no new rows, nothing released, no waiting
+          // probes) means the key has been idle for >= ttlMs
+          val pureTimeoutIdle = state.hasTimedOut && ripe.isEmpty &&
+            young.isEmpty && st.probes.isEmpty
+          if (young.isEmpty &&
+              (kept.isEmpty || ttlMs.exists(_ => pureTimeoutIdle))) {
+            state.remove()
+          } else {
             state.update(TState(young, kept))
             if (young.nonEmpty)
               state.setTimeoutTimestamp(young.map(pTs).min)
+            else ttlMs.foreach { t =>
+              if (wm > Long.MinValue + t) state.setTimeoutTimestamp(wm + t)
+            }
           }
           out.iterator
       }

@@ -344,6 +344,34 @@ class CepSpec extends AnyFunSuite {
     assert(run(gap("S3"), rel).size == 1)
   }
 
+  test("within expiry emits the deferred greedy maximal match, not a timeout") {
+    // a b+ within 10s: the greedy loop defers emission waiting for more
+    // b's; when the window expires the deferred (a, b, b) is a COMPLETE
+    // maximal match and must be emitted as one — not silently dropped
+    // as a timed-out partial.
+    val p = Cep.Pattern.begin[Tick]("a", _.price < 100)
+      .followedByOneOrMore("b", _.price >= 100)
+      .within(10000)
+    val ms = run(Seq(
+      Tick("W2", 90, ts(0)), Tick("W2", 110, ts(1)), Tick("W2", 120, ts(2)),
+      Tick("W2", 200, ts(20))), p) // 20s: expires the partial
+    assert(ms.size == 1)
+    assert(ms.head.steps("a").map(_.price) == Seq(90.0))
+    assert(ms.head.steps("b").map(_.price) == Seq(110.0, 120.0))
+  }
+
+  test("match identity start_seq does not reset across matches of a key") {
+    val p = Cep.Pattern.begin[Tick]("a", _.price < 100)
+      .next("b", _.price >= 100)
+    val ms = run(Seq(
+      Tick("I2", 90, ts(0)), Tick("I2", 110, ts(1)),
+      Tick("I2", 80, ts(2)), Tick("I2", 120, ts(3))), p)
+    assert(ms.size == 2)
+    // two matches on one key must have DISTINCT identities even though
+    // the first match emptied the partial set in between
+    assert(ms.map(_.start_seq).distinct.size == 2)
+  }
+
   test("a strict next step binds only once the relaxed loop has filled") {
     // s, then a relaxed a{2}, then STRICT b. The gap (47) arrives while
     // the a-loop is still below minTimes: the loop's relaxed contiguity
