@@ -26,6 +26,15 @@ object MinHashLSH {
     * template-heavy web/training data at 100 TB).
     * Output: doc_id, rep_id, is_dup. */
   def dedupByLSH(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    dedupByLSHOf(docs, idCol,
+      TextOps.minhashSignature(col(textCol), numHashes), numHashes, bands)
+
+  /** [[dedupByLSH]] with a caller-supplied MinHash signature column —
+    * e.g. `TextOps.minhashOf(TextOps.shingles(col("text"), 3), 16)`
+    * for the canonical Broder w-shingle form (order-sensitive), or a
+    * signature over any other element set. */
+  def dedupByLSHOf(docs: DataFrame, idCol: String, sig: org.apache.spark.sql.Column,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -33,8 +42,7 @@ object MinHashLSH {
     // (bucket minima + the re-join); without this it is evaluated twice.
     val banded = docs.select(
         col(idCol).as("doc_id"),
-        posexplode(TextOps.bandKeys(
-          TextOps.minhashSignature(col(textCol), numHashes), bands, rows))
+        posexplode(TextOps.bandKeys(sig, bands, rows))
           .as(Seq("band", "bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketMin = banded.groupBy(col("band"), col("bkey"))

@@ -38,17 +38,17 @@ object TextOps {
   def tokenHash32(t: Column): Column =
     conv(md5(t).substr(lit(1), lit(8)), 16, 10).cast("long")
 
-  /** MinHash signature: numHashes minima of affine re-hashes
-    * h_j = (h * (2j+1) + 12345j + 7) mod p over the per-token 32-bit
-    * base hash. ONE md5 per token (the affine family is integer-exact
-    * across engines); computed per row with higher-order functions —
-    * no explode, no shuffle. */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
+  /** MinHash signature over any element array: numHashes minima of
+    * affine re-hashes h_j = (h * (2j+1) + 12345j + 7) mod p over each
+    * element's 32-bit base hash. ONE md5 per element (the affine family
+    * is integer-exact across engines); computed per row with
+    * higher-order functions — no explode, no shuffle. */
+  def minhashOf(elems: Column, numHashes: Int): Column = {
     // single aggregate pass: `hashed` is the aggregate input (evaluated
-    // once) and each token's base hash feeds all numHashes affine
+    // once) and each element's base hash feeds all numHashes affine
     // functions — naive per-j transforms would rebuild the md5 array
     // numHashes times (lambda HOFs defeat subexpression elimination)
-    val hashed = transform(distinctTokens(text), t => tokenHash32(t))
+    val hashed = transform(elems, t => tokenHash32(t))
     val affine = (h: Column) =>
       transform(sequence(lit(0), lit(numHashes - 1)),
         j => (h * (j.cast("long") * 2 + 1) + j.cast("long") * 12345L + 7L)
@@ -56,6 +56,24 @@ object TextOps {
     aggregate(hashed,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, affine(h), (a, b) => least(a, b)))
+  }
+
+  /** MinHash over the distinct TOKEN set — robust to word order and
+    * repetition. For the canonical Broder form over w-shingles (order
+    * sensitive), pass shingle arrays to [[minhashOf]]. */
+  def minhashSignature(text: Column, numHashes: Int): Column =
+    minhashOf(distinctTokens(text), numHashes)
+
+  /** Distinct word w-shingles via aligned slices + zip_with (the
+    * free-variable-in-lambda per-element re-evaluation trap rules out
+    * element_at forms — see q_decontamination). Supports w in 2..4. */
+  def shingles(text: Column, w: Int): Column = {
+    require(w >= 2 && w <= 4, "shingle width 2..4")
+    val toks = tokens(text)
+    val n = greatest(size(toks) - (w - 1), lit(0))
+    val parts = (0 until w).map(i => slice(toks, lit(i + 1), n))
+    array_distinct(parts.reduce((acc, p) =>
+      zip_with(acc, p, (a, b) => concat(a, lit(" "), b))))
   }
 
   /** LSH band keys from a MinHash signature: one md5 per band over its

@@ -175,6 +175,18 @@ object ExtPack2 extends QueryPack {
           .as("code_sketch"))
     }),
 
+    // Canonical Broder shingle-MinHash dedup: signatures over distinct
+    // word 3-shingles instead of the token set — order-SENSITIVE, so
+    // shuffled-token near-dups separate while true copied passages
+    // still collide. Same banded rep-assignment scale shape as
+    // q_minhash_lsh (O(n*bands), no pair output).
+    "q_minhash_shingled" -> ((s, d) => {
+      import s.implicits._
+      MinHashLSH.dedupByLSHOf(T.documents(s, d), "doc_id",
+        TextOps.minhashOf(TextOps.shingles($"text", 3), 16),
+        numHashes = 16, bands = 4)
+    }),
+
     // Incremental dedup: new-crawl docs (delta, doc_id >= 100) checked
     // against the EXISTING corpus (base, doc_id < 100) only — the
     // asymmetric shape incremental pipelines need at 100 TB: the base
@@ -400,6 +412,37 @@ object ExtPack2 extends QueryPack {
              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
+    "q_minhash_shingled" ->
+      """WITH ws AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(w)-2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+           FROM ws),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         bmin AS (
+           SELECT band, bkey, min(doc_id) AS mid FROM bands GROUP BY 1, 2),
+         rep AS (
+           SELECT b.doc_id, min(m.mid) AS rep_id
+           FROM bands b JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey
+           GROUP BY 1)
+         SELECT doc_id, rep_id, rep_id < doc_id AS is_dup FROM rep""",
     "q_incremental_dedup" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
