@@ -38,18 +38,31 @@ object MinHashLSH {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // Fail fast on a signature whose length disagrees with numHashes:
+    // out-of-range band slices would md5("") identically for EVERY doc,
+    // silently collapsing the corpus into one duplicate cluster.
+    val checked = when(sig.isNull || size(sig) === numHashes, sig)
+      .otherwise(raise_error(concat(
+        lit(s"MinHash signature must have $numHashes elements, got "),
+        size(sig).cast("string"))))
     // Persist: the md5-heavy signature expression feeds two consumers
     // (bucket minima + the re-join); without this it is evaluated twice.
+    // posexplode drops null-signature docs (empty element sets) from
+    // banding; the left join below restores them as singletons.
     val banded = docs.select(
         col(idCol).as("doc_id"),
-        posexplode(TextOps.bandKeys(sig, bands, rows))
+        posexplode(TextOps.bandKeys(checked, bands, rows))
           .as(Seq("band", "bkey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketMin = banded.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("mid"))
-    banded.join(bucketMin, Seq("band", "bkey"))
+    val rep = banded.join(bucketMin, Seq("band", "bkey"))
       .groupBy(col("doc_id"))
       .agg(min(col("mid")).as("rep_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .withColumn("is_dup", col("rep_id") < col("doc_id"))
   }
 

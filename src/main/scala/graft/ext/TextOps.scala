@@ -53,9 +53,14 @@ object TextOps {
       transform(sequence(lit(0), lit(numHashes - 1)),
         j => (h * (j.cast("long") * 2 + 1) + j.cast("long") * 12345L + 7L)
           % 1000000007L)
-    aggregate(hashed,
+    val sig = aggregate(hashed,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, affine(h), (a, b) => least(a, b)))
+    // An EMPTY element set has no signature — returning the untouched
+    // seed would give every empty doc the SAME signature, making all
+    // sub-w-token docs spurious mutual duplicates. Null drops them from
+    // banding; dedup callers keep them as singletons.
+    when(size(elems) > 0, sig)
   }
 
   /** MinHash over the distinct TOKEN set — robust to word order and
@@ -77,12 +82,17 @@ object TextOps {
   }
 
   /** LSH band keys from a MinHash signature: one md5 per band over its
-    * rows. Docs agreeing on any band key are candidate duplicates. */
+    * rows. Docs agreeing on any band key are candidate duplicates.
+    * A null signature (empty element set, see [[minhashOf]]) yields
+    * null — NOT an array of md5("") keys, which concat_ws's
+    * null-skipping would otherwise produce, silently bucketing every
+    * empty doc together. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+    when(sig.isNotNull,
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))))))
 
   /** 16-bit SimHash over the distinct token set. The 16 vote bits come
     * from the token's 32-bit base hash (bit b of tokenHash32); the

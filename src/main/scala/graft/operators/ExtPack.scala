@@ -181,13 +181,9 @@ object ExtPack extends QueryPack {
     // candidates).
     "q_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
-      val bigrams = array_distinct(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
       val docs = T.documents(s, d)
-        .select($"doc_id", $"source", bigrams.as("grams"))
+        .select($"doc_id", $"source",
+          TextOps.shingles($"text", 2).as("grams"))
       graft.ext.JaccardJoin.selfJoin(docs, "doc_id", "source", "grams", 0.6)
     }),
 

@@ -442,7 +442,9 @@ object ExtPack2 extends QueryPack {
            SELECT b.doc_id, min(m.mid) AS rep_id
            FROM bands b JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey
            GROUP BY 1)
-         SELECT doc_id, rep_id, rep_id < doc_id AS is_dup FROM rep""",
+         SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id,
+                coalesce(r.rep_id, d.doc_id) < d.doc_id AS is_dup
+         FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id""",
     "q_incremental_dedup" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

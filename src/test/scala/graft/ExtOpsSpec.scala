@@ -98,6 +98,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("short docs (fewer tokens than the shingle width) are singletons, not dups") {
+    import graft.ext.TextOps
+    // empty shingle sets must NOT share a seed signature: unrelated
+    // 1- and 2-token docs would otherwise become mutual duplicates
+    val df = Seq((1L, "a b"), (2L, "x"),
+      (3L, "p q r s t u"), (4L, "p q r s t u")).toDF("doc_id", "text")
+    val got = MinHashLSH.dedupByLSHOf(df, "doc_id",
+        TextOps.minhashOf(TextOps.shingles(col("text"), 3), 16), 16, 4)
+      .select(col("doc_id"), col("rep_id")).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 2L, "short docs stay singletons")
+    assert(got(3L) == 3L && got(4L) == 3L, "real shingle dups still collapse")
+  }
+
+  test("dedupByLSHOf rejects a signature whose length disagrees with numHashes") {
+    import graft.ext.TextOps
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bad = MinHashLSH.dedupByLSHOf(df, "doc_id",
+      TextOps.minhashOf(TextOps.shingles(col("text"), 2), 8), // 8 != 16
+      16, 4)
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("MinHash signature must have 16")))
+  }
+
   test("dedupByLSH groups exact near-dups under min rep") {
     val df = Seq(
       (10L, "alpha beta gamma delta"),
