@@ -175,6 +175,37 @@ object ExtPack2 extends QueryPack {
           .as("code_sketch"))
     }),
 
+    // LSH quality measurement: recall of the MinHash band candidates
+    // against exact token-set Jaccard >= 0.7 ground truth (same-source
+    // pairs) — the tuning signal for numHashes/bands. Ground truth
+    // comes from the prefix-filtered Jaccard join (scale-safe), so the
+    // whole measurement runs at corpus scale: measuring dedup quality
+    // IS a pipeline operator, not an offline notebook step.
+    "q_lsh_recall" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", $"source",
+          TextOps.distinctTokens($"text").as("grams"))
+      val truth = graft.ext.JaccardJoin
+        .selfJoin(docs, "doc_id", "source", "grams", 0.7)
+        .select($"id1", $"id2")
+      val banded = T.documents(s, d).select($"doc_id", $"source",
+          posexplode(TextOps.bandKeys(
+            TextOps.minhashSignature($"text", 16), 4, 4))
+            .as(Seq("band", "bkey")))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.source" === $"b.source" && $"a.band" === $"b.band" &&
+            $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2")).distinct()
+      val detected = truth.join(cand, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true")).crossJoin(
+          detected.agg(count(lit(1)).as("n_detected")))
+        .select($"n_true", $"n_detected",
+          when($"n_true" > 0,
+            round($"n_detected" / $"n_true".cast("double"), 6))
+            .otherwise(lit(1.0)).as("recall"))
+    }),
+
     // Canonical Broder shingle-MinHash dedup: signatures over distinct
     // word 3-shingles instead of the token set — order-SENSITIVE, so
     // shuffled-token near-dups separate while true copied passages
@@ -412,6 +443,56 @@ object ExtPack2 extends QueryPack {
              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
+    "q_lsh_recall" ->
+      """WITH tk AS (
+           SELECT DISTINCT doc_id, source,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM tk a JOIN tk b
+             ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON s1.doc_id = id1
+           JOIN sizes s2 ON s2.doc_id = id2
+           WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.7),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM tk),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         src AS (SELECT doc_id, source FROM documents),
+         cand AS (
+           SELECT DISTINCT da.doc_id AS id1, db.doc_id AS id2
+           FROM bands da JOIN bands db
+             ON da.band = db.band AND da.bkey = db.bkey
+               AND da.doc_id < db.doc_id
+           JOIN src s1 ON s1.doc_id = da.doc_id
+           JOIN src s2 ON s2.doc_id = db.doc_id
+           WHERE s1.source = s2.source),
+         det AS (
+           SELECT t.id1, t.id2 FROM truth t
+           WHERE EXISTS (SELECT 1 FROM cand c
+                         WHERE c.id1 = t.id1 AND c.id2 = t.id2))
+         SELECT (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM det) AS n_detected,
+                CASE WHEN (SELECT count(*) FROM truth) > 0
+                     THEN round((SELECT count(*) FROM det) * 1.0
+                                / (SELECT count(*) FROM truth), 6)
+                     ELSE 1.0 END AS recall""",
     "q_minhash_shingled" ->
       """WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
