@@ -177,19 +177,23 @@ object ExtPack2 extends QueryPack {
 
     // LSH quality measurement: recall of the MinHash band candidates
     // against exact token-set Jaccard >= 0.7 ground truth (same-source
-    // pairs) — the tuning signal for numHashes/bands. Ground truth
-    // comes from the prefix-filtered Jaccard join (scale-safe), so the
-    // whole measurement runs at corpus scale: measuring dedup quality
-    // IS a pipeline operator, not an offline notebook step.
+    // pairs) — the tuning signal for numHashes/bands. Measured on a
+    // deterministic 25% hash-sample of docs: recall estimation needs a
+    // sample, not the corpus (exact ground truth is inherently
+    // quadratic in duplicate-cluster sizes), and the hash keeps the
+    // subset reproducible across engines and runs.
     "q_lsh_recall" -> ((s, d) => {
       import s.implicits._
-      val docs = T.documents(s, d)
+      val sampled = T.documents(s, d)
+        .filter(TextOps.tokenHash32(concat(lit("recall_"), $"doc_id"))
+          % 4 === 0)
+      val docs = sampled
         .select($"doc_id", $"source",
           TextOps.distinctTokens($"text").as("grams"))
       val truth = graft.ext.JaccardJoin
         .selfJoin(docs, "doc_id", "source", "grams", 0.7)
         .select($"id1", $"id2")
-      val banded = T.documents(s, d).select($"doc_id", $"source",
+      val banded = sampled.select($"doc_id", $"source",
           posexplode(TextOps.bandKeys(
             TextOps.minhashSignature($"text", 16), 4, 4))
             .as(Seq("band", "bkey")))
@@ -444,10 +448,16 @@ object ExtPack2 extends QueryPack {
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
     "q_lsh_recall" ->
-      """WITH tk AS (
+      """WITH sampled AS (
+           SELECT * FROM documents
+           WHERE list_reduce(list_transform(range(1, 9),
+                   i -> strpos('0123456789abcdef',
+                               substr(md5('recall_' || doc_id), i, 1)) - 1),
+                   (a, b) -> a * 16 + b) % 4 = 0),
+         tk AS (
            SELECT DISTINCT doc_id, source,
                   unnest(list_distinct(string_split(text, ' '))) AS tok
-           FROM documents),
+           FROM sampled),
          sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
@@ -474,7 +484,7 @@ object ExtPack2 extends QueryPack {
            SELECT doc_id, j // 4 AS band,
                   md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
            FROM mh GROUP BY doc_id, j // 4),
-         src AS (SELECT doc_id, source FROM documents),
+         src AS (SELECT doc_id, source FROM sampled),
          cand AS (
            SELECT DISTINCT da.doc_id AS id1, db.doc_id AS id2
            FROM bands da JOIN bands db
