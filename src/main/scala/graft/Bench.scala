@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Each query is executed twice and the faster run reported: the first
   * execution carries JIT/codegen compilation that a long-running
   * cluster job amortizes away, which is the regime the engine targets.
+  *
+  * Per-query isolation: the SQL cache is cleared between queries so a
+  * query that caches (deliberately or by bug) cannot slow down every
+  * query that happens to run after it alphabetically — round 3's
+  * numbers had exactly that cross-contamination, making per-query
+  * deltas unverifiable. Failures are recorded as error strings in an
+  * "errors" map instead of a silent -1.0 timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,17 +28,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          return Left((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(200))
+      }
+      Right((System.nanoTime() - t0) / 1e9)
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(fn); val b = once(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val timing = (once(fn), once(fn)) match {
+        case (Right(a), Right(b)) => math.min(a, b)
+        case (l, r) =>
+          errors(name) = l.left.toOption.orElse(r.left.toOption).get
+          -1.0
+      }
+      // isolation: drop anything this query left in the SQL cache
+      spark.catalog.clearCache()
+      name -> timing
     }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.toSeq
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The stdout line must stay short enough for the driver's tail
     // capture (the full 100+-query map overflowed it in round 2 ->
@@ -43,9 +68,9 @@ object Bench {
       "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs", "q_ngram_jaccard",
       "q_embedding_topk", "q_embedding_ivf", "q_decontamination")
     val qs = jsonMap(results.filter(r => headline(r._1)))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","full":"bench_out.json"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -44,15 +44,18 @@ object ConnectedComponents {
     // endpoint missing from `nodes` would otherwise never receive a
     // label row, its contributions would be dropped by the convergence
     // inner-join, and the loop could declare victory on wrong labels.
-    // localCheckpoint (not persist): the label-of-label self-join would
+    // Materialize.pin (not persist): the label-of-label self-join would
     // otherwise DOUBLE the logical plan every round — exponential plan
-    // strings and an OOM in explain/codegen by round ~10. Checkpointing
-    // cuts the lineage so every round starts from a leaf.
-    var labels = nodes.select(col("id"))
+    // strings and an OOM in explain/codegen by round ~10. Pinning cuts
+    // the lineage so every round starts from a leaf. By default this is
+    // a localCheckpoint (fast, executor-resident — executor loss aborts
+    // the job loudly); set `graft.checkpoint.reliable=true` plus a
+    // checkpoint dir for 1000-executor runs where node failures
+    // mid-iteration are expected and the job must survive them.
+    var labels = Materialize.pin(nodes.select(col("id"))
       .union(sym.select(col("a").as("id")))
       .distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("lbl")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -64,9 +67,8 @@ object ConnectedComponents {
       val viaParent = labels.toDF("id", "mid")
         .join(labels.toDF("pid", "plbl"), col("mid") === col("pid"))
         .select(col("id"), col("plbl").as("lbl"))
-      val next = viaEdge.union(viaParent).union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = Materialize.pin(viaEdge.union(viaParent).union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") < col("prev")).isEmpty
       labels.unpersist()

@@ -39,13 +39,16 @@ object JaccardJoin {
     val dfreq = exploded.groupBy("src", "g").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("src"), col("id"))
       .orderBy(col("df").asc, col("g").asc)
-    // persist: the prefix frame (df-join + window) feeds BOTH sides of
-    // the candidate self-join
-    val prefixes = exploded.join(dfreq, Seq("src", "g"))
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("src"), col("id"), col("g"), col("n"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The prefix frame (df-join + window) feeds BOTH sides of the
+    // candidate self-join, so it is materialized once via
+    // Materialize.pin — eager and lineage-cut like a persist, but the
+    // blocks are reclaimed by the ContextCleaner when the frame goes
+    // out of scope instead of leaking until session end.
+    val prefixes = Materialize.pin(
+      exploded.join(dfreq, Seq("src", "g"))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+        .select(col("src"), col("id"), col("g"), col("n"), col("rn")))
     // PPJoin pruning on top of the prefix collision (both exact):
     //  - length filter: J >= t forces t*|x| <= |y| <= |x|/t
     //  - position filter: overlap can be at most 1 + the grams remaining
@@ -65,26 +68,30 @@ object JaccardJoin {
     * arrays. Output: id1, id2, jaccard. */
   def selfJoin(docs: DataFrame, idCol: String, srcCol: String,
       gramsCol: String, threshold: Double): DataFrame = {
+    // `base` feeds the candidate generator plus both verification
+    // joins; the cache is scoped to this call — `scored` (ids + 3 ints
+    // per candidate, the gram arrays projected away) is materialized
+    // eagerly below, after which base is released in the finally.
     val base = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
         col(gramsCol).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidates(base, "id", "src", "grams", threshold)
-    // The cache boundary between scoring and the threshold filter is
-    // deliberate: without it Catalyst pushes the jaccard predicate into
-    // the join condition, where array_intersect is evaluated twice per
-    // row in interpreted (non-codegen) mode. Scored rows are tiny
-    // (ids + 3 ints — the gram arrays are projected away).
-    val scored = cand
-      .join(base.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))
-      .join(base.select(col("id").as("id2"), col("grams").as("g2")), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        size(array_intersect(col("g1"), col("g2"))).as("i"),
-        size(col("g1")).as("n1"), size(col("g2")).as("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored
-      .select(col("id1"), col("id2"),
-        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    try {
+      val cand = candidates(base, "id", "src", "grams", threshold)
+      // The materialization boundary between scoring and the threshold
+      // filter is deliberate: without it Catalyst pushes the jaccard
+      // predicate into the join condition, where array_intersect is
+      // evaluated twice per row in interpreted (non-codegen) mode.
+      val scored = Materialize.pin(cand
+        .join(base.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))
+        .join(base.select(col("id").as("id2"), col("grams").as("g2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("g1"), col("g2"))).as("i"),
+          size(col("g1")).as("n1"), size(col("g2")).as("n2")))
+      scored
+        .select(col("id1"), col("id2"),
+          (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } finally { base.unpersist(); () }
   }
 }

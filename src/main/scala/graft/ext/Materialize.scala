@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Single materialization point for every graft operator that needs an
+  * eager, lineage-cutting pin (iterative loops whose plans would grow
+  * exponentially, placement-sensitive two-phase scans, snapshots that
+  * must not recompute from a directory being overwritten).
+  *
+  * Two modes, selected by the session conf `graft.checkpoint.reliable`:
+  *
+  *  - `false` (default): `localCheckpoint(eager = true)`. Blocks live on
+  *    executors with NO lineage to recompute — fast, zero-config, and
+  *    (unlike `DataFrame.persist`) never registered in the SQL cache
+  *    manager, so the blocks are reclaimed by the ContextCleaner as soon
+  *    as the DataFrame is garbage-collected instead of leaking until
+  *    `unpersist()`/session end. The trade-off: on a real multi-executor
+  *    cluster, losing an executor mid-job fails the job loudly (there is
+  *    nothing to recompute from).
+  *  - `true`: reliable `checkpoint(eager = true)` against the
+  *    SparkContext checkpoint directory — survives executor loss, the
+  *    right mode for 100 TB runs where a 1000-executor job WILL see node
+  *    failures. Requires `spark.sparkContext.setCheckpointDir(...)` (a
+  *    shared filesystem path on a real cluster); set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` or use a
+  *    job-scoped directory so checkpoint files do not accumulate.
+  */
+object Materialize {
+
+  val ReliableConf = "graft.checkpoint.reliable"
+
+  /** Eagerly materialize `df` and cut its lineage (see object docs for
+    * the local-vs-reliable trade-off). */
+  def pin(df: DataFrame): DataFrame = {
+    val reliable =
+      df.sparkSession.conf.get(ReliableConf, "false").toBoolean
+    if (reliable) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+  }
+}

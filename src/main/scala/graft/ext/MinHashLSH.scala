@@ -45,18 +45,23 @@ object MinHashLSH {
       .otherwise(raise_error(concat(
         lit(s"MinHash signature must have $numHashes elements, got "),
         size(sig).cast("string"))))
-    // Persist: the md5-heavy signature expression feeds two consumers
-    // (bucket minima + the re-join); without this it is evaluated twice.
+    // Single pass over the banded rows: the per-bucket minimum is a
+    // window aggregate (partition by bucket), not a groupBy + re-join —
+    // so the md5-heavy signature expression is evaluated exactly once
+    // and nothing needs to be cached (an earlier persist here leaked
+    // MEMORY_AND_DISK blocks for the rest of the session). Bucket
+    // partitions are collision-bounded, so the window never sees a
+    // skewed partition the groupBy would not have seen.
     // posexplode drops null-signature docs (empty element sets) from
     // banding; the left join below restores them as singletons.
     val banded = docs.select(
         col(idCol).as("doc_id"),
         posexplode(TextOps.bandKeys(checked, bands, rows))
           .as(Seq("band", "bkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketMin = banded.groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("mid"))
-    val rep = banded.join(bucketMin, Seq("band", "bkey"))
+    val bucketWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val rep = banded
+      .withColumn("mid", min(col("doc_id")).over(bucketWindow))
       .groupBy(col("doc_id"))
       .agg(min(col("mid")).as("rep_id"))
     docs.select(col(idCol).as("doc_id"))
@@ -90,15 +95,17 @@ object MinHashLSH {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // Same single-pass window shape as dedupByLSHOf: per-bucket minimum
+    // via a window over (band, bkey), no cache, signature evaluated once.
     val banded = docs.select(
         col(idCol).as("doc_id"),
         posexplode(TextOps.bandKeys(
           TextOps.minhashSignature(col(textCol), numHashes), bands, rows))
           .as(Seq("band", "bkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketMin = banded.groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("mid"))
-    banded.join(bucketMin, Seq("band", "bkey"))
+    val bucketWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    banded
+      .withColumn("mid", min(col("doc_id")).over(bucketWindow))
       .filter(col("doc_id") =!= col("mid"))
       .select(col("doc_id").as("a"), col("mid").as("b"))
       .distinct()

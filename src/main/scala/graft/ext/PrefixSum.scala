@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Distributed ordered prefix sum (running total) — the scalable form
   * of `sum(x) OVER (PARTITION BY g ORDER BY k ROWS UNBOUNDED
@@ -15,7 +16,7 @@ import org.apache.spark.sql.functions._
   *
   * Determinism note: the partition id and the local running sum are
   * computed in the SAME pass and the result is pinned with an eager
-  * localCheckpoint before anything reads it twice. Range-partition
+  * Materialize.pin before anything reads it twice. Range-partition
   * boundaries come from sampling, so a recomputation could place rows
   * differently — deriving subtotals and finals from two separate
   * materializations produced partition-base mismatches under a busy
@@ -58,19 +59,23 @@ object PrefixSum {
         }
       }
       .toDF("pid", "g", "k", "v", "local_before")
-      .localCheckpoint(true)
-    // tiny: partitions x groups rows. The slice's contribution to later
-    // partitions is its SUM (not max of prefixes — that breaks on
-    // negative values).
+      .transform(Materialize.pin)
+    // Subtotal table: partitions x groups rows — small relative to the
+    // data, but it stays DISTRIBUTED (no driver collect): the running
+    // base per (pid, g) is a window over pid within each group, i.e.
+    // one task per group over ~`partitions` rows, never per data row,
+    // so a high-cardinality groupCol cannot OOM the driver. The slice's
+    // contribution to later partitions is its SUM (not max of prefixes
+    // — that breaks on negative values). The bases frame is broadcast
+    // back onto the tagged rows; at partitions x groups beyond broadcast
+    // size, drop the hint and let AQE pick the join side.
     val subtotals = tagged.groupBy($"pid", $"g")
       .agg(sum($"v").as("subtotal"))
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val bases = subtotals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_._1)
-      val cum = sorted.scanLeft(0L)(_ + _._3)
-      sorted.zip(cum).map { case ((pid, _, _), base) => (pid, g, base) }
-    }.toDF("pid", "g", "base")
+    val wBase = Window.partitionBy($"g").orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = subtotals
+      .select($"pid", $"g",
+        coalesce(sum($"subtotal").over(wBase), lit(0L)).as("base"))
     tagged.join(broadcast(bases), Seq("pid", "g"), "left")
       .select(col("g").as(groupCol), col("k").as(orderCol),
         col("v").as(valueCol),

@@ -100,28 +100,38 @@ object VectorOps {
     * ~0.89 — high recall exactly where true near-duplicates live. */
   def cosineDedup(corpus: DataFrame, threshold: Double,
       planes: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+    // The projected corpus feeds four consumers (cell assignment, both
+    // sides of the verification join, the final restore join), so it is
+    // cached — but ONLY for the duration of this call: the result (three
+    // narrow columns, one row per vector) is materialized eagerly via
+    // Materialize.pin and the corpus cache released in the finally, so
+    // repeated invocations in a long-lived session cannot accumulate
+    // pinned corpus blocks.
     val base = corpus.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // table t uses global plane indices [t*planes, (t+1)*planes)
-    val cellArr = array((0 until tables).map(t =>
-      lshBucket(col("e"), planes, dims, planeOffset = t * planes)): _*)
-    val cells = base.select(col("vec_id"),
-      posexplode(cellArr).as(Seq("tbl", "cell")))
-    val cand = cells.as("a").join(cells.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .distinct() // a pair colliding in several tables counts once
-    val partners = cand
-      .join(base.select(col("vec_id").as("id1"), col("e").as("e1")), Seq("id1"))
-      .join(base.select(col("vec_id").as("id2"), col("e").as("e2")), Seq("id2"))
-      .filter(round(cosine(col("e1"), col("e2")), 6) >= threshold)
-      .groupBy(col("id2").as("vid"))
-      .agg(min(col("id1")).as("mp"))
-    base.select(col("vec_id")).join(partners, col("vec_id") === col("vid"), "left")
-      .select(col("vec_id"), coalesce(col("mp"), col("vec_id")).as("rep_id"))
-      .withColumn("is_dup", col("rep_id") < col("vec_id"))
+    try {
+      // table t uses global plane indices [t*planes, (t+1)*planes)
+      val cellArr = array((0 until tables).map(t =>
+        lshBucket(col("e"), planes, dims, planeOffset = t * planes)): _*)
+      val cells = base.select(col("vec_id"),
+        posexplode(cellArr).as(Seq("tbl", "cell")))
+      val cand = cells.as("a").join(cells.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct() // a pair colliding in several tables counts once
+      val partners = cand
+        .join(base.select(col("vec_id").as("id1"), col("e").as("e1")), Seq("id1"))
+        .join(base.select(col("vec_id").as("id2"), col("e").as("e2")), Seq("id2"))
+        .filter(round(cosine(col("e1"), col("e2")), 6) >= threshold)
+        .groupBy(col("id2").as("vid"))
+        .agg(min(col("id1")).as("mp"))
+      Materialize.pin(
+        base.select(col("vec_id")).join(partners, col("vec_id") === col("vid"), "left")
+          .select(col("vec_id"), coalesce(col("mp"), col("vec_id")).as("rep_id"))
+          .withColumn("is_dup", col("rep_id") < col("vec_id")))
+    } finally { base.unpersist(); () }
   }
 
   /** Deterministic ±1 random-hyperplane matrix: weight(plane p, dim i) =

@@ -194,10 +194,12 @@ object ExtPack extends QueryPack {
     // result as all-pairs, no O(n^2)-per-source enumeration.
     "q_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      // persist: the sketch feeds both sides of the band join
-      val sh = T.documents(s, d).select($"doc_id", $"source",
-        graft.ext.TextOps.simhash16($"text").as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pin (not persist): the sketch feeds both sides of the band
+      // join; Materialize.pin evaluates it once and the blocks are
+      // GC-reclaimed instead of leaking until session end
+      val sh = graft.ext.Materialize.pin(
+        T.documents(s, d).select($"doc_id", $"source",
+          graft.ext.TextOps.simhash16($"text").as("sh")))
       TextOps.simhashBandPairs(sh, "doc_id", "source", "sh",
         bits = 16, bands = 4, maxHd = 3)
     }),

@@ -230,11 +230,13 @@ object ExtPack2 extends QueryPack {
     // the smallest base doc it collides with (or null = genuinely new).
     "q_incremental_dedup" -> ((s, d) => {
       import s.implicits._
-      val sig = T.documents(s, d).select($"doc_id",
+      // pin (not persist): the banded signatures feed both the delta and
+      // base sides; blocks are GC-reclaimed, no session-long cache leak
+      val sig = graft.ext.Materialize.pin(
+        T.documents(s, d).select($"doc_id",
           posexplode(TextOps.bandKeys(
             TextOps.minhashSignature($"text", 16), 4, 4))
-            .as(Seq("band", "bkey")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .as(Seq("band", "bkey"))))
       val delta = sig.filter($"doc_id" >= 100)
       val base = sig.filter($"doc_id" < 100)
       val m = delta.as("d").join(base.as("b"), Seq("band", "bkey"))

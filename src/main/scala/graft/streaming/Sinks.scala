@@ -32,10 +32,12 @@ object Sinks {
     * Per micro-batch cost is O(size of touched buckets), not O(total
     * keys): untouched bucket dirs are never read or rewritten. Each
     * touched bucket is replaced through Spark's staged commit (write to
-    * staging, rename into place), and the merged snapshot is
-    * `localCheckpoint`ed first — lineage back to the dir being
+    * staging, rename into place), and the merged snapshot is pinned
+    * (`Materialize.pin`) first — lineage back to the dir being
     * overwritten is CUT, so a lost block fails the batch loudly instead
-    * of silently recomputing from a half-overwritten directory. */
+    * of silently recomputing from a half-overwritten directory; set
+    * `graft.checkpoint.reliable=true` for a fault-tolerant reliable
+    * checkpoint on real clusters. */
   def upsert(stream: DataFrame, keys: Seq[String], seqCol: String,
       path: String, buckets: Int = 16): DataStreamWriter[Row] =
     stream.writeStream.outputMode("update").foreachBatch {
@@ -66,7 +68,9 @@ object Sinks {
         val snapshot = existing.map(_.unionByName(newRows)).getOrElse(newRows)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .localCheckpoint(true) // materialize + cut lineage before overwrite
+          // materialize + cut lineage before the overwrite (reliable
+          // checkpoint when graft.checkpoint.reliable=true)
+          .transform(graft.ext.Materialize.pin)
         snapshot.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket").parquet(path)

@@ -223,4 +223,51 @@ class ScaleSpec extends AnyFunSuite {
     val got = spark.table("clj").as[(String, String, String)].collect().toSeq
     assert(got == Seq(("+I", "l1", "r1"), ("-D", "l1", "r1")))
   }
+
+  test("PrefixSum handles 10k distinct groups (no driver-side subtotal scan)") {
+    import graft.ext.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    // 10k groups x 5 rows: the old implementation collect()ed the
+    // (partitions x groups) subtotal table to the driver; the windowed
+    // form keeps it distributed. Verify exact equality with the
+    // single-task window cumsum on the full output.
+    val df = (0 until 50000).map { i =>
+      (s"g_${i % 10000}", (i / 10000).toLong, (i % 11 - 5).toLong)
+    }.toDF("g", "k", "v")
+    val viaPs = PrefixSum.cumBefore(spark, df, "g", "k", "v", partitions = 8)
+      .orderBy("g", "k").collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWin = df
+      .withColumn("cum_before", coalesce(sum($"v").over(w), lit(0L)))
+      .select($"g", $"k", $"v", $"cum_before")
+      .orderBy("g", "k").collect().toSeq
+    assert(viaPs == viaWin)
+  }
+
+  test("reliable checkpoint mode: iterative ops survive with checkpoint()") {
+    import graft.ext.{ConnectedComponents, Materialize, PrefixSum}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Materialize.ReliableConf, "true")
+    try {
+      // CC over a chain: exercises a pin per iteration round
+      val nodes = (0L until 50L).toDF("id")
+      val edges = (0L until 49L).map(i => (i, i + 1)).toDF("a", "b")
+      val cc = ConnectedComponents.run(nodes, edges)
+        .as[(Long, Long)].collect()
+      assert(cc.length == 50 && cc.forall(_._2 == 0L))
+      // PrefixSum: exercises the placement-pinning checkpoint
+      val df = (1 to 100).map(i => ("s", i.toLong, 1L)).toDF("g", "k", "v")
+      val ps = PrefixSum.cumBefore(spark, df, "g", "k", "v", partitions = 4)
+        .select($"k", $"cum_before").as[(Long, Long)].collect().toMap
+      assert((1 to 100).forall(i => ps(i.toLong) == i - 1L))
+      // and the checkpoint dir actually received reliable checkpoints
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the dir")
+    } finally {
+      spark.conf.set(Materialize.ReliableConf, "false")
+    }
+  }
 }
