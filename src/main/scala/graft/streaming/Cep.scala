@@ -30,11 +30,24 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   *
   * Documented deviations from the full Flink NFA (kept for bounded
   * state): a matching event always extends/advances a partial (no
-  * skip-this-event branch inside relaxed loops, so a reluctant loop
-  * emits the prefix chain of combinations, not all subsets), and an
-  * emitted partial is consumed (a greedy loop followed by optional
+  * skip-this-event/proceed branch inside relaxed loops, so a reluctant
+  * loop emits the prefix chain of combinations, not all subsets), and
+  * an emitted partial is consumed (a greedy loop followed by optional
   * steps emits either the loop-maximal or the extended match, not
-  * both).
+  * both). The exact boundary is pinned by CepSpec's NFAITCase ports
+  * with reference-derived expected outputs:
+  *  - "NFAITCase testSkipTillNextOneOrMore (2882)": Flink's eager
+  *    prefix set collapses to our greedy maximal;
+  *  - "NFAITCase testSkipTillAnyOneOrMore (2914)": allowCombinations
+  *    subsets are unreachable;
+  *  - "NFAITCase testEagerZeroOrMore (1014)": the skip-the-loop
+  *    branch of an optional loop is not enumerated when the loop
+  *    matched;
+  *  - "NFAITCase testEndWithOneOrMore (2317)": for TRAILING loops our
+  *    reluctant mode reproduces Flink's eager output exactly;
+  *  - "NFAITCase testStrictOneOrMore (2858)": a consecutive() loop
+  *    whose contiguity breaks CLOSES (stops extending) but still
+  *    reaches a relaxed next step, matching Flink's maximal match.
   *
   * State per key = live partial matches + a sequence counter; `within`
   * expiry and the skip strategy prune partials, and `ttlMs` (see
@@ -149,15 +162,30 @@ object Cep {
       timed_out: Boolean, start_seq: Long = 0L, end_seq: Long = 0L)
 
   // One partial match: step index, repetition count at that step,
-  // accumulated (stepName, seq, event), first-event ts + seq. Public:
-  // kryo state encoders reject non-public classes.
+  // accumulated (stepName, seq, event), first-event ts + seq. `closed`
+  // marks a STRICT loop that saw a non-taking event after reaching
+  // minTimes: it can never extend again (consecutiveness is broken)
+  // but still awaits a relaxed next step — Flink's consecutive() loop
+  // followed by followedBy behaves exactly so (NFAITCase.java:2858
+  // testStrictOneOrMore). Public: kryo state encoders reject
+  // non-public classes.
   case class Partial[T](stepIdx: Int, count: Int,
-      acc: Vector[(String, Long, T)], startTs: Long, startSeq: Long)
+      acc: Vector[(String, Long, T)], startTs: Long, startSeq: Long,
+      closed: Boolean = false)
 
   case class NfaState[T](partials: List[Partial[T]], nextSeq: Long)
 
   /** Run the pattern over a keyed stream; emits a Match row as each
-    * match completes. */
+    * match completes.
+    *
+    * State-size contract: a key that has seen any event retains at
+    * minimum its sequence counter forever (it is the match identity —
+    * resetting it on idle would collide the start_seq/end_seq of later
+    * matches on the same key). On an unbounded key space, PASS `ttlMs`:
+    * it evicts idle keys entirely and keeps state bounded; match
+    * identity is then unique within the TTL window (Flink's EventId
+    * under state TTL behaves the same). Leaving `ttlMs = None` on
+    * high-cardinality keys is an unbounded-state configuration. */
   def run[K: Encoder, T: Encoder](ds: Dataset[T], pattern: Pattern[T],
       skip: SkipStrategy = SkipStrategy.SkipPastLastEvent,
       ttlMs: Option[Long] = None)(
@@ -173,7 +201,8 @@ object Cep {
     * .../nfa/TimedOutPartialMatchHandler.java — Flink's side output
     * for timed-out partials). Expiry is detected lazily, when the
     * key's next event arrives — feed keepalive/punctuation events for
-    * prompt absence alerts on quiet keys. */
+    * prompt absence alerts on quiet keys. See [[run]] for the
+    * state-size contract: pass `ttlMs` on unbounded key spaces. */
   def runWithTimeouts[K: Encoder, T: Encoder](ds: Dataset[T],
       pattern: Pattern[T],
       skip: SkipStrategy = SkipStrategy.SkipPastLastEvent,
@@ -211,14 +240,34 @@ object Cep {
               // — the window closing is its closing signal; dropping it
               // as a mere timed-out partial would lose a valid match.
               // Everything else surfaces as a timed-out partial.
+              // Expired completables go through the SAME ordering +
+              // after-match-skip pruning as the normal candidate path:
+              // for `a+ within w` with partials [a1,a2] and [a2] both
+              // expiring on one late event, SkipPastLastEvent must emit
+              // only [a1,a2] and surface the overlapping suffix [a2] as
+              // a timed-out partial, exactly as if the matches had
+              // closed on a live event.
               pattern.withinMs.foreach { w =>
                 val (live, dead) = partials.partition(p => ts - p.startTs <= w)
-                dead.foreach { p =>
-                  val greedyDeferred = steps(p.stepIdx).greedy &&
-                    completable(p.stepIdx, p.count)
-                  out += toResult(k, p, steps, timedOut = !greedyDeferred)
+                val (deferred, expired) = dead.partition(p =>
+                  steps(p.stepIdx).greedy && completable(p.stepIdx, p.count))
+                expired.foreach(p => out += toResult(k, p, steps, timedOut = true))
+                val ordered = deferred.sortBy(p => (p.startSeq, -p.acc.length))
+                val killed = scala.collection.mutable.Set[Partial[T]]()
+                var survivors = live
+                ordered.foreach { c =>
+                  if (!killed(c)) {
+                    out += toResult(k, c, steps, timedOut = false)
+                    val keep = keepAfter(c, skip)
+                    ordered.foreach(o => if (!keep(o.startSeq)) killed += o)
+                    survivors = survivors.filter(p => keep(p.startSeq))
+                  } else {
+                    // pruned by the skip strategy: not a match, but its
+                    // window still closed — surface as timed-out partial
+                    out += toResult(k, c, steps, timedOut = true)
+                  }
                 }
-                partials = live
+                partials = survivors
               }
 
               var nextPartials = List.empty[Partial[T]]
@@ -258,8 +307,9 @@ object Cep {
                   .map { case (n, v) => n -> v.map(_._3).toSeq }
                   .withDefaultValue(Seq.empty)
                 var advanced = false
-                // (a) loop on the current step
-                if (cur.isLoop && cur.maxTimes.forall(p.count < _) &&
+                // (a) loop on the current step (a closed strict loop can
+                // never extend again — see Partial.closed)
+                if (cur.isLoop && !p.closed && cur.maxTimes.forall(p.count < _) &&
                     cur.canTake(ev, soFar)) {
                   route(p.copy(count = p.count + 1,
                     acc = p.acc :+ ((cur.name, s, ev))))
@@ -308,10 +358,17 @@ object Cep {
                     while (nx < steps.length && steps(nx).negated) nx += 1
                     val strictNext = p.count >= cur.minTimes &&
                       nx < steps.length && steps(nx).strict
-                    val strictLoop = cur.strict && cur.isLoop
                     val strictFill = cur.strict && p.count < cur.minTimes
-                    if (!(strictNext || strictLoop || strictFill))
-                      nextPartials ::= p
+                    if (!(strictNext || strictFill)) {
+                      // A filled STRICT loop seeing a non-taking event
+                      // CLOSES (consecutiveness is broken for good) but
+                      // survives to await a relaxed next step — Flink's
+                      // consecutive() + followedBy(end) semantics
+                      // (NFAITCase.java:2858). Relaxed loops stay open:
+                      // SKIP_TILL_NEXT skips gap events.
+                      val nowClosed = p.closed || (cur.strict && cur.isLoop)
+                      nextPartials ::= p.copy(closed = nowClosed)
+                    }
                   }
                 }
               }
@@ -334,9 +391,11 @@ object Cep {
             // The seq counter persists even with no live partials: it IS
             // the match identity (start_seq/end_seq) — resetting it would
             // collide ids of later matches on the same key. Idle-key
-            // state is one counter; `ttlMs` evicts it (match identity is
-            // then unique within the TTL window, like Flink's EventId
-            // under state TTL).
+            // state is one counter per key, UNBOUNDED across keys unless
+            // `ttlMs` evicts it (see the run/runWithTimeouts scaladoc;
+            // match identity is then unique within the TTL window, like
+            // Flink's EventId under state TTL). The remove() below only
+            // fires for a key that produced no state at all this batch.
             if (partials.isEmpty && seq == 0L) state.remove()
             else { state.update(NfaState(partials, seq)); Ttl.arm(state, ttlMs) }
             out.iterator

@@ -437,4 +437,133 @@ class CepSpec extends AnyFunSuite {
     assert(ms.head.steps("high").map(_.price) == Seq(110.0, 120.0))
     assert(ms.head.steps("drop").map(_.price) == Seq(95.0))
   }
+
+  // ---- NFAITCase ports pinning the two documented NFA deviations ----
+  // Event encoding for the Flink c / a / d / b alphabet:
+  //   c (start) = price < 20, a (middle) = 50..99, d (gap) = 150,
+  //   b (end)   = price >= 200. d matches NOTHING.
+  def cadb(sym: String, prices: Double*): Seq[Tick] =
+    prices.zipWithIndex.map { case (p, i) => Tick(sym, p, ts(i)) }
+  val isC: Tick => Boolean = _.price < 20
+  val isA: Tick => Boolean = t => t.price >= 50 && t.price < 100
+  val isB: Tick => Boolean = _.price >= 200
+  // testOneOrMore input (NFAITCase.java:2971): c d a1 a2 a3 d a4 b
+  def oneOrMoreInput(sym: String): Seq[Tick] =
+    cadb(sym, 10, 150, 51, 52, 53, 150, 54, 200)
+
+  test("NFAITCase testStrictOneOrMore (2858): consecutive loop closes on gap, " +
+      "still reaches a relaxed end") {
+    // Flink (non-greedy) emits the prefix set {c a1 b, c a1a2 b, c a1a2a3 b};
+    // our greedy loop emits exactly Flink's MAXIMAL match. The d gap after
+    // a3 breaks consecutiveness — the loop must CLOSE (never extend to a4)
+    // but survive to take the relaxed end, not die. (Input adapted: our
+    // strict loop also binds entry contiguity — nextOneOrMore — so the
+    // reference's leading d gap is dropped; the gap under test is the
+    // one INSIDE the loop.)
+    val p = Cep.Pattern.begin[Tick]("start", isC)
+      .nextOneOrMore("middle", isA)
+      .followedBy("end", isB)
+    val ms = run(cadb("SO", 10, 51, 52, 53, 150, 54, 200), p,
+      Cep.SkipStrategy.NoSkip)
+    assert(ms.size == 1, s"greedy consecutive loop emits the maximal only: $ms")
+    assert(ms.head.steps("middle").map(_.price) == Seq(51.0, 52.0, 53.0),
+      "a4 must NOT join: consecutiveness broke at the d gap")
+    assert(ms.head.steps("end").map(_.price) == Seq(200.0))
+  }
+
+  test("NFAITCase testSkipTillNextOneOrMore (2882): relaxed loop skips gaps; " +
+      "greedy emits Flink's maximal, not the prefix set") {
+    // Flink default (eager, non-greedy) emits 4 prefix matches
+    // {c a1 b, c a1a2 b, c a1a2a3 b, c a1a2a3a4 b}; deviation 1 (no
+    // skip-this-event/proceed branch) means our greedy loop emits only
+    // the maximal — pinned here with the reference-derived expectation.
+    val p = Cep.Pattern.begin[Tick]("start", isC)
+      .followedByOneOrMore("middle", isA)
+      .followedBy("end", isB)
+    val ms = run(oneOrMoreInput("SN"), p, Cep.SkipStrategy.NoSkip)
+    assert(ms.size == 1)
+    assert(ms.head.steps("middle").map(_.price) == Seq(51.0, 52.0, 53.0, 54.0),
+      "relaxed loop skips BOTH d gaps and takes a4")
+  }
+
+  test("NFAITCase testSkipTillAnyOneOrMore (2914): allowCombinations subsets " +
+      "are out of scope — pinned deviation") {
+    // Flink SKIP_TILL_ANY emits all 8 subsets containing a1. Our NFA has
+    // no skip-this-event branch inside loops (deviation 1, bounded
+    // state), so the subset family {c a1 a3 b, c a1 a2 a4 b, ...} is
+    // unreachable: the single maximal match stands in for the family.
+    val p = Cep.Pattern.begin[Tick]("start", isC)
+      .followedByOneOrMore("middle", isA)
+      .followedBy("end", isB)
+    val ms = run(oneOrMoreInput("SA"), p, Cep.SkipStrategy.NoSkip)
+    assert(ms.map(_.steps("middle").map(_.price)) ==
+      Seq(Seq(51.0, 52.0, 53.0, 54.0)),
+      "subsets like (a1,a3) must NOT appear — and neither may duplicates")
+  }
+
+  test("NFAITCase testEagerZeroOrMore (1014): optional loop taken maximally; " +
+      "the skip-the-loop branch is not enumerated") {
+    // input c a1 a2 d a3 b; Flink emits {c a1a2a3 b, c a1a2 b, c a1 b, c b}.
+    // Ours: the maximal {c a1a2a3 b}. The {c b} variant (loop skipped
+    // entirely) is part of the same proceed-branch family (deviation 1).
+    val p = Cep.Pattern.begin[Tick]("start", isC)
+      .followedByOneOrMore("middle", isA).optional
+      .followedBy("end", isB)
+    val ms = run(cadb("EZ", 10, 51, 52, 150, 53, 200), p,
+      Cep.SkipStrategy.NoSkip)
+    assert(ms.size == 1)
+    assert(ms.head.steps("middle").map(_.price) == Seq(51.0, 52.0, 53.0))
+    // but when NO loop event exists, the optional loop IS skipped:
+    val skipped = run(cadb("EZ2", 10, 150, 200), p, Cep.SkipStrategy.NoSkip)
+    assert(skipped.size == 1 && skipped.head.steps("middle").isEmpty)
+  }
+
+  test("NFAITCase testEndWithOneOrMore (2317): reluctant trailing loop " +
+      "reproduces Flink's eager prefix emission exactly") {
+    // input c a1 a2 a3; Flink (eager oneOrMore) emits {c a1},
+    // {c a1 a2}, {c a1 a2 a3}. A trailing loop grows at the stream
+    // head, so our RELUCTANT mode emits completions as it grows —
+    // identical output to the reference here (no deviation).
+    val p = Cep.Pattern.begin[Tick]("start", isC)
+      .followedByOneOrMore("middle", isA).reluctant
+    val ms = run(cadb("EO", 10, 51, 52, 53), p, Cep.SkipStrategy.NoSkip)
+    assert(ms.map(_.steps("middle").map(_.price)).toSet ==
+      Set(Seq(51.0), Seq(51.0, 52.0), Seq(51.0, 52.0, 53.0)))
+  }
+
+  test("within-expiry applies the after-match skip strategy to expired " +
+      "greedy completables (a+ within w)") {
+    // a1 a2 then a much-later event: partials [a1,a2] and [a2] expire
+    // together. SkipPastLastEvent must emit ONLY [a1,a2]; the
+    // overlapping suffix [a2] is skipped (it surfaces as a timed-out
+    // partial, not a match).
+    val p = Cep.Pattern.begin[Tick]("a", isA).timesOrMore(1).within(5000)
+    val late = Seq(Tick("WX", 51, ts(0)), Tick("WX", 52, ts(1)),
+      Tick("WX", 300, ts(60)))
+    val ms = run(late, p, Cep.SkipStrategy.SkipPastLastEvent)
+    assert(ms.map(_.steps("a").map(_.price)) == Seq(Seq(51.0, 52.0)),
+      s"suffix [a2] must be pruned by SkipPastLastEvent, got $ms")
+    // NoSkip keeps both expired matches
+    val both = run(Seq(Tick("WY", 51, ts(0)), Tick("WY", 52, ts(1)),
+      Tick("WY", 300, ts(60))), p, Cep.SkipStrategy.NoSkip)
+    assert(both.map(_.steps("a").map(_.price)).toSet ==
+      Set(Seq(51.0, 52.0), Seq(52.0)))
+    // and runWithTimeouts surfaces the pruned suffix as timed-out
+    qn += 1
+    val name = s"cep_out_$qn"
+    val in = MemoryStream[Tick]
+    val q = Cep.runWithTimeouts(in.toDS(), p,
+        Cep.SkipStrategy.SkipPastLastEvent)(_.symbol, _.ts.getTime)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    in.addData(Tick("WZ", 51, ts(0)), Tick("WZ", 52, ts(1)),
+      Tick("WZ", 300, ts(60)))
+    q.processAllAvailable()
+    q.stop()
+    val rs = spark.table(name).as[Cep.MatchResult[String, Tick]](
+      org.apache.spark.sql.Encoders.kryo[Cep.MatchResult[String, Tick]])
+      .collect().toSeq
+    val (timedOut, matched) = rs.partition(_.timed_out)
+    assert(matched.map(_.steps("a").map(_.price)) == Seq(Seq(51.0, 52.0)))
+    assert(timedOut.map(_.steps("a").map(_.price)) == Seq(Seq(52.0)))
+  }
 }
