@@ -129,6 +129,24 @@ object StreamingDemo {
     println("LeftOuter changelog join: " +
       spark.table("demo_loj").collect().mkString(", "))
 
+    // --- Changelog semi/anti join (streaming EXISTS / NOT EXISTS) ---
+    val saL = MemoryStream[(String, Long, String)]
+    val saR = MemoryStream[(String, Long, String)]
+    val antiQ = ChangelogJoin.anti(saL.toDS(), saR.toDS())(
+        _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(dlt => (dlt.row_kind, dlt.left._3))
+      .toDF("kind", "l")
+      .writeStream.format("memory").queryName("demo_anti")
+      .outputMode("update").start()
+    saL.addData(("+I", 9L, "event#9")) // not on the allowlist yet -> +I
+    antiQ.processAllAvailable()
+    saR.addData(("+I", 9L, "allow#9")) // allowlisted -> retract it
+    antiQ.processAllAvailable()
+    saR.addData(("-D", 9L, "allow#9")) // de-listed -> it comes back
+    antiQ.processAllAvailable(); antiQ.stop()
+    println("Anti changelog join: " +
+      spark.table("demo_anti").collect().mkString(", "))
+
     // --- Streaming rowtime temporal (as-of) join --------------------
     val rateIn = MemoryStream[Tick] // versioned side: price = rate
     val orderIn = MemoryStream[Tick] // probe side

@@ -221,6 +221,106 @@ object ChangelogJoin {
       }
   }
 
+  /** Output row of the semi/anti variants: the LEFT row only, tagged
+    * with the emission kind (+I / -D; like the other variants, update
+    * kinds are normalized to insert/delete). */
+  case class SemiDelta[L](row_kind: String, left: L)
+
+  /** Streaming changelog SEMI join — `WHERE key IN (subquery stream)` /
+    * `WHERE EXISTS` (reference OP/join/stream/
+    * StreamingSemiAntiJoinOperator.java:34, planned by
+    * StreamExecJoin.java:71): a left row is live in the output while
+    * the right side holds AT LEAST ONE row for its key.
+    *
+    *  - left +I with right matches present -> +I(left); left retract
+    *    while matched -> -D(left) (unmatched left rows move silently)
+    *  - right transition 0->1 rows -> +I for every stored left row;
+    *    1->0 -> -D for every stored left row; transitions that stay
+    *    above zero (1->2, 2->1) emit NOTHING — exactly the reference's
+    *    numOfAssociations == 0 / == 1 gates. */
+  def semi[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[SemiDelta[L]] =
+    semiAnti(isAnti = false, left, right)(
+      lKey, lKind, lId, rKey, rKind, rId, lSeq, rSeq, ttlMs)
+
+  /** Streaming changelog ANTI join — `WHERE key NOT IN (...)` /
+    * `WHERE NOT EXISTS`: a left row is live in the output while the
+    * right side holds NO row for its key ("events whose key is absent
+    * from the retracting allowlist stream"). Mirrors [[semi]]: right
+    * 0->1 retracts every stored left row, 1->0 re-emits them. */
+  def anti[K: Encoder, L: Encoder, R: Encoder](
+      left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long = (_: L) => 0L,
+      rSeq: R => Long = (_: R) => 0L,
+      ttlMs: Option[Long] = None): Dataset[SemiDelta[L]] =
+    semiAnti(isAnti = true, left, right)(
+      lKey, lKind, lId, rKey, rKind, rId, lSeq, rSeq, ttlMs)
+
+  private def semiAnti[K: Encoder, L: Encoder, R: Encoder](
+      isAnti: Boolean, left: Dataset[L], right: Dataset[R])(
+      lKey: L => K, lKind: L => String, lId: L => Any,
+      rKey: R => K, rKind: R => String, rId: R => Any,
+      lSeq: L => Long, rSeq: R => Long,
+      ttlMs: Option[Long]): Dataset[SemiDelta[L]] = {
+    implicit val envEnc: Encoder[Env[L, R]] = Encoders.kryo[Env[L, R]]
+    implicit val stEnc: Encoder[JoinState[L, R]] = Encoders.kryo[JoinState[L, R]]
+    implicit val outEnc: Encoder[SemiDelta[L]] = Encoders.kryo[SemiDelta[L]]
+
+    val unioned = left.map(l => Env[L, R](Some(l), None))
+      .union(right.map(r => Env[L, R](None, Some(r))))
+
+    unioned.groupByKey(e => e.left.map(lKey).getOrElse(rKey(e.right.get)))
+      .flatMapGroupsWithState[JoinState[L, R], SemiDelta[L]](
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
+        (k: K, rows: Iterator[Env[L, R]], state: GroupState[JoinState[L, R]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
+          var st = state.getOption.getOrElse(JoinState[L, R](Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[SemiDelta[L]]()
+          sortBySeq(rows, lSeq, rSeq).foreach {
+            case Env(Some(l), _) =>
+              val add = lKind(l) == StreamOps.Insert ||
+                lKind(l) == StreamOps.UpdateAfter
+              // semi emits when matched, anti when unmatched — with the
+              // input's accumulate/retract polarity (reference
+              // processElement1 pseudo code)
+              if (st.rights.nonEmpty != isAnti)
+                out += SemiDelta(
+                  if (add) StreamOps.Insert else StreamOps.Delete, l)
+              st =
+                if (add) st.copy(lefts = l :: st.lefts)
+                else st.copy(lefts = removeOneBy(st.lefts)(x => lId(x) == lId(l)))
+            case Env(_, Some(r)) =>
+              val add = rKind(r) == StreamOps.Insert ||
+                rKind(r) == StreamOps.UpdateAfter
+              val before = st.rights.size
+              st =
+                if (add) st.copy(rights = r :: st.rights)
+                else st.copy(rights = removeOneBy(st.rights)(x => rId(x) == rId(r)))
+              // only the 0<->1 transitions flip the membership predicate
+              // for the stored left rows (processElement2 pseudo code);
+              // 1->2 / 2->1 emit nothing
+              if (add && before == 0)
+                st.lefts.foreach(l => out += SemiDelta(
+                  if (isAnti) StreamOps.Delete else StreamOps.Insert, l))
+              else if (!add && before == 1 && st.rights.isEmpty)
+                st.lefts.foreach(l => out += SemiDelta(
+                  if (isAnti) StreamOps.Insert else StreamOps.Delete, l))
+            case _ =>
+          }
+          if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+          else { state.update(st); Ttl.arm(state, ttlMs) }
+          out.iterator
+          }
+      }
+  }
+
   /** Right-outer variant: the exact mirror of [[leftOuter]] — unmatched
     * RIGHT rows get the None-padding lifecycle (reference
     * OuterJoinRecordStateView handles all four shapes symmetrically). */

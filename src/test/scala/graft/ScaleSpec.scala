@@ -224,6 +224,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == Seq(("+I", "l1", "r1"), ("-D", "l1", "r1")))
   }
 
+  test("ChangelogJoin.semi: left rows live across right 0<->1 transitions only") {
+    val lIn = MemoryStream[(String, Long, String)]
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.semi(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind, d.left._3))
+      .toDF("kind", "l")
+    val q = joined.writeStream.format("memory").queryName("clsemi")
+      .outputMode("update").start()
+    lIn.addData(("+I", 1L, "l1")) // no right match -> silent
+    q.processAllAvailable()
+    rIn.addData(("+I", 1L, "r1")) // 0->1: emit +I l1
+    q.processAllAvailable()
+    rIn.addData(("+I", 1L, "r2")) // 1->2: NOTHING
+    q.processAllAvailable()
+    rIn.addData(("-D", 1L, "r2")) // 2->1: NOTHING
+    q.processAllAvailable()
+    lIn.addData(("+I", 1L, "l2")) // arrives matched -> +I l2
+    q.processAllAvailable()
+    lIn.addData(("-D", 1L, "l2")) // retract while matched -> -D l2
+    q.processAllAvailable()
+    rIn.addData(("-D", 1L, "r1")) // 1->0: -D l1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clsemi").as[(String, String)].collect().toSeq
+    assert(got == Seq(("+I", "l1"), ("+I", "l2"), ("-D", "l2"), ("-D", "l1")))
+  }
+
+  test("ChangelogJoin.anti: emit while unmatched; allowlist retraction re-emits") {
+    val lIn = MemoryStream[(String, Long, String)]
+    val rIn = MemoryStream[(String, Long, String)]
+    val joined = ChangelogJoin.anti(lIn.toDS(), rIn.toDS())(
+      _._2, _._1, _._3, _._2, _._1, _._3)
+      .map(d => (d.row_kind, d.left._3))
+      .toDF("kind", "l")
+    val q = joined.writeStream.format("memory").queryName("clanti")
+      .outputMode("update").start()
+    lIn.addData(("+I", 1L, "l1")) // unmatched -> +I l1
+    q.processAllAvailable()
+    rIn.addData(("+I", 1L, "r1")) // 0->1: retract l1
+    q.processAllAvailable()
+    lIn.addData(("+I", 1L, "l2")) // arrives matched -> silent
+    q.processAllAvailable()
+    rIn.addData(("-D", 1L, "r1")) // 1->0: re-emit both lefts
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clanti").as[(String, String)].collect().toSeq
+    assert(got.take(2) == Seq(("+I", "l1"), ("-D", "l1")))
+    assert(got.drop(2).toSet == Set(("+I", "l1"), ("+I", "l2")))
+  }
+
   test("PrefixSum handles 10k distinct groups (no driver-side subtotal scan)") {
     import graft.ext.PrefixSum
     import org.apache.spark.sql.expressions.Window
