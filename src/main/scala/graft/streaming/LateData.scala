@@ -55,6 +55,7 @@ object LateData {
         // explicitly so no row vanishes from both sinks
         val late = cached.filter(tsMillis < wm || tsMillis.isNull)
         if (!late.isEmpty) write(late, id, latePath)
+        else clearStalePartition(batch, id, latePath)
         val mx = cached.agg(max(tsMillis)).head()
         if (!mx.isNullAt(0))
           maxSeen.getAndUpdate(m => math.max(m, mx.getLong(0)))
@@ -62,4 +63,122 @@ object LateData {
       ()
     }
   }
+
+  // Replay safety: after a query RESTART the driver-side tracker resets,
+  // so a replayed batch may classify nothing as late while the previous
+  // run's `__batch=<id>` late partition still exists — the same row
+  // would then live in both sinks. Dynamic overwrite never touches a
+  // partition absent from the data, so an empty late set must clear the
+  // stale partition explicitly (cheap: one FS existence check).
+  private def clearStalePartition(batch: DataFrame, id: Long,
+      path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/__batch=$id")
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  /** Windowed aggregation with ALLOWED LATENESS refinement (reference
+    * flink-streaming-java .../datastream/WindowedStream.java:108
+    * `allowedLateness(Time)`): Flink keeps a window's state alive for
+    * `latenessMs` past the watermark and RE-FIRES an updated result
+    * when a late row lands inside the horizon. Spark's built-in
+    * windowed agg silently drops those rows, so this operator maintains
+    * the window results itself in a keyed parquet snapshot (the
+    * [[Sinks.upsert]] bucket layout) and merges each micro-batch's
+    * partial aggregates additively:
+    *
+    *  - rows with ts >= watermark - lateness merge into their window's
+    *    row (count/sums are additive, so the merged row equals the agg
+    *    over all accepted rows) — a late row UPDATES the already-
+    *    emitted window, Flink's re-fire;
+    *  - rows older than the horizon are dropped from the result exactly
+    *    like Flink's beyond-lateness drop (route them with
+    *    [[sideOutputLate]] upstream if they must be kept).
+    *
+    * The snapshot at `resultPath` holds one row per (window_start,
+    * keys): window_start, window_end, keys..., `cnt`, sum_<c> per
+    * `sumCols`. Retried micro-batches are NOT re-merged: the last
+    * merged batch id is recorded in `resultPath/_last_batch` and
+    * replays of it are skipped (additive merges are not idempotent,
+    * so the marker provides the exactly-once gate). */
+  def refiningWindowAgg(stream: DataFrame, tsCol: String, windowSize: String,
+      delayMs: Long, latenessMs: Long, keys: Seq[String],
+      sumCols: Seq[String], resultPath: String,
+      buckets: Int = 16): DataStreamWriter[Row] = {
+    require(delayMs >= 0 && latenessMs >= 0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val tsMillis = unix_millis(col(tsCol).cast("timestamp"))
+    val aggCols = Seq("cnt") ++ sumCols.map(c => s"sum_$c")
+    val markerPath = new org.apache.hadoop.fs.Path(s"$resultPath/_last_batch")
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val fs = markerPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val lastMerged =
+        if (!fs.exists(markerPath)) Long.MinValue
+        else {
+          val buf = new Array[Byte](fs.getFileStatus(markerPath).getLen.toInt)
+          val in = fs.open(markerPath)
+          try in.readFully(buf) finally in.close()
+          new String(buf, "UTF-8").trim.toLong
+        }
+      if (id > lastMerged) {
+        val wm = maxSeen.get() match {
+          case Long.MinValue => Long.MinValue
+          case mx => mx - delayMs
+        }
+        val horizon = if (wm == Long.MinValue) Long.MinValue
+          else wm - latenessMs
+        val cached = batch.cache()
+        try {
+          val accepted = cached.filter(tsMillis >= horizon)
+          val delta = accepted
+            .groupBy(window(col(tsCol).cast("timestamp"), windowSize).as("__w")
+              +: keys.map(col): _*)
+            .agg(count(lit(1)).as("cnt"),
+              sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+            .select(Seq(col("__w.start").as("window_start"),
+              col("__w.end").as("window_end")) ++
+              keys.map(col) ++ aggCols.map(col): _*)
+          if (!delta.isEmpty) {
+            val bucketOf = pmod(xxhash64(col("window_start")),
+              lit(buckets.toLong)).cast("int")
+            val newRows = delta.withColumn("__bucket", bucketOf)
+            val touched = newRows.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val existing =
+              try Some(spark.read.parquet(resultPath)
+                .withColumn("__bucket", col("__bucket").cast("int"))
+                .filter(col("__bucket").isin(touched: _*)))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" ||
+                      e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+                      e.getMessage.contains("Path does not exist") => None
+              }
+            val merged = existing.map(_.unionByName(newRows)).getOrElse(newRows)
+              .groupBy(Seq(col("window_start"), col("window_end")) ++
+                keys.map(col) :+ col("__bucket"): _*)
+              .agg(sum(col(aggCols.head)).as(aggCols.head),
+                aggCols.tail.map(c => sum(col(c)).as(c)): _*)
+              .transform(graft.ext.Materialize.pin)
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket").parquet(resultPath)
+          }
+          val mx = cached.agg(max(tsMillis)).head()
+          if (!mx.isNullAt(0))
+            maxSeen.getAndUpdate(m => math.max(m, mx.getLong(0)))
+        } finally { cached.unpersist(); () }
+        val outS = fs.create(markerPath, true)
+        try outS.write(id.toString.getBytes("UTF-8")) finally outS.close()
+      }
+      ()
+    }
+  }
+
+  /** Read a [[refiningWindowAgg]] snapshot without the bucket column. */
+  def readRefined(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
 }

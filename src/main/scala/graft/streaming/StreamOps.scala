@@ -33,6 +33,57 @@ object StreamOps {
   def dropUpdateBefore(df: DataFrame): DataFrame =
     df.filter(col(RowKind) =!= UpdateBefore)
 
+  /** Internal marker column added by [[withIdleKeepalive]]. */
+  val KeepaliveCol = "__keepalive"
+
+  /** Watermark-idleness keepalive (reference flink-core
+    * .../eventtime/WatermarksWithIdleness.java): Spark's watermark only
+    * advances when events flow, so one silent source in a union (or a
+    * quiet topic) stalls every event-time window in the query forever.
+    * Flink solves this by marking idle sources and excluding them from
+    * the watermark; Spark has no per-source idleness hook, so this
+    * operator injects wall-clock KEEPALIVE rows from a rate source
+    * unioned into the stream: the watermark then tracks processing time
+    * whenever the real sources are quiet.
+    *
+    * Apply BEFORE `withWatermark` (the keepalive rows must flow through
+    * the watermark node), then strip them with [[dropKeepalives]] before
+    * the aggregation so they never count. The keepalive carries the
+    * current processing time in `tsCol` and null everywhere else.
+    *
+    * Trade-off (identical to Flink's idleness marking): once the
+    * watermark has advanced on keepalives, genuinely late events from
+    * the quiet source are late — bound their tolerance with the normal
+    * watermark delay. */
+  def withIdleKeepalive(df: DataFrame, tsCol: String,
+      rowsPerSecond: Int = 1): DataFrame = {
+    val rate = df.sparkSession.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    val shaped = df.schema.fields.map { f =>
+      if (f.name == tsCol) col("timestamp").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.withColumn(KeepaliveCol, lit(false))
+      .unionByName(rate.select(shaped.toIndexedSeq: _*)
+        .withColumn(KeepaliveCol, lit(true)))
+  }
+
+  /** Strip [[withIdleKeepalive]] rows after the watermark node, before
+    * any aggregation.
+    *
+    * The predicate is deliberately marked non-deterministic: a plain
+    * `!__keepalive` filter references neither the event-time column nor
+    * anything else the optimizer must respect, so Catalyst pushes it
+    * THROUGH the EventTimeWatermark node and into the union branches —
+    * the keepalive branch constant-folds to an empty scan and its rows
+    * never reach the watermark statistics, silently disabling the whole
+    * mechanism. Non-deterministic predicates are never pushed, so the
+    * filter stays above the watermark node where it belongs. */
+  def dropKeepalives(df: DataFrame): DataFrame = {
+    val notKeepalive = udf((k: Boolean) => !k).asNondeterministic()
+    df.filter(notKeepalive(col(KeepaliveCol))).drop(KeepaliveCol)
+  }
+
   /** Tumbling-window streaming aggregation under a watermark (append
     * mode emits each window once, when the watermark passes its end). */
   def tumbleAgg(stream: DataFrame, tsCol: String, delay: String, size: String,

@@ -130,6 +130,36 @@ class SinksSpec extends AnyFunSuite {
     assert(late == Set(2L))
   }
 
+  test("allowedLateness refinement: a late row updates the already-emitted window") {
+    val base = Files.createTempDirectory("graft_refine").toString
+    val in = MemoryStream[Ev]
+    val q = graft.streaming.LateData.refiningWindowAgg(in.toDF(), "ts",
+      "1 minute", delayMs = 5000, latenessMs = 600000,
+      keys = Seq("user_id"), sumCols = Seq("value"), s"$base/result")
+      .queryName("refine1").start()
+    in.addData(Ev(1, ts("2024-01-01 00:00:10"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:20"), 7, "a", 2.0))
+    q.processAllAvailable() // window 00:00 emitted with cnt=2 sum=3
+    in.addData(Ev(3, ts("2024-01-01 00:05:00"), 8, "b", 5.0))
+    q.processAllAvailable() // watermark -> 00:04:55: window 00:00 is closed
+    // late row BEHIND the watermark but inside the 10-min lateness
+    // horizon: must RE-FIRE window 00:00 with the corrected aggregate
+    in.addData(Ev(4, ts("2024-01-01 00:00:30"), 7, "a", 10.0))
+    q.processAllAvailable()
+    in.addData(Ev(5, ts("2024-01-01 00:30:00"), 9, "c", 0.0))
+    q.processAllAvailable() // watermark -> 00:29:55, horizon -> 00:19:55
+    // beyond the lateness horizon: dropped, exactly like Flink
+    in.addData(Ev(6, ts("2024-01-01 00:00:40"), 7, "a", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val res = graft.streaming.LateData.readRefined(spark, s"$base/result")
+      .filter($"user_id" === 7)
+      .select($"window_start".cast("string"), $"cnt", $"sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(res == Seq(("2024-01-01 00:00:00", 3L, 13.0)),
+      s"late row must merge (1+2+10), beyond-lateness row must not: $res")
+  }
+
   test("lookup retry does not retry an interrupt and restores the flag") {
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val f = Lookup.withRetry(Lookup.RetryPolicy(maxAttempts = 3, delayMs = 0)) {

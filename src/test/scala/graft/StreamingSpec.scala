@@ -635,4 +635,35 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table(name).as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L))) // click at 00:05 is outside the 30-min window
   }
+
+  test("withIdleKeepalive: event-time windows close while every real source is idle") {
+    // Two-source union, one source NEVER produces and the other goes
+    // quiet after two events. Without keepalives the watermark freezes
+    // at (base+1s - 1s) and the window stays open forever — the exact
+    // stall WatermarksWithIdleness exists to break.
+    val active = MemoryStream[Ev]
+    val silent = MemoryStream[Ev]
+    val name = nextName()
+    val unioned = active.toDF().unionByName(silent.toDF())
+    val agg = StreamOps.dropKeepalives(
+        StreamOps.withIdleKeepalive(unioned, "ts", rowsPerSecond = 10)
+          .withWatermark("ts", "1 second"))
+      .groupBy(window($"ts", "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val base = System.currentTimeMillis() - 60000L // a minute in the past
+    active.addData(Ev(1, new Timestamp(base), 1, "a", 1.0),
+      Ev(2, new Timestamp(base + 1000), 1, "a", 2.0))
+    // no processAllAvailable: the rate keepalive feeds batches on its
+    // own; poll the sink until the window emits (or a 60s deadline)
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table(name).isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
+    val rows = spark.table(name).select($"n").as[Long].collect()
+    assert(rows.nonEmpty,
+      "window never closed: keepalives did not advance the watermark")
+    assert(rows.sum == 2, "keepalive rows must not be counted")
+  }
 }
