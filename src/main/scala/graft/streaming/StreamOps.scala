@@ -242,6 +242,20 @@ object StreamOps {
     CountWindows.firstN(ds, n)((_: T) => true)
   }
 
+  /** Streaming PROCTIME sort (SURVEY §2.8; reference
+    * StreamExecTemporalSort.java proctime branch / ProcTimeSortOperator):
+    * Flink buffers rows per processing-time tick and emits each tick's
+    * buffer sorted on the secondary keys. A Spark micro-batch IS the
+    * proctime tick, so the operator is: per batch, deliver rows in
+    * (batch, sort-key) order. `deliver` receives each batch already
+    * sorted — e.g. append it to a sink that preserves insertion order.
+    * (Event-time sort is the separate [[EventTimeSort]] operator.) */
+  def procTimeSorted(stream: DataFrame, order: Seq[Column])(
+      deliver: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      deliver(batch.orderBy(order: _*)); ()
+    }
+
   /** Stream-stream interval join: right rows within [leftTs - before,
     * leftTs + after] on equal keys. Both sides MUST carry watermarks so
     * Spark can GC join state (same bound Flink derives in

@@ -636,6 +636,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L))) // click at 00:05 is outside the 30-min window
   }
 
+  test("procTimeSorted delivers each micro-batch sorted on the secondary keys") {
+    val in = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = StreamOps.procTimeSorted(in.toDF(), Seq($"value".asc, $"event_id".asc)) {
+      b => got.synchronized {
+        got += b.select($"event_id").as[Long].collect().toSeq; ()
+      }
+    }.start()
+    in.addData( // arrival order 3,1,2 within one proctime tick
+      Ev(3, ts("2024-01-01 00:00:03"), 1, "a", 30.0),
+      Ev(1, ts("2024-01-01 00:00:01"), 1, "a", 10.0),
+      Ev(2, ts("2024-01-01 00:00:02"), 1, "a", 20.0))
+    q.processAllAvailable()
+    in.addData(Ev(5, ts("2024-01-01 00:00:05"), 1, "a", 50.0),
+      Ev(4, ts("2024-01-01 00:00:04"), 1, "a", 40.0))
+    q.processAllAvailable()
+    q.stop()
+    // each tick's buffer emitted sorted; ticks keep arrival order
+    assert(got.filter(_.nonEmpty).toSeq == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
+  test("file source: offset state is exactly-once across restarts (Kafka-offset analog)") {
+    // The reference's connector tests pin offset checkpointing +
+    // exactly-once delivery (KafkaSource.java:87). No broker exists in
+    // this container, but Spark's FILE source exercises the identical
+    // contract — source offsets (seen-files log) live in the
+    // checkpoint, the sink commit log dedups replays — so this test
+    // closes the semantics claim on the same readStream path a Kafka
+    // config would use.
+    val inDir = java.nio.file.Files.createTempDirectory("graft_fsrc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsrc_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsrc_out").toString
+    def feed(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def hop(): Unit = {
+      val src = spark.readStream
+        .schema("id LONG, v STRING").parquet(inDir)
+      val q = src.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000); q.stop()
+    }
+    feed((1L, "a"), (2L, "b"))
+    hop() // run 1 processes the first two files
+    feed((3L, "c")) // arrives while the query is "down"
+    hop() // restart from the SAME checkpoint: only the new file
+    hop() // replay with nothing new: must add nothing
+    val out = spark.read.parquet(outDir).select($"id").as[Long].collect().toSeq
+    assert(out.sorted == Seq(1L, 2L, 3L),
+      s"each row exactly once across restarts, got $out")
+  }
+
   test("withIdleKeepalive: event-time windows close while every real source is idle") {
     // Two-source union, one source NEVER produces and the other goes
     // quiet after two events. Without keepalives the watermark freezes
