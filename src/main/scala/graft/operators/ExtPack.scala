@@ -263,14 +263,18 @@ object ExtPack extends QueryPack {
       val c = emb.select($"vec_id", $"embedding".cast("array<double>").as("e2"))
       val qp = probes.select($"vec_id".as("q_id"),
         $"embedding".cast("array<double>").as("qe2"))
-      val truth = TopN(
+      // pin: truth and the candidate set each feed two consumers
+      // (hits + the count aggregates) — without it the brute-force
+      // scan and the whole IVF pipeline would run twice
+      val truth = graft.ext.Materialize.pin(TopN(
         c.join(broadcast(qp), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
             round(VectorOps.cosine($"qe2", $"e2"), 6).as("tsim")),
         Seq($"q_id"), Seq($"tsim".desc, $"vec_id".asc), 5)
-        .select($"q_id", $"vec_id")
-      val cand = VectorOps.ivfCandidatesMulti(emb, probes, "cell",
-        rounds = 1, a = 3, nProbe = 5)
+        .select($"q_id", $"vec_id"))
+      val cand = graft.ext.Materialize.pin(
+        VectorOps.ivfCandidatesMulti(emb, probes, "cell",
+          rounds = 1, a = 3, nProbe = 5))
       val scored = cand.select($"q_id", $"vec_id",
         round(VectorOps.cosine($"qe", $"e"), 6).as("sim"))
       val got = TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)

@@ -27,6 +27,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_hash_split", "q_stratified_sample", "q_pii_scrub", "q_winnowing",
     "q_embedding_quant")
 
+  // The LSH dedup rewrite: per-bucket minima via a window, not a
+  // persist + groupBy + re-join. The md5-heavy banded explode must
+  // appear EXACTLY once in the plan (single evaluation) and nothing
+  // may be registered in the session cache.
+  test("q_minhash_lsh: banded signatures computed once, nothing cached") {
+    val plan = SparkEntry.queries("q_minhash_lsh")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"LSH dedup must not leave cache entries:\n$plan")
+    val generates = "Generate posexplode".r.findAllIn(plan).length
+    assert(generates == 1,
+      s"banded explode must be evaluated exactly once, found $generates:\n$plan")
+  }
+
   // Bounded-shuffle operators: exactly one exchange (the top-k window
   // partitioned by source). WindowGroupLimit must appear so map tasks
   // pre-trim to k rows before that shuffle.
