@@ -61,18 +61,23 @@ object ConnectedComponents {
     while (!converged && round < maxRounds) {
       // (a) each neighbor of b offers b's current label to a
       val viaEdge = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("lbl"))
+        .select(sym("a").as("id"), col("lbl"), lit(false).as("is_self"))
       // (b) pointer doubling: a node also takes its label's label,
       // halving remaining chain lengths every round
       val viaParent = labels.toDF("id", "mid")
         .join(labels.toDF("pid", "plbl"), col("mid") === col("pid"))
-        .select(col("id"), col("plbl").as("lbl"))
-      val next = Materialize.pin(viaEdge.union(viaParent).union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl")))
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("id"), col("plbl").as("lbl"), lit(false).as("is_self"))
+      // the node's own current label rides through the union tagged
+      // is_self, so the SAME aggregation that computes the new label
+      // also yields the previous one — convergence is then a filter
+      // over the pinned result instead of an extra per-round join
+      val nextPrev = Materialize.pin(
+        viaEdge.union(viaParent)
+          .union(labels.select(col("id"), col("lbl"), lit(true).as("is_self")))
+          .groupBy("id").agg(min("lbl").as("lbl"),
+            min(when(col("is_self"), col("lbl"))).as("prev")))
+      converged = nextPrev.filter(col("lbl") < col("prev")).isEmpty
+      labels = nextPrev.select(col("id"), col("lbl"))
       round += 1
     }
     sym.unpersist()
