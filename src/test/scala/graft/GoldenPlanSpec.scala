@@ -28,7 +28,10 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q9", "q_tpch_q2",
     // decontamination must stay map-side on the corpus (benchmark set
     // broadcast as one row; no corpus shuffle, no lambda-inlined split)
-    "q_decontamination")
+    "q_decontamination",
+    // LSH dedup must keep the single-pass window shape: one banded
+    // explode, bucket-min via window, no cache, no pair self-join
+    "q_minhash_lsh")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
