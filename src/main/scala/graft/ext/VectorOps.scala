@@ -25,18 +25,30 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine with pre-computed norms: `dot(a, b) / (na * nb)`. In any
+    * many-to-many scoring join, inline [[cosine]] recomputes each
+    * side's norm once PER PAIR (a corpus vector scored against 64
+    * centroids pays its own norm 64 times); hoisting the norms into
+    * columns before the join makes scoring one dot product per pair.
+    * Bit-identical to [[cosine]] — the same float ops, just factored —
+    * so rounded comparisons and oracle hashes are unchanged. */
+  def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: q_id, vec_id, sim, rank_no. Queries are broadcast; corpus is
-    * scanned once. */
+    * scanned once, its norms computed once per row (not per pair). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("emb_n", l2norm(col("emb")))
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("q_emb"))
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_n", l2norm(col("q_emb")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("emb")).as("sim"))
+        cosinePre(col("q_emb"), col("q_n"), col("emb"), col("emb_n")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank_no", row_number().over(w).cast("long"))
@@ -81,10 +93,13 @@ object VectorOps {
       val cent = centroids(
         cur.select(col("cell"), col("e").as("embedding")), "cell")
       val scored = cur.select(col("vec_id"), col("e"))
+        .withColumn("en", l2norm(col("e"))) // once per vector, not per cell
         .crossJoin(broadcast(
-          cent.select(col("cell").as("c_cell"), col("centroid"))))
+          cent.select(col("cell").as("c_cell"), col("centroid"))
+            .withColumn("cn", l2norm(col("centroid")))))
         .select(col("vec_id"), col("e"), col("c_cell"),
-          round(cosine(col("e"), col("centroid")), 6).as("csim"))
+          round(cosinePre(col("e"), col("en"), col("centroid"), col("cn")), 6)
+            .as("csim"))
       cur = Materialize.pin(
         TopN(scored, Seq(col("vec_id")),
           Seq(col("csim").desc, col("c_cell").asc), 1)
@@ -94,9 +109,9 @@ object VectorOps {
   }
 
   /** The routing half of [[ivfTopK]]: each query's nProbe nearest
-    * cells by centroid cosine. Output: q_id, qe, cell. Exposed so
-    * recall/scan-fraction measurements probe EXACTLY the cells the
-    * search does. */
+    * cells by centroid cosine. Output: q_id, qe, qn (query norm), cell.
+    * Exposed so recall/scan-fraction measurements probe EXACTLY the
+    * cells the search does. */
   def ivfRoute(corpus: DataFrame, queries: DataFrame, cellCol: String,
       nProbe: Int): DataFrame =
     routeWith(centroids(corpus, cellCol), queries, nProbe)
@@ -105,13 +120,16 @@ object VectorOps {
       nProbe: Int): DataFrame = {
     import graft.operators.TopN
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qe"))
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", l2norm(col("qe")))
     TopN(
-      q.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("qe"), col("cell"),
-          round(cosine(col("qe"), col("centroid")), 6).as("csim")),
+      q.crossJoin(broadcast(
+          cent.withColumn("cn", l2norm(col("centroid")))))
+        .select(col("q_id"), col("qe"), col("qn"), col("cell"),
+          round(cosinePre(col("qe"), col("qn"), col("centroid"), col("cn")), 6)
+            .as("csim")),
       Seq(col("q_id")), Seq(col("csim").desc, col("cell").asc), nProbe)
-      .select(col("q_id"), col("qe"), col("cell"))
+      .select(col("q_id"), col("qe"), col("qn"), col("cell"))
   }
 
   /** Candidate set of the MULTI-ASSIGNED IVF search (the recall lever
@@ -124,7 +142,8 @@ object VectorOps {
     * centroids, each QUERY probes its `nProbe` nearest; a candidate is
     * any vector sharing at least one probed cell, deduplicated.
     * Scan cost per query ~= a * nProbe / cells of the corpus.
-    * Output: q_id, vec_id, qe, e (distinct). */
+    * Output: q_id, vec_id, qe, qn, e, en (distinct; the norm columns
+    * let consumers score with [[cosinePre]] — one dot per pair). */
   def ivfCandidatesMulti(corpus: DataFrame, queries: DataFrame,
       cellCol: String, rounds: Int, a: Int, nProbe: Int): DataFrame = {
     import graft.operators.TopN
@@ -136,16 +155,21 @@ object VectorOps {
     // redundant posting lists: each vector in its `a` nearest cells
     val postings = TopN(
       assigned.select(col("vec_id"), col("emb0"))
+        .withColumn("en", l2norm(col("emb0"))) // once per vector
         .crossJoin(broadcast(
-          cent.select(col("cell").as("pcell"), col("centroid"))))
-        .select(col("vec_id"), col("emb0"), col("pcell"),
-          round(cosine(col("emb0"), col("centroid")), 6).as("psim")),
+          cent.select(col("cell").as("pcell"), col("centroid"))
+            .withColumn("cn", l2norm(col("centroid")))))
+        .select(col("vec_id"), col("emb0"), col("en"), col("pcell"),
+          round(cosinePre(col("emb0"), col("en"), col("centroid"), col("cn")), 6)
+            .as("psim")),
       Seq(col("vec_id")), Seq(col("psim").desc, col("pcell").asc), a)
-      .select(col("vec_id"), col("pcell").as("cell"), col("emb0").as("e"))
+      .select(col("vec_id"), col("pcell").as("cell"),
+        col("emb0").as("e"), col("en"))
     routeWith(cent, queries, nProbe)
       .join(postings, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
+      .select(col("q_id"), col("vec_id"), col("qe"), col("qn"),
+        col("e"), col("en"))
       .distinct()
   }
 
@@ -159,7 +183,7 @@ object VectorOps {
     import graft.operators.TopN
     val cand = ivfCandidatesMulti(corpus, queries, cellCol, rounds, a, nProbe)
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qe"), col("e")), 6).as("sim"))
+        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")), 6).as("sim"))
     TopN(cand, Seq(col("q_id")), Seq(col("sim").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
   }
@@ -175,12 +199,13 @@ object VectorOps {
       nProbe: Int, k: Int): DataFrame = {
     import graft.operators.TopN
     val emb = corpus.select(col("vec_id"), col(cellCol).as("cell"),
-      col("embedding").cast("array<double>").as("e"))
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("en", l2norm(col("e")))
     val routed = ivfRoute(corpus, queries, cellCol, nProbe)
     val cand = routed.join(emb, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qe"), col("e")), 6).as("sim"))
+        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")), 6).as("sim"))
     TopN(cand, Seq(col("q_id")), Seq(col("sim").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
   }

@@ -211,11 +211,13 @@ object ExtPack extends QueryPack {
       import s.implicits._
       val emb = T.embeddings(s, d)
       val c = emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("en", VectorOps.l2norm($"e")) // once per row, not per probe
       val q = emb.filter($"vec_id" < 10).select(
-        $"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qe"))
+          $"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qe"))
+        .withColumn("qn", VectorOps.l2norm($"qe"))
       val scored = c.join(broadcast(q), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
-          round(VectorOps.cosine($"qe", $"e"), 6).as("sim"))
+          round(VectorOps.cosinePre($"qe", $"qn", $"e", $"en"), 6).as("sim"))
       TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)
         .select($"q_id", $"vec_id", $"sim", $"rank_no")
     }),
@@ -261,22 +263,25 @@ object ExtPack extends QueryPack {
       // truth via round-6 ordering (like q_embedding_topk), so the
       // DuckDB oracle reproduces the exact same neighbor sets
       val c = emb.select($"vec_id", $"embedding".cast("array<double>").as("e2"))
+        .withColumn("en2", VectorOps.l2norm($"e2"))
       val qp = probes.select($"vec_id".as("q_id"),
-        $"embedding".cast("array<double>").as("qe2"))
+          $"embedding".cast("array<double>").as("qe2"))
+        .withColumn("qn2", VectorOps.l2norm($"qe2"))
       // pin: truth and the candidate set each feed two consumers
       // (hits + the count aggregates) — without it the brute-force
       // scan and the whole IVF pipeline would run twice
       val truth = graft.ext.Materialize.pin(TopN(
         c.join(broadcast(qp), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
-            round(VectorOps.cosine($"qe2", $"e2"), 6).as("tsim")),
+            round(VectorOps.cosinePre($"qe2", $"qn2", $"e2", $"en2"), 6)
+              .as("tsim")),
         Seq($"q_id"), Seq($"tsim".desc, $"vec_id".asc), 5)
         .select($"q_id", $"vec_id"))
       val cand = graft.ext.Materialize.pin(
         VectorOps.ivfCandidatesMulti(emb, probes, "cell",
           rounds = 1, a = 3, nProbe = 5))
       val scored = cand.select($"q_id", $"vec_id",
-        round(VectorOps.cosine($"qe", $"e"), 6).as("sim"))
+        round(VectorOps.cosinePre($"qe", $"qn", $"e", $"en"), 6).as("sim"))
       val got = TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)
         .select($"q_id", $"vec_id")
       val hits = truth.join(got, Seq("q_id", "vec_id"), "left_semi")
