@@ -19,6 +19,7 @@ object SparkEntry {
     TemporalJoinPack,
     ExtPack,
     ExtPack2,
+    ExtPack3,
     SourceSinkPack,
     TypesPack,
     TpchPack,
