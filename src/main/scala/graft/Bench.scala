@@ -45,8 +45,16 @@ object Bench {
           errors(name) = l.left.toOption.orElse(r.left.toOption).get
           -1.0
       }
-      // isolation: drop anything this query left in the SQL cache
+      // isolation: drop anything this query left in the SQL cache AND
+      // any pinned localCheckpoint blocks (Materialize.pin) — catalog
+      // clearCache misses those, and 100+ queries' worth of orphaned
+      // blocks degrade the shared block manager enough to triple the
+      // later iterative queries' times. The result frames are never
+      // re-read after count(), so dropping their truncated-lineage
+      // blocks is safe here.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> timing
     }
     def esc(s: String): String =

@@ -15,23 +15,27 @@ object GraftFunctions {
   // SINGLE_VALUE (reference: flink-table-planner
   // .../functions/aggfunctions/SingleValueAggFunction.java) — returns the
   // group's only value, errors if the group has more than one row.
-  private case class SVBuf(var value: Double, var n: Long)
+  // NOT `private`: Scala private emits ACC_PRIVATE on the inner class,
+  // and janino then refuses the generated accessor calls ("No applicable
+  // constructor/method found ... candidates are: public double sv()"),
+  // silently dropping the whole agg stage to interpreted mode.
+  case class SVBuf(var sv: Double, var n: Long)
 
   private object SingleValueAgg extends Aggregator[Double, SVBuf, Double] {
     def zero: SVBuf = SVBuf(0.0, 0L)
     def reduce(b: SVBuf, a: Double): SVBuf = {
       if (b.n >= 1) throw new IllegalStateException(
         "SINGLE_VALUE: group has more than one row")
-      b.value = a; b.n += 1; b
+      b.sv = a; b.n += 1; b
     }
     def merge(x: SVBuf, y: SVBuf): SVBuf = {
       val n = x.n + y.n
       if (n > 1) throw new IllegalStateException(
         "SINGLE_VALUE: group has more than one row")
-      if (y.n > 0) { x.value = y.value }
+      if (y.n > 0) { x.sv = y.sv }
       x.n = n; x
     }
-    def finish(b: SVBuf): Double = b.value
+    def finish(b: SVBuf): Double = b.sv
     def bufferEncoder: Encoder[SVBuf] = Encoders.product[SVBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }

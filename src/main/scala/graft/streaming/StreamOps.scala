@@ -84,6 +84,55 @@ object StreamOps {
     df.filter(notKeepalive(col(KeepaliveCol))).drop(KeepaliveCol)
   }
 
+  /** Watermark alignment analog (reference flink-core
+    * .../eventtime/WatermarksWithWatermarkAlignment.java, FLIP-182): no
+    * row more than `maxDriftMs` ahead of the current event-time
+    * watermark is released downstream. Rows from a source running ahead
+    * of the group (union under the default min-watermark policy: the
+    * watermark is the SLOWEST source's) park in per-source state and a
+    * per-source event-time timer re-releases them as the watermark
+    * catches up — so a downstream operator never sees drift beyond the
+    * bound, exactly the alignment contract.
+    *
+    * Honest difference from Flink: alignment there pauses the SOURCE,
+    * so excess data waits in the broker; a micro-batch source cannot be
+    * paused per-partition from inside a query, so here the excess waits
+    * in this operator's state (bounded by drift-violating rows only —
+    * size it with the source's rate x expected drift). What it buys is
+    * the contract downstream: bounded event-time disorder for
+    * order-sensitive stateful ops, and a cap on how much early data
+    * per-window/per-join-key state must absorb.
+    *
+    * Apply AFTER `withWatermark` (the timer needs the event-time
+    * watermark). Released rows carry their original event times, which
+    * are `maxDriftMs`-bounded ahead of the watermark by construction —
+    * never late — so chained windows/joins accept them. */
+  def alignedRelease[T](ds: Dataset[T], maxDriftMs: Long)(
+      sourceOf: T => String, tsMillis: T => Long)(
+      implicit tEnc: Encoder[T]): Dataset[T] = {
+    implicit val bufEnc: Encoder[List[T]] =
+      org.apache.spark.sql.Encoders.kryo[List[T]]
+    implicit val strEnc: Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    ds.groupByKey(sourceOf)
+      .flatMapGroupsWithState[List[T], T](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[T], state: GroupState[List[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val all = state.getOption.getOrElse(Nil) ++ rows
+          val (release, park) = all.partition(t => tsMillis(t) <= wm + maxDriftMs)
+          if (park.isEmpty) state.remove()
+          else {
+            state.update(park)
+            // fire when the watermark reaches the earliest parked row's
+            // release point (must be strictly beyond the current wm)
+            state.setTimeoutTimestamp(
+              math.max(park.map(tsMillis).min - maxDriftMs, wm + 1))
+          }
+          release.iterator
+      }
+  }
+
   /** Tumbling-window streaming aggregation under a watermark (append
     * mode emits each window once, when the watermark passes its end). */
   def tumbleAgg(stream: DataFrame, tsCol: String, delay: String, size: String,

@@ -720,4 +720,42 @@ class StreamingSpec extends AnyFunSuite {
       "window never closed: keepalives did not advance the watermark")
     assert(rows.sum == 2, "keepalive rows must not be counted")
   }
+
+  test("alignedRelease: a source running ahead is parked until the " +
+      "min-policy watermark catches up within the drift bound") {
+    val slow = MemoryStream[Ev]
+    val fast = MemoryStream[Ev]
+    val name = nextName()
+    // separate watermarks per source; default multipleWatermarkPolicy
+    // = min, so the union's watermark is the SLOW source's
+    val unioned = slow.toDF().withWatermark("ts", "0 seconds")
+      .unionByName(fast.toDF().withWatermark("ts", "0 seconds"))
+      .as[Ev]
+    val aligned = StreamOps.alignedRelease(unioned, maxDriftMs = 60000L)(
+      _.event_type, _.ts.getTime)
+    val q = aligned.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def ids() = spark.table(name).select($"event_id").as[Long]
+      .collect().toSet
+
+    // fast source is an hour ahead of slow
+    slow.addData(Ev(1, ts("2024-01-01 00:00:10"), 1, "slow", 1.0))
+    fast.addData(Ev(2, ts("2024-01-01 01:00:00"), 2, "fast", 2.0))
+    q.processAllAvailable()
+    slow.addData(Ev(3, ts("2024-01-01 00:00:20"), 1, "slow", 1.0))
+    q.processAllAvailable()
+    assert(ids() == Set(1L, 3L),
+      s"fast row must stay parked while drift > 60s, got ${ids()}")
+
+    // slow source catches up to within the drift bound -> the parked
+    // fast row's event-time timer fires and releases it
+    slow.addData(Ev(4, ts("2024-01-01 00:59:30"), 1, "slow", 1.0))
+    q.processAllAvailable()
+    slow.addData(Ev(5, ts("2024-01-01 00:59:40"), 1, "slow", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids().contains(2L),
+      s"fast row must be released once drift <= 60s, got ${ids()}")
+    assert(ids() == Set(1L, 2L, 3L, 4L, 5L), s"exactly-once: ${ids()}")
+  }
 }
