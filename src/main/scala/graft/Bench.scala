@@ -74,7 +74,8 @@ object Bench {
       "q1_agg", "q_multiway_join", "q_session_agg", "q_topn", "q_window_topn",
       "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q9", "q_tpch_q18",
       "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs", "q_ngram_jaccard",
-      "q_embedding_topk", "q_embedding_ivf", "q_decontamination")
+      "q_embedding_topk", "q_embedding_ivf", "q_decontamination",
+      "q_substring_dedup", "q_tfidf")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)

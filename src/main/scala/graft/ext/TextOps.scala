@@ -34,34 +34,26 @@ object TextOps {
 
   /** 32-bit base hash of a token: integer value of the first 8 md5
     * nibbles. One md5 per token; reproducible in any engine that can
-    * parse hex. */
-  def tokenHash32(t: Column): Column =
-    conv(md5(t).substr(lit(1), lit(8)), 16, 10).cast("long")
+    * parse hex. Evaluated by the fused native expression
+    * [[graft.functions.TokenHash32]] (same value as
+    * `conv(md5(t).substr(1, 8), 16, 10)` with zero intermediate
+    * strings; `SqlFunctionsSpec` pins the parity against the
+    * HOF-md5 SQL form). */
+  def tokenHash32(t: Column): Column = graft.functions.TokenHash32.of(t)
 
   /** MinHash signature over any element array: numHashes minima of
     * affine re-hashes h_j = (h * (2j+1) + 12345j + 7) mod p over each
     * element's 32-bit base hash. ONE md5 per element (the affine family
-    * is integer-exact across engines); computed per row with
-    * higher-order functions — no explode, no shuffle. */
-  def minhashOf(elems: Column, numHashes: Int): Column = {
-    // single aggregate pass: `hashed` is the aggregate input (evaluated
-    // once) and each element's base hash feeds all numHashes affine
-    // functions — naive per-j transforms would rebuild the md5 array
-    // numHashes times (lambda HOFs defeat subexpression elimination)
-    val hashed = transform(elems, t => tokenHash32(t))
-    val affine = (h: Column) =>
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        j => (h * (j.cast("long") * 2 + 1) + j.cast("long") * 12345L + 7L)
-          % 1000000007L)
-    val sig = aggregate(hashed,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, affine(h), (a, b) => least(a, b)))
-    // An EMPTY element set has no signature — returning the untouched
-    // seed would give every empty doc the SAME signature, making all
-    // sub-w-token docs spurious mutual duplicates. Null drops them from
-    // banding; dedup callers keep them as singletons.
-    when(size(elems) > 0, sig)
-  }
+    * is integer-exact across engines); fused per row by
+    * [[graft.functions.MinHashSig]] — no explode, no shuffle, no
+    * per-hash lambda re-entry.
+    *
+    * An EMPTY element set has no signature (null) — returning an
+    * untouched seed would give every empty doc the SAME signature,
+    * making all sub-w-token docs spurious mutual duplicates. Null drops
+    * them from banding; dedup callers keep them as singletons. */
+  def minhashOf(elems: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig.of(elems, numHashes)
 
   /** MinHash over the distinct TOKEN set — robust to word order and
     * repetition. For the canonical Broder form over w-shingles (order
@@ -82,17 +74,13 @@ object TextOps {
   }
 
   /** LSH band keys from a MinHash signature: one md5 per band over its
-    * rows. Docs agreeing on any band key are candidate duplicates.
-    * A null signature (empty element set, see [[minhashOf]]) yields
-    * null — NOT an array of md5("") keys, which concat_ws's
-    * null-skipping would otherwise produce, silently bucketing every
-    * empty doc together. */
+    * rows (comma-joined decimal slice, fused by
+    * [[graft.functions.BandKeys]]). Docs agreeing on any band key are
+    * candidate duplicates. A null signature (empty element set, see
+    * [[minhashOf]]) yields null — NOT an array of md5("") keys, which
+    * would silently bucket every empty doc together. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    when(sig.isNotNull,
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string"))))))
+    graft.functions.BandKeys.of(sig, bands, rowsPerBand)
 
   /** 16-bit SimHash over the distinct token set. The 16 vote bits come
     * from the token's 32-bit base hash (bit b of tokenHash32); the

@@ -15,6 +15,12 @@ class GoldenPlanSpec extends AnyFunSuite {
   private def normalize(p: String): String = p
     .replaceAll("#\\d+", "#N")
     .replaceAll("plan_id=\\d+", "plan_id=N")
+    // lambda variable names carry a JVM-global counter (x_1 vs x_140
+    // depending on which suites ran first) — mask them or the snapshot
+    // is suite-order dependent
+    .replaceAll("lambda ([a-zA-Z]+)_\\d+", "lambda $1_N")
+    // embedded literal-array objects print an identity hash
+    .replaceAll("UnsafeArrayData@[0-9a-f]+", "UnsafeArrayData@N")
     .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "InMemoryFileIndex[...]")
     .replaceAll("Location: [^,\\n]*", "Location: ...")
     .replaceAll("file:[^,\\]\\s]*", "file:...")
