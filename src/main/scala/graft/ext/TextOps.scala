@@ -84,22 +84,12 @@ object TextOps {
 
   /** 16-bit SimHash over the distinct token set. The 16 vote bits come
     * from the token's 32-bit base hash (bit b of tokenHash32); the
-    * sketch bit is the sign of the +1/-1 vote sum. One md5 + one hex
-    * parse per token, all bit extraction is integer arithmetic.
-    * Accumulated per row via aggregate+zip_with (no shuffle). */
-  def simhash16(text: Column): Column = {
-    val hashed = transform(distinctTokens(text), t => tokenHash32(t))
-    val votes = (h: Column) =>
-      transform(sequence(lit(0), lit(15)), b =>
-        (floor(h / pow(lit(2.0), b)).cast("long") % 2) * 2 - 1)
-    val sums = aggregate(hashed,
-      array_repeat(lit(0L), 16),
-      (acc, h) => zip_with(acc, votes(h), (x, y) => x + y))
-    aggregate(
-      zip_with(sums, sequence(lit(0), lit(15)),
-        (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * sketch bit is the sign of the +1/-1 vote sum. Fused per row by
+    * [[graft.functions.SimHash16]] (one digest + 16 integer votes per
+    * token, no per-bit lambda re-entry; `SqlFunctionsSpec` pins parity
+    * against the HOF-SQL form). */
+  def simhash16(text: Column): Column =
+    graft.functions.SimHash16.of(distinctTokens(text))
 
   /** Same-source near-duplicate candidate pairs within Hamming distance
     * `maxHd` on a `bits`-wide SimHash sketch, via pigeonhole banding:

@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Elementwise dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product of two array<double> columns — fused
+    * native expression (graft.functions.DotD), bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` including summation
+    * order and null-padding behavior, with no per-element lambda
+    * re-entry (the dominant cost of pairwise scoring joins). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotD.of(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = graft.functions.L2NormD.of(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -276,17 +278,11 @@ object VectorOps {
 
   /** Sign-LSH bucket id per vector: one bit per hyperplane = sign of the
     * integer-quantized dot product (quantization makes the sign exactly
-    * reproducible across engines regardless of float summation order). */
-  def lshBucket(emb: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column = {
-    val w = planeWeights(planes, dims, planeOffset)
-    val bits = (0 until planes).map { p =>
-      val weights = array(w(p).map(x => lit(x.toLong)): _*)
-      val qdot = aggregate(
-        zip_with(emb.cast("array<double>"), weights,
-          (e, wt) => round(e * 1000).cast("long") * wt),
-        lit(0L), (acc, x) => acc + x)
-      when(qdot >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+    * reproducible across engines regardless of float summation order).
+    * Fused native expression (graft.functions.SignLshBucket): the
+    * vector is quantized ONCE and all planes' integer dots run in a
+    * tight loop, vs the HOF form's planes separate zip_with passes. */
+  def lshBucket(emb: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column =
+    graft.functions.SignLshBucket.of(emb.cast("array<double>"),
+      planeWeights(planes, dims, planeOffset))
 }

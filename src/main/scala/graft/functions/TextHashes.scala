@@ -67,6 +67,34 @@ object TextHashes {
     new GenericArrayData(acc)
   }
 
+  /** 16-bit SimHash over a string array (TextOps.simhash16 semantics):
+    * per element one hash32; vote bit b is `(floor(h / 2^b) % 2)*2-1`
+    * (= +1 when bit b of h is set); sketch bit b set when the vote sum
+    * is strictly positive. Empty array -> 0 (all vote sums zero). */
+  def simhash16(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash32(arr.getUTF8String(i))
+        var b = 0
+        while (b < 16) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** md5 hex of a string's UTF-8 bytes (Spark md5() semantics). */
@@ -183,6 +211,31 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def withNewChildInternal(newChild: Expression): BandKeys =
     copy(child = newChild)
+}
+
+/** TextOps.simhash16 fused: one digest + 16 integer votes per element. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  def of(c: Column): Column =
+    GraftSqlBridge.columnOf(SimHash16(GraftSqlBridge.expressionOf(c)))
 }
 
 object TokenHash32 {
