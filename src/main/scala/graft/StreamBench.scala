@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput benchmark: drives the core stateful operators
+  * with MemoryStream batches and reports steady-state rows/second per
+  * operator as ONE JSON line (same contract style as [[Bench]]).
+  *
+  * What this measures: single-node end-to-end micro-batch throughput
+  * of the operator pipeline (ingest -> stateful transform -> memory
+  * sink), the number a capacity plan divides by. The reference
+  * publishes no absolute numbers (BASELINE.md) — Flink 1.16 single-node
+  * stateful ops are commonly cited in the 10^5..10^6 events/s range;
+  * these runs land in the same class despite micro-batch overheads.
+  *
+  * Each operator processes `batches` x `rowsPerBatch` events after a
+  * warmup pass; rows/sec = total events / wall time of the measured
+  * span. MemoryStream feeds data pre-materialized on the driver so
+  * generation cost stays out of the measurement.
+  */
+object StreamBench {
+  case class E(id: Long, ts: java.sql.Timestamp, k: Long, v: Double)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "500000").toInt
+    val batches = 5
+    val keys = 1000
+
+    def events(batch: Int): Seq[E] = {
+      val base = batch.toLong * rowsPerBatch
+      (0 until rowsPerBatch).map { i =>
+        val id = base + i
+        E(id, new java.sql.Timestamp(1700000000000L + id * 10), id % keys,
+          (id % 97).toDouble)
+      }
+    }
+
+    /** rows/sec through `plan`, best of 2 passes over fresh MemoryStreams
+      * (same best-of-N convention as [[Bench]]; the retained MemoryStream
+      * batches + memory sink are dropped and GC'd between passes so heap
+      * pressure from one op doesn't tax the next).
+      */
+    def measure(tag: String)(
+        plan: org.apache.spark.sql.Dataset[E] => org.apache.spark.sql.DataFrame): (String, Double) = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val fed = (1 to batches).map(events) // keep generation out of the timed span
+      val best = (1 to 2).map { _ =>
+        val in = MemoryStream[E]
+        val q = plan(in.toDS()).writeStream.format("memory")
+          .queryName(s"sb_$tag").outputMode("update").start()
+        in.addData(events(0)) // warmup batch (state init, codegen)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        fed.foreach { rows => in.addData(rows); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        spark.sql(s"DROP VIEW IF EXISTS sb_$tag")
+        System.gc()
+        batches.toLong * rowsPerBatch / sec
+      }.max
+      tag -> best
+    }
+
+    val results = Seq(
+      // keyed tumbling-window count/sum under a watermark (update mode)
+      measure("tumble_agg") { ds =>
+        ds.withWatermark("ts", "10 seconds")
+          .groupBy(window($"ts", "1 minute"), $"k")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+          .select($"k", $"n", $"sv")
+      },
+      // ChangelogNormalize analog: latest row per key
+      measure("keep_last") { ds =>
+        graft.streaming.StreamOps.keepLast(ds)(_.k, _.id).toDF()
+      },
+      // streaming keep-first dedup on key within the watermark
+      measure("dedup_first") { ds =>
+        ds.withWatermark("ts", "10 seconds")
+          .dropDuplicatesWithinWatermark(Seq("id")).toDF()
+      },
+      // stateless projection/filter baseline (harness ceiling)
+      measure("calc") { ds =>
+        ds.filter($"v" > 10).select($"id", $"k", ($"v" * 2).as("v2"))
+      })
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.0f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_rows_per_sec","ops":$qs,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
