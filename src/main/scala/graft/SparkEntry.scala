@@ -20,6 +20,7 @@ object SparkEntry {
     ExtPack,
     ExtPack2,
     ExtPack3,
+    ExtPack4,
     SourceSinkPack,
     TypesPack,
     TpchPack,

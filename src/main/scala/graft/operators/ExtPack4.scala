@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import graft.ext.{PrefixSum, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators, part 4 (north star; SURVEY.md
+  * §7.1 ext/): C4-style global line-level dedup with document
+  * reconstruction, DSIR hashed-n-gram importance weighting, and
+  * deterministic epoch shuffle / shard assignment.
+  *
+  * Same verification design as ExtPack..ExtPack3: every query is
+  * bit-reproducible in DuckDB (md5-derived hashes, integer-exact
+  * summation where float order could drift, total orderings), and
+  * every shape is linear — no per-group cross products, no windows
+  * over few-partition groups.
+  */
+object ExtPack4 extends QueryPack {
+
+  /** Tokens-per-line for the synthesized line boundaries (the corpus
+    * is single-space tokens with no newlines, so "lines" are fixed
+    * 10-token chunks — the same granularity C4 dedups at via real
+    * newlines). */
+  private val lineW = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style global line dedup (Raffel et al. 2020: discard every
+    // occurrence of a repeated line except the first) + document
+    // reconstruction from the surviving lines. The keep rule is the
+    // globally-first instance: min(doc_id * 10^4 + line_pos) per line
+    // CONTENT (packed key; docs are bounded far below 10^4 lines).
+    // Scale shape: the winner table is one groupBy on the line string —
+    // boilerplate lines ("click here to subscribe" x 10^7) collapse in
+    // the map-side partial agg, so the skew never reaches the
+    // exchange; the instance join fans each instance to exactly one
+    // winner row; reconstruction aggregates per doc (bounded by doc
+    // length). Three linear shuffles, no windows.
+    "q_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val lines = transform(sequence(lit(1), size(toks), lit(lineW)),
+        i => array_join(slice(toks, i, lit(lineW)), " "))
+      val inst = T.documents(s, d)
+        .select($"doc_id", posexplode(lines).as(Seq("pos0", "line")))
+        .select($"doc_id", ($"pos0" + 1L).as("pos"), $"line",
+          ($"doc_id" * 10000L + $"pos0" + 1L).as("pk"))
+      val winners = inst.groupBy($"line").agg(min($"pk").as("keep_pk"))
+      val kept = inst.join(winners, Seq("line"))
+        .filter($"pk" === $"keep_pk")
+      val nLines = inst.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
+      val perDoc = kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"line"))),
+              x => x("line")), " ").as("kept_text"))
+      nLines.join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_lines",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"kept_text", lit("")).as("kept_text"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score each raw-pool
+    // document by how target-like its hashed-bigram distribution is,
+    // log w(doc) = sum over bigrams of ln(p_target(bucket) /
+    // p_raw(bucket)) with add-1 smoothing over 256 buckets. The target
+    // here is the lang='en' slice; the raw pool is the whole corpus.
+    // Cross-engine determinism: the per-bucket log-ratio is rounded to
+    // integer MICRO-nats once (256 rows), and each doc sums BIGINTs —
+    // exact under any aggregation order, unlike a float sum. Scale
+    // shape: two linear aggs build the 256-row bucket table (hot
+    // buckets collapse map-side), the table rides a broadcast join,
+    // and the per-doc agg is linear — nothing quadratic anywhere.
+    "q_dsir" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bk = T.documents(s, d)
+        .select($"doc_id", $"lang", explode(bigrams).as("bg"))
+        .select($"doc_id", $"lang",
+          (TextOps.tokenHash32($"bg") % 256L).as("b"))
+      val raw = bk.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val tgt = bk.filter($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("ct"))
+      val tot = bk.agg(count(lit(1)).as("tr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+      val term = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"b",
+          round(log((coalesce($"ct", lit(0L)) + 1.0) * ($"tr" + 256.0)
+            / (($"cr" + 1.0) * ($"tt" + 256.0))) * 1e6)
+            .cast("long").as("term_u"))
+      val per = bk.join(broadcast(term), Seq("b"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"term_u").as("su"))
+      T.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          coalesce(round($"su" / 1e6, 6), lit(0.0)).as("log_weight"))
+    }),
+
+    // Deterministic epoch shuffle + shard assignment: every training
+    // epoch is a seeded pseudo-random permutation of the corpus,
+    // split into data-parallel reader shards with a dense position in
+    // each shard. shard = h32("shard_"||id) mod 8; the within-shard
+    // order key packs the 32-bit position hash with the doc id
+    // (k = h32 * 2^31 + id, unique because ids are < 2^31, collision-
+    // free ties). Positions come from the distributed two-phase
+    // [[PrefixSum]] — NOT row_number() over 8 shard partitions, which
+    // would sort n/8 rows in one task per shard at 100 TB. The rank is
+    // cum_before(v=1)+1 over range-partitioned (shard, k); doc_id is
+    // recovered arithmetically from k (k mod 2^31), so no join back.
+    "q_epoch_shard" -> ((s, d) => {
+      import s.implicits._
+      val ids = T.documents(s, d).select($"doc_id",
+        (TextOps.tokenHash32(concat(lit("shard_"), $"doc_id")) % 8L)
+          .as("shard"),
+        (TextOps.tokenHash32(concat(lit("pos42_"), $"doc_id"))
+          * 2147483648L + $"doc_id").as("k"))
+      PrefixSum.cumBefore(s, ids.select($"shard", $"k", lit(1L).as("one")),
+          "shard", "k", "one")
+        .select(pmod($"k", lit(2147483648L)).as("doc_id"),
+          $"shard".cast("long").as("shard"),
+          ($"cum_before" + 1L).as("pos_in_shard"))
+    })
+  )
+
+  /** md5-first-8-hex-digits-as-int, the DuckDB twin of
+    * [[TextOps.tokenHash32]] (same idiom as ExtPack2's q_hash_split). */
+  private def h32sql(expr: String): String =
+    s"""CAST(list_reduce(list_transform(range(1, 9),
+          i -> strpos('0123456789abcdef', substr(md5($expr), i, 1)) - 1),
+          (a, b) -> a * 16 + b) AS BIGINT)"""
+
+  def oracle: Map[String, String] = Map(
+    "q_line_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         inst AS (
+           SELECT doc_id, u.pos AS pos, u.line AS line,
+                  doc_id * 10000 + u.pos AS pk
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1, 10),
+                     i -> {'pos': CAST((i + 9) // 10 AS BIGINT),
+                           'line': array_to_string(w[i:i+9], ' ')})) AS u
+                 FROM toks)),
+         win AS (SELECT line, min(pk) AS keep_pk FROM inst GROUP BY line),
+         kept AS (
+           SELECT doc_id, pos, inst.line
+           FROM inst JOIN win ON inst.line = win.line AND inst.pk = win.keep_pk),
+         nl AS (SELECT doc_id, count(*) AS n_lines FROM inst GROUP BY doc_id),
+         per AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(line, ' ' ORDER BY pos) AS kept_text
+           FROM kept GROUP BY doc_id)
+         SELECT nl.doc_id, nl.n_lines,
+                coalesce(per.n_kept, 0) AS n_kept,
+                coalesce(per.kept_text, '') AS kept_text
+         FROM nl LEFT JOIN per ON nl.doc_id = per.doc_id""",
+    "q_dsir" ->
+      s"""WITH toks AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         bk AS (
+           SELECT doc_id, lang,
+                  ${h32sql("bg")} % 256 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS bg
+                 FROM toks)),
+         raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+         tot AS (SELECT count(*) AS tr,
+                        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+                 FROM bk),
+         term AS (
+           SELECT raw.b,
+                  CAST(round(ln((coalesce(ct, 0) + 1.0) * (tr + 256.0)
+                    / ((cr + 1.0) * (tt + 256.0))) * 1000000) AS BIGINT)
+                    AS term_u
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams, sum(term_u) AS su
+           FROM bk JOIN term ON bk.b = term.b GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n_bigrams, 0) AS n_bigrams,
+                coalesce(round(su / 1000000.0, 6), 0.0) AS log_weight
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+    "q_epoch_shard" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+                  ${h32sql("'shard_' || doc_id")} % 8 AS shard,
+                  ${h32sql("'pos42_' || doc_id")} * 2147483648 + doc_id AS k
+           FROM documents)
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY k)
+                  AS pos_in_shard
+         FROM h"""
+  )
+}

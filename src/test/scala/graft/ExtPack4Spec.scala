@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.ExtPack4
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the ExtPack4 pipeline operators (the DuckDB
+  * hash parity itself is covered by Verify/diffcheck; these pin the
+  * properties the hashes alone don't explain). */
+class ExtPack4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("q_line_dedup keeps each distinct line exactly once globally") {
+    val out = ExtPack4.queries("q_line_dedup")(spark, sf)
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sf)
+    val inst = docs.select($"doc_id",
+      posexplode(transform(sequence(lit(1), size(split($"text", " ")), lit(10)),
+        i => array_join(slice(split($"text", " "), i, lit(10)), " ")))
+        .as(Seq("pos0", "line")))
+    val nDistinct = inst.select($"line").distinct().count()
+    val totalKept = out.agg(sum($"n_kept")).as[Long].collect().head
+
+    // C4 keep-first: the kept instances across the corpus are exactly
+    // one per distinct line
+    assert(totalKept === nDistinct)
+    // every doc is present, n_kept <= n_lines, and empty kept_text
+    // only when n_kept == 0
+    assert(out.count() === docs.count())
+    assert(out.filter($"n_kept" > $"n_lines").count() === 0)
+    assert(out.filter($"n_kept" === 0 && $"kept_text" =!= "").count() === 0)
+    // reconstruction: a doc with all lines kept reproduces its text
+    val intact = out.filter($"n_kept" === $"n_lines")
+      .join(docs, Seq("doc_id"))
+      .filter($"kept_text" =!= $"text")
+    assert(intact.count() === 0)
+  }
+
+  test("q_dsir scores target-language docs above the pool") {
+    val out = ExtPack4.queries("q_dsir")(spark, sf)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val joined = out.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+
+    // bigram accounting: n_bigrams == max(tokens - 1, 0) per doc
+    val bad = joined.join(
+        docs.select($"doc_id",
+          greatest(size(split($"text", " ")) - 1, lit(0)).cast("long")
+            .as("expect_bg")), Seq("doc_id"))
+      .filter($"n_bigrams" =!= $"expect_bg")
+    assert(bad.count() === 0)
+
+    // the importance weight must separate the target distribution:
+    // mean log-weight of en docs strictly above every other language's
+    val means = joined.groupBy($"lang")
+      .agg(avg($"log_weight").as("m"))
+      .as[(String, Double)].collect().toMap
+    val enMean = means("en")
+    means.filter(_._1 != "en").foreach { case (lang, m) =>
+      assert(enMean > m, s"en mean $enMean not above $lang mean $m")
+    }
+  }
+
+  test("q_epoch_shard positions are the dense per-shard rank of the hash order") {
+    val out = ExtPack4.queries("q_epoch_shard")(spark, sf)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+
+    // dense positions: per shard, positions are exactly 1..count
+    val perShard = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos_in_shard").as("mx"),
+        min($"pos_in_shard").as("mn"),
+        countDistinct($"pos_in_shard").as("nd"))
+    assert(perShard.filter($"mx" =!= $"n" || $"mn" =!= 1 || $"nd" =!= $"n")
+      .count() === 0)
+    assert(out.count() === docs.count())
+
+    // parity with the single-node window formulation (the thing
+    // PrefixSum replaces at scale must give identical ranks)
+    val ids = docs.select($"doc_id",
+      (ext.TextOps.tokenHash32(concat(lit("shard_"), $"doc_id")) % 8L)
+        .as("shard"),
+      (ext.TextOps.tokenHash32(concat(lit("pos42_"), $"doc_id"))
+        * 2147483648L + $"doc_id").as("k"))
+    val viaWindow = ids.select($"doc_id", $"shard",
+      row_number().over(Window.partitionBy($"shard").orderBy($"k"))
+        .cast("long").as("pos_in_shard"))
+    assert(out.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(out).count() === 0)
+
+    // determinism: a second evaluation yields the identical assignment
+    val again = ExtPack4.queries("q_epoch_shard")(spark, sf)
+    assert(out.exceptAll(again).count() === 0)
+  }
+}
