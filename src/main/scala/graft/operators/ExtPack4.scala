@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables => T}
-import graft.ext.{PrefixSum, TextOps}
+import graft.ext.{PrefixSum, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,44 @@ object ExtPack4 extends QueryPack {
         .select(pmod($"k", lit(2147483648L)).as("doc_id"),
           $"shard".cast("long").as("shard"),
           ($"cum_before" + 1L).as("pos_in_shard"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): k-means-cluster
+    // the embedding space, then prune near-duplicate pairs INSIDE each
+    // cluster only — semantic dedup whose pairwise work is bounded by
+    // the cluster size, never the corpus. Clusters come from
+    // [[VectorOps.kmeansAssign]] (sign-LSH seed cells + one Lloyd
+    // round — deterministic, geometry-adaptive); within a cluster,
+    // every vector takes the smallest vec_id it pairs with at
+    // cosine >= 0.4 as its representative (rep-assignment like
+    // cosineDedup — no O(n^2) pair output; this corpus's max pair
+    // cosine is 0.51, so 0.4 marks the true near-dup tail). At 100 TB
+    // the cluster count scales with n (more planes / more Lloyd
+    // centroids), holding per-cluster membership — and therefore the
+    // in-cluster join — bounded; that in-cluster pairwise IS the
+    // published algorithm's shape.
+    "q_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+        .withColumn("cell0",
+          VectorOps.lshBucket($"embedding", planes = 6, dims = 64))
+      val assigned = VectorOps.kmeansAssign(emb, "cell0", rounds = 1)
+      val base = emb
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .join(assigned, Seq("vec_id"))
+        .withColumn("en", VectorOps.l2norm($"e"))
+      val partners = base.as("a").join(base.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .filter(round(VectorOps.cosinePre(
+          $"a.e", $"a.en", $"b.e", $"b.en"), 6) >= 0.4)
+        .groupBy($"b.vec_id".as("vid"))
+        .agg(min($"a.vec_id").as("mp"))
+      base.select($"vec_id", $"cell")
+        .join(partners, $"vec_id" === $"vid", "left")
+        .select($"vec_id", $"cell",
+          coalesce($"mp", $"vec_id").as("rep_id"))
+        .withColumn("is_dup", $"rep_id" < $"vec_id")
     })
   )
 
@@ -199,6 +237,49 @@ object ExtPack4 extends QueryPack {
          SELECT doc_id, shard,
                 row_number() OVER (PARTITION BY shard ORDER BY k)
                   AS pos_in_shard
-         FROM h"""
+         FROM h""",
+    // Mirrors VectorOps.lshBucket (integer-quantized plane dots) +
+    // kmeansAssign(rounds = 1) exactly — the same CTE scheme the
+    // q_embedding_ivf oracle uses — then the in-cluster min-partner
+    // rep-assignment.
+    "q_semdedup" ->
+      """WITH planes AS (
+           SELECT p, i,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(0, 6)) AS p) ps,
+                (SELECT unnest(range(0, 64)) AS i) dms),
+         emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         dots AS (
+           SELECT vec_id, p,
+                  sum(CAST(round(e[CAST(i + 1 AS INT)] * 1000) AS BIGINT) * wt) AS dt
+           FROM emb0, planes GROUP BY vec_id, p),
+         cells0 AS (
+           SELECT vec_id,
+                  string_agg(CASE WHEN dt >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS cell
+           FROM dots GROUP BY vec_id),
+         dims AS (SELECT unnest(range(1, 65)) AS i),
+         centa0 AS (SELECT c.cell, d.i, avg(e.e[CAST(d.i AS INT)]) AS cv
+                    FROM emb0 e JOIN cells0 c USING (vec_id), dims d
+                    GROUP BY c.cell, d.i),
+         centa AS (SELECT cell, list(cv ORDER BY i) AS ce FROM centa0 GROUP BY cell),
+         asg1 AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, ct.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round(list_cosine_similarity(e.e, ct.ce), 6) DESC,
+                               ct.cell ASC) AS rn
+             FROM emb0 e CROSS JOIN centa ct) WHERE rn = 1),
+         partners AS (
+           SELECT b.vec_id AS vid, min(a.vec_id) AS mp
+           FROM emb0 a JOIN asg1 ca ON a.vec_id = ca.vec_id
+                JOIN asg1 cb ON ca.cell = cb.cell
+                JOIN emb0 b ON b.vec_id = cb.vec_id
+           WHERE a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+           GROUP BY b.vec_id)
+         SELECT g.vec_id, g.cell,
+                coalesce(p.mp, g.vec_id) AS rep_id,
+                coalesce(p.mp, g.vec_id) < g.vec_id AS is_dup
+         FROM asg1 g LEFT JOIN partners p ON g.vec_id = p.vid"""
   )
 }

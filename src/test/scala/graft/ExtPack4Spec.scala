@@ -64,6 +64,28 @@ class ExtPack4Spec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup: dup pairs share a cluster and clear the cosine bar") {
+    val out = ExtPack4.queries("q_semdedup")(spark, sf)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+
+    assert(out.count() === emb.count())
+    // rep-assignment basics: rep never above the member, flag consistent
+    assert(out.filter($"rep_id" > $"vec_id").count() === 0)
+    assert(out.filter($"is_dup" =!= ($"rep_id" < $"vec_id")).count() === 0)
+    // every flagged pair is an in-cluster pair with cosine >= 0.4
+    val pairs = out.filter($"is_dup")
+      .join(out.select($"vec_id".as("rep_id"), $"cell".as("rep_cell")),
+        Seq("rep_id"))
+    assert(pairs.filter($"cell" =!= $"rep_cell").count() === 0)
+    val scored = pairs
+      .join(emb.select($"vec_id", $"e"), Seq("vec_id"))
+      .join(emb.select($"vec_id".as("rep_id"), $"e".as("re")), Seq("rep_id"))
+      .filter(round(ext.VectorOps.cosine($"e", $"re"), 6) < 0.4)
+    assert(scored.count() === 0)
+  }
+
   test("q_epoch_shard positions are the dense per-shard rank of the hash order") {
     val out = ExtPack4.queries("q_epoch_shard")(spark, sf)
     import spark.implicits._
