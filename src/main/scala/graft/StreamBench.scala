@@ -52,14 +52,14 @@ object StreamBench {
       * batches + memory sink are dropped and GC'd between passes so heap
       * pressure from one op doesn't tax the next).
       */
-    def measure(tag: String)(
+    def measure(tag: String, mode: String = "update")(
         plan: org.apache.spark.sql.Dataset[E] => org.apache.spark.sql.DataFrame): (String, Double) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val fed = (1 to batches).map(events) // keep generation out of the timed span
       val best = (1 to 2).map { _ =>
         val in = MemoryStream[E]
         val q = plan(in.toDS()).writeStream.format("memory")
-          .queryName(s"sb_$tag").outputMode("update").start()
+          .queryName(s"sb_$tag").outputMode(mode).start()
         in.addData(events(0)) // warmup batch (state init, codegen)
         q.processAllAvailable()
         val t0 = System.nanoTime()
@@ -89,6 +89,18 @@ object StreamBench {
       measure("dedup_first") { ds =>
         ds.withWatermark("ts", "10 seconds")
           .dropDuplicatesWithinWatermark(Seq("id")).toDF()
+      },
+      // streaming per-key Top-N leaderboard changelog (custom
+      // flatMapGroupsWithState op; state = N rows per key)
+      measure("stream_topn") { ds =>
+        graft.streaming.StreamingTopN(ds, 10)(_.k, _.v, _.id).toDF()
+      },
+      // CEP: two-step pattern (low value then high value) per key —
+      // the NFA partial-match engine under sustained load
+      measure("cep", mode = "append") { ds =>
+        val pat = graft.streaming.Cep.Pattern
+          .begin[E]("lo", _.v < 48).next("hi", _.v >= 48)
+        graft.streaming.Cep.run(ds, pat)(_.k, _.ts.getTime).toDF()
       },
       // stateless projection/filter baseline (harness ceiling)
       measure("calc") { ds =>
