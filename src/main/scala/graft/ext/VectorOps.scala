@@ -263,6 +263,42 @@ object VectorOps {
     } finally { base.unpersist(); () }
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then prune near-duplicate pairs INSIDE each
+    * cluster only — semantic dedup whose pairwise work is bounded by
+    * the cluster size, never the corpus. Clusters come from
+    * [[kmeansAssign]] (sign-LSH seed cells + Lloyd rounds —
+    * deterministic, geometry-adaptive); within a cluster, every vector
+    * takes the smallest vec_id it pairs with at cosine >= threshold as
+    * its representative (rep-assignment like [[cosineDedup]] — no
+    * O(n^2) pair output). At 100 TB the cluster count scales with n
+    * (more planes / more Lloyd centroids), holding per-cluster
+    * membership — and therefore the in-cluster join — bounded; that
+    * in-cluster pairwise IS the published algorithm's shape.
+    * Output: vec_id, cell, rep_id, is_dup. */
+  def semDedup(corpus: DataFrame, threshold: Double, planes: Int = 6,
+      dims: Int = 64, rounds: Int = 1): DataFrame = {
+    val emb = corpus
+      .withColumn("cell0", lshBucket(col("embedding"), planes, dims))
+    val assigned = kmeansAssign(emb, "cell0", rounds)
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .join(assigned, Seq("vec_id"))
+      .withColumn("en", l2norm(col("e")))
+    val partners = base.as("a").join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosinePre(
+        col("a.e"), col("a.en"), col("b.e"), col("b.en")), 6) >= threshold)
+      .groupBy(col("b.vec_id").as("vid"))
+      .agg(min(col("a.vec_id")).as("mp"))
+    base.select(col("vec_id"), col("cell"))
+      .join(partners, col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("mp"), col("vec_id")).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") < col("vec_id"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix: weight(plane p, dim i) =
     * +1 iff the first md5 nibble of "p_i" >= 8. Derived from md5 so the
     * DuckDB oracle can reproduce it exactly. `planeOffset` shifts the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables => T}
-import graft.ext.{PrefixSum, TextOps, VectorOps}
+import graft.ext.{LineDedup, PrefixSum, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,40 +25,10 @@ object ExtPack4 extends QueryPack {
   private val lineW = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C4-style global line dedup (Raffel et al. 2020: discard every
-    // occurrence of a repeated line except the first) + document
-    // reconstruction from the surviving lines. The keep rule is the
-    // globally-first instance: min(doc_id * 10^4 + line_pos) per line
-    // CONTENT (packed key; docs are bounded far below 10^4 lines).
-    // Scale shape: the winner table is one groupBy on the line string —
-    // boilerplate lines ("click here to subscribe" x 10^7) collapse in
-    // the map-side partial agg, so the skew never reaches the
-    // exchange; the instance join fans each instance to exactly one
-    // winner row; reconstruction aggregates per doc (bounded by doc
-    // length). Three linear shuffles, no windows.
-    "q_line_dedup" -> ((s, d) => {
-      import s.implicits._
-      val toks = TextOps.tokens($"text")
-      val lines = transform(sequence(lit(1), size(toks), lit(lineW)),
-        i => array_join(slice(toks, i, lit(lineW)), " "))
-      val inst = T.documents(s, d)
-        .select($"doc_id", posexplode(lines).as(Seq("pos0", "line")))
-        .select($"doc_id", ($"pos0" + 1L).as("pos"), $"line",
-          ($"doc_id" * 10000L + $"pos0" + 1L).as("pk"))
-      val winners = inst.groupBy($"line").agg(min($"pk").as("keep_pk"))
-      val kept = inst.join(winners, Seq("line"))
-        .filter($"pk" === $"keep_pk")
-      val nLines = inst.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
-      val perDoc = kept.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(
-            transform(array_sort(collect_list(struct($"pos", $"line"))),
-              x => x("line")), " ").as("kept_text"))
-      nLines.join(perDoc, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_lines",
-          coalesce($"n_kept", lit(0L)).as("n_kept"),
-          coalesce($"kept_text", lit("")).as("kept_text"))
-    }),
+    // C4-style global line dedup + document reconstruction — see
+    // [[graft.ext.LineDedup]] for the algorithm and 100 TB shape.
+    "q_line_dedup" -> ((s, d) =>
+      LineDedup.dedup(T.documents(s, d), "doc_id", "text", lineW)),
 
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score each raw-pool
@@ -129,43 +99,11 @@ object ExtPack4 extends QueryPack {
           ($"cum_before" + 1L).as("pos_in_shard"))
     }),
 
-    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
-    // at web-scale through semantic deduplication"): k-means-cluster
-    // the embedding space, then prune near-duplicate pairs INSIDE each
-    // cluster only — semantic dedup whose pairwise work is bounded by
-    // the cluster size, never the corpus. Clusters come from
-    // [[VectorOps.kmeansAssign]] (sign-LSH seed cells + one Lloyd
-    // round — deterministic, geometry-adaptive); within a cluster,
-    // every vector takes the smallest vec_id it pairs with at
-    // cosine >= 0.4 as its representative (rep-assignment like
-    // cosineDedup — no O(n^2) pair output; this corpus's max pair
-    // cosine is 0.51, so 0.4 marks the true near-dup tail). At 100 TB
-    // the cluster count scales with n (more planes / more Lloyd
-    // centroids), holding per-cluster membership — and therefore the
-    // in-cluster join — bounded; that in-cluster pairwise IS the
-    // published algorithm's shape.
-    "q_semdedup" -> ((s, d) => {
-      import s.implicits._
-      val emb = T.embeddings(s, d)
-        .withColumn("cell0",
-          VectorOps.lshBucket($"embedding", planes = 6, dims = 64))
-      val assigned = VectorOps.kmeansAssign(emb, "cell0", rounds = 1)
-      val base = emb
-        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-        .join(assigned, Seq("vec_id"))
-        .withColumn("en", VectorOps.l2norm($"e"))
-      val partners = base.as("a").join(base.as("b"),
-          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-        .filter(round(VectorOps.cosinePre(
-          $"a.e", $"a.en", $"b.e", $"b.en"), 6) >= 0.4)
-        .groupBy($"b.vec_id".as("vid"))
-        .agg(min($"a.vec_id").as("mp"))
-      base.select($"vec_id", $"cell")
-        .join(partners, $"vec_id" === $"vid", "left")
-        .select($"vec_id", $"cell",
-          coalesce($"mp", $"vec_id").as("rep_id"))
-        .withColumn("is_dup", $"rep_id" < $"vec_id")
-    })
+    // SemDeDup semantic dedup — see [[VectorOps.semDedup]] for the
+    // algorithm and 100 TB shape (this corpus's max pair cosine is
+    // 0.51, so 0.4 marks the true near-dup tail).
+    "q_semdedup" -> ((s, d) =>
+      VectorOps.semDedup(T.embeddings(s, d), threshold = 0.4))
   )
 
   /** md5-first-8-hex-digits-as-int, the DuckDB twin of

@@ -321,4 +321,52 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set(Materialize.ReliableConf, "false")
     }
   }
+
+  test("LineDedup collapses a boilerplate line corpus-wide, keeps unique text") {
+    import graft.ext.LineDedup
+    // 100 docs that are nothing but the same 10-token boilerplate line,
+    // plus 20 unique docs. The winner groupBy must collapse the hot
+    // line map-side (one winner row), and reconstruction must keep the
+    // boilerplate ONLY in the lowest-id doc.
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val docs = ((1 to 100).map(i => (i.toLong, boiler)) ++
+      (101 to 120).map(i => (i.toLong,
+        s"unique_${i}_a unique_${i}_b unique_${i}_c")))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedup(docs, "doc_id", "text").cache()
+    val byId = out.select($"doc_id", $"n_kept", $"kept_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L) == (1L, boiler))
+    assert((2 to 100).forall(i => byId(i.toLong) == (0L, "")))
+    assert((101 to 120).forall(i =>
+      byId(i.toLong) == (1L, s"unique_${i}_a unique_${i}_b unique_${i}_c")))
+    out.unpersist()
+  }
+
+  test("semDedup collapses exact-duplicate groups, never across clusters") {
+    import graft.ext.VectorOps
+    // 3 orthogonal-ish "semantic clusters" of 10 EXACT copies each
+    // (identical vectors share a sign-LSH cell by construction, so the
+    // in-cluster join must collapse each group to its min id), plus 5
+    // far-apart singletons that must survive untouched.
+    def vec(hot: Int, seed: Int): Seq[Double] =
+      (0 until 64).map(i => if (i == hot) 1.0
+        else if (i == (hot + 7 * seed) % 64 && seed > 0) 0.05 else 0.0)
+    val rows =
+      (0 until 10).map(i => (i.toLong, vec(3, 0))) ++
+      (10 until 20).map(i => (i.toLong, vec(21, 0))) ++
+      (20 until 30).map(i => (i.toLong, vec(47, 0))) ++
+      (30 until 35).map(i => (i.toLong, vec((i - 30) * 11 + 1, i - 29)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = VectorOps.semDedup(corpus, threshold = 0.95).cache()
+    val reps = out.select($"vec_id", $"rep_id").as[(Long, Long)]
+      .collect().toMap
+    // each copy-group collapses to its min id
+    assert((0 until 10).forall(i => reps(i.toLong) == 0L))
+    assert((10 until 20).forall(i => reps(i.toLong) == 10L))
+    assert((20 until 30).forall(i => reps(i.toLong) == 20L))
+    // singletons keep themselves — no cross-cluster merges
+    assert((30 until 35).forall(i => reps(i.toLong) == i.toLong))
+    out.unpersist()
+  }
 }
