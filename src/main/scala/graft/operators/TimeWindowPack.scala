@@ -26,6 +26,15 @@ object TimeWindowPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
     }),
 
+    // Tumbling window on a shifted grid (Flink TUMBLE offset /
+    // WindowAssigner.of(size, offset)): hour windows starting at :15.
+    "q_tumble_offset" -> ((s, d) => {
+      import s.implicits._
+      WindowOps.tumbleOffset(T.events(s, d), $"ts", "1 hour", "15 minutes")
+        .groupBy($"window_start", $"window_end", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    }),
+
     "q_hop_agg" -> ((s, d) => {
       import s.implicits._
       WindowOps.hop(T.events(s, d), $"ts", "1 hour", "30 minutes")
@@ -72,6 +81,12 @@ object TimeWindowPack extends QueryPack {
     "q_tumble_agg" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000) AS window_start,
                 make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)+3600)*1000000) AS window_end,
+                event_type, count(*) AS n, sum(value) AS sum_value
+         FROM events
+         GROUP BY 1, 2, 3""",
+    "q_tumble_offset" ->
+      """SELECT make_timestamp((CAST(floor((epoch(ts)-900)/3600)*3600 AS BIGINT)+900)*1000000) AS window_start,
+                make_timestamp((CAST(floor((epoch(ts)-900)/3600)*3600 AS BIGINT)+900+3600)*1000000) AS window_end,
                 event_type, count(*) AS n, sum(value) AS sum_value
          FROM events
          GROUP BY 1, 2, 3""",

@@ -25,6 +25,17 @@ object WindowOps {
       .withColumn("window_end", col("w.end").cast("timestamp_ntz"))
       .drop("w")
 
+  /** Tumbling window whose grid is shifted by `offset` (Flink's
+    * TUMBLE(..., offset) / WindowAssigner offset parameter — e.g.
+    * day windows aligned to a non-UTC timezone boundary). Spark's
+    * window() takes the shift as its startTime parameter. */
+  def tumbleOffset(df: DataFrame, ts: Column, size: String,
+      offset: String): DataFrame =
+    df.withColumn("w", window(ts, size, size, offset))
+      .withColumn("window_start", col("w.start").cast("timestamp_ntz"))
+      .withColumn("window_end", col("w.end").cast("timestamp_ntz"))
+      .drop("w")
+
   /** Hopping (sliding) window: one output row per covering window. */
   def hop(df: DataFrame, ts: Column, size: String, slide: String): DataFrame =
     df.withColumn("w", window(ts, size, slide))
