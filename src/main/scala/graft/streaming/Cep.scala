@@ -140,6 +140,15 @@ object Cep {
     def notFollowedBy(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, minTimes = 0,
         maxTimes = Some(0), negated = true))
+    /** Strict negative pattern (Pattern.java:294 `notNext`): only the
+      * event IMMEDIATELY after the previous step's last matched event
+      * is tested — if it matches `pred` the partial dies; any other
+      * immediate event discharges the guard for good (unlike
+      * [[notFollowedBy]], which stays armed until the next positive
+      * step matches). Consumes nothing; cannot end the pattern. */
+    def notNext(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, minTimes = 0,
+        maxTimes = Some(0), negated = true, strict = true))
   }
 
   object Pattern {
@@ -326,7 +335,15 @@ object Cep {
                   while (go && i < steps.length) {
                     val st = steps(i)
                     if (st.negated) {
-                      if (st.canTake(ev, soFar)) { guardKilled = true; go = false }
+                      // a STRICT negation (notNext) is armed only for the
+                      // event immediately after the partial's last matched
+                      // event; once any other event passed it, it is
+                      // discharged and becomes transparent. A relaxed
+                      // negation (notFollowedBy) stays armed while waiting.
+                      val armed = !st.strict || s == p.acc.last._2 + 1
+                      if (armed && st.canTake(ev, soFar)) {
+                        guardKilled = true; go = false
+                      }
                     } else {
                       if (st.canTake(ev, soFar)) {
                         route(Partial(i, 1, p.acc :+ ((st.name, s, ev)),

@@ -7,6 +7,15 @@ import java.sql.Timestamp
 
 case class Tick(symbol: String, price: Double, ts: Timestamp)
 
+/** Serializable event-kind predicates for the notNext ports
+  * (price-range encoding: a=1x, b=2x, c=3x, d=4x, filler=9x). */
+object CepSpecKinds extends Serializable {
+  val kindA: Tick => Boolean = t => t.price >= 10 && t.price < 20
+  val kindB: Tick => Boolean = t => t.price >= 20 && t.price < 30
+  val kindC: Tick => Boolean = t => t.price >= 30 && t.price < 40
+  val kindD: Tick => Boolean = t => t.price >= 40 && t.price < 50
+}
+
 /** CEP-lite tests mirroring Flink's rise-then-fall MATCH_RECOGNIZE
   * ITCases (reference MatchRecognizeITCase.scala, NFAITCase.java). */
 class CepSpec extends AnyFunSuite {
@@ -565,5 +574,61 @@ class CepSpec extends AnyFunSuite {
     val (timedOut, matched) = rs.partition(_.timed_out)
     assert(matched.map(_.steps("a").map(_.price)) == Seq(Seq(51.0, 52.0)))
     assert(timedOut.map(_.steps("a").map(_.price)) == Seq(Seq(52.0)))
+  }
+
+  // ---- notNext (strict negation, NotPatternITCase.java ports) ----
+  import CepSpecKinds._
+
+  test("notNext: only the immediately-next event can kill " +
+      "(NotPatternITCase testNotNext:46)") {
+    // a.notNext(b).followedBy(c).followedBy(d) over a c1 b c2 d:
+    // c1 (immediate after a) discharges the guard AND binds c; the
+    // later b is transparent to the discharged notNext. Reference
+    // followedByAny also emits the c2 binding — unreachable here
+    // (deviation 1, no skip-this-event branch); the first binding
+    // {a, c1, d} is reproduced exactly.
+    val p = Cep.Pattern.begin[Tick]("a", kindA)
+      .notNext("nb", kindB).followedBy("c", kindC).followedBy("d", kindD)
+    val ms = run(Seq(Tick("NN", 11, ts(0)), Tick("NN", 31, ts(1)),
+      Tick("NN", 21, ts(2)), Tick("NN", 32, ts(3)), Tick("NN", 41, ts(4))), p)
+    assert(ms.map(m => (m.steps("a").map(_.price), m.steps("c").map(_.price),
+      m.steps("d").map(_.price))) == Seq((Seq(11.0), Seq(31.0), Seq(41.0))))
+  }
+
+  test("notNext kills on the immediate event; notFollowedBy on any gap event " +
+      "(NotPatternITCase testNotNextNoMatches:118)") {
+    val events = Seq(Tick("NK", 11, ts(0)), Tick("NK", 21, ts(1)),
+      Tick("NK", 31, ts(2))) // a b c: b is immediately after a
+    val pNext = Cep.Pattern.begin[Tick]("a", kindA)
+      .notNext("nb", kindB).followedBy("c", kindC)
+    assert(run(events, pNext).isEmpty)
+    // gap variant a x b c: notNext discharged by x -> match {a, c};
+    // notFollowedBy stays armed -> the later b still kills
+    val gap = Seq(Tick("NG", 11, ts(0)), Tick("NG", 91, ts(1)),
+      Tick("NG", 21, ts(2)), Tick("NG", 31, ts(3)))
+    val viaNext = run(gap, pNext)
+    assert(viaNext.map(m => (m.steps("a").map(_.price),
+      m.steps("c").map(_.price))) == Seq((Seq(11.0), Seq(31.0))))
+    val pFollowed = Cep.Pattern.begin[Tick]("a", kindA)
+      .notFollowedBy("nb", kindB).followedBy("c", kindC)
+    assert(run(gap, pFollowed).isEmpty)
+  }
+
+  test("notNext after oneOrMore: loop's next event is guarded " +
+      "(NotPatternITCase testNotNextAfterOneOrMoreSkipTillNext:831)") {
+    // a.followedBy(b+).notNext(c).followedBy(d) over a b1 c b2 d:
+    // c immediately follows the loop's last event -> the only live
+    // interpretation dies; reference expects zero matches for the
+    // skip-till-next (eager) variant, which this engine reproduces.
+    val p = Cep.Pattern.begin[Tick]("a", kindA)
+      .followedByOneOrMore("b", kindB).notNext("nc", kindC).followedBy("d", kindD)
+    val ms = run(Seq(Tick("NL", 11, ts(0)), Tick("NL", 21, ts(1)),
+      Tick("NL", 31, ts(2)), Tick("NL", 22, ts(3)), Tick("NL", 41, ts(4))), p)
+    assert(ms.isEmpty)
+    // control: without the c interloper the same shape matches
+    val ok = run(Seq(Tick("NM", 11, ts(0)), Tick("NM", 21, ts(1)),
+      Tick("NM", 22, ts(3)), Tick("NM", 41, ts(4))), p)
+    assert(ok.map(m => (m.steps("b").map(_.price), m.steps("d").map(_.price)))
+      == Seq((Seq(21.0, 22.0), Seq(41.0))))
   }
 }
