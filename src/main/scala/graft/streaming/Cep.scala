@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   *    completion as the loop grows
   *  - `until` stop-condition on a looping step (Pattern.java:199)
   *  - contiguity per step: strict (`next`) or relaxed (`followedBy`)
+  *  - negation: `notFollowedBy` (relaxed — any event until the next
+  *    positive step can kill, Pattern.java:222) and `notNext` (strict —
+  *    only the immediately-next event is tested, Pattern.java:294)
   *  - `within` time bound on the whole match (Pattern.java:132)
   *  - after-match skip strategies (nfa/aftermatch/
   *    AfterMatchSkipStrategy.java:38): NO_SKIP, SKIP_TO_NEXT,

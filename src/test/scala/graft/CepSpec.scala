@@ -576,6 +576,40 @@ class CepSpec extends AnyFunSuite {
     assert(timedOut.map(_.steps("a").map(_.price)) == Seq(Seq(52.0)))
   }
 
+  test("NFA state survives a query restart from checkpoint") {
+    // run 1 builds a partial match (low + high), the query goes down,
+    // the completing drop arrives, and run 2 — restarted from the SAME
+    // checkpoint — must finish the match from the RESTORED kryo NFA
+    // state (partials + sequence counter through the state store), the
+    // contract Flink's CepOperator keeps via its keyed state backend.
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cep_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cep_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cep_out").toString
+    def feed(rows: Tick*): Unit =
+      rows.toSeq.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def hop(): Unit = {
+      val src = spark.readStream
+        .schema("symbol STRING, price DOUBLE, ts TIMESTAMP").parquet(inDir)
+        .as[Tick]
+      val q = Cep.run(src, riseFall)(_.symbol, _.ts.getTime)
+        .map(m => (m.key, m.steps("low").head.price,
+          m.steps("high").map(_.price).sum, m.steps("drop").head.price))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000); q.stop()
+    }
+    feed(Tick("RS", 90, ts(0)), Tick("RS", 110, ts(1)))
+    hop() // partial match parked in the checkpointed state store
+    feed(Tick("RS", 120, ts(2)), Tick("RS", 95, ts(3)))
+    hop() // restart: the restored partial absorbs 120 and closes on 95
+    val out = spark.read.parquet(outDir)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("RS", 90.0, 230.0, 95.0)),
+      s"restored partial must carry both highs (110+120), got $out")
+  }
+
   // ---- notNext (strict negation, NotPatternITCase.java ports) ----
   import CepSpecKinds._
 
