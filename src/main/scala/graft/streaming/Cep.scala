@@ -32,17 +32,21 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   * Flink's CepOperator does exactly this buffering+sorting internally).
   *
   * Documented deviations from the full Flink NFA (kept for bounded
-  * state): a matching event always extends/advances a partial (no
-  * skip-this-event/proceed branch inside relaxed loops, so a reluctant
-  * loop emits the prefix chain of combinations, not all subsets), and
-  * an emitted partial is consumed (a greedy loop followed by optional
-  * steps emits either the loop-maximal or the extended match, not
-  * both). The exact boundary is pinned by CepSpec's NFAITCase ports
-  * with reference-derived expected outputs:
+  * state): under the DEFAULT eager contiguity a matching event always
+  * extends/advances a partial — the skip-this-event branch exists only
+  * behind the opt-in `followedByAny` / `allowCombinations`
+  * (SKIP_TILL_ANY), which reproduce Flink's alternative-binding and
+  * loop-subset outputs exactly at Flink's state cost (CepSpec
+  * "reference-exact" ports of NFAITCase:2914 and
+  * NotPatternITCase:46) — and an emitted partial is consumed (a
+  * greedy loop followed by optional steps emits either the
+  * loop-maximal or the extended match, not both). The remaining
+  * default-mode boundary is pinned by CepSpec's NFAITCase ports with
+  * reference-derived expected outputs:
   *  - "NFAITCase testSkipTillNextOneOrMore (2882)": Flink's eager
   *    prefix set collapses to our greedy maximal;
-  *  - "NFAITCase testSkipTillAnyOneOrMore (2914)": allowCombinations
-  *    subsets are unreachable;
+  *  - "NFAITCase testSkipTillAnyOneOrMore (2914)": subsets need the
+  *    opt-in allowCombinations; the default-flag form stays maximal;
   *  - "NFAITCase testEagerZeroOrMore (1014)": the skip-the-loop
   *    branch of an optional loop is not enumerated when the loop
   *    matched;
@@ -88,7 +92,8 @@ object Cep {
       strict: Boolean = false, greedy: Boolean = true,
       until: Option[T => Boolean] = None,
       predCtx: Option[(T, Map[String, Seq[T]]) => Boolean] = None,
-      negated: Boolean = false) {
+      negated: Boolean = false,
+      any: Boolean = false, combinations: Boolean = false) {
     def isLoop: Boolean = maxTimes != Some(1)
     def canTake(ev: T): Boolean = pred(ev) && !until.exists(_(ev))
     def canTake(ev: T, soFar: => Map[String, Seq[T]]): Boolean =
@@ -152,6 +157,23 @@ object Cep {
     def notNext(name: String, pred: T => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, minTimes = 0,
         maxTimes = Some(0), negated = true, strict = true))
+    /** SKIP_TILL_ANY contiguity (Pattern.java:185 `followedByAny`):
+      * when an event matches this step, the skip-this-event
+      * interpretation ALSO stays live, so LATER events matching the
+      * step produce additional matches. OPT-IN state cost: live
+      * partials multiply with the number of viable bindings (Flink
+      * pays the same in its SharedBuffer); prune with `within`, a
+      * skip strategy, and `ttlMs`. */
+    def followedByAny(name: String, pred: T => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, any = true))
+    /** Pattern.java:366 `allowCombinations`: the last (looping) step
+      * emits every SUBSET of its matching events that contains the
+      * first one, not just the contiguous prefix chain — each loop
+      * extension also keeps the skip-this-event interpretation.
+      * Loop ENTRY stays eager (first loop event is always bound),
+      * matching Flink's SKIP_TILL_ANY internal strategy. Same opt-in
+      * state cost as [[followedByAny]]. */
+    def allowCombinations: Pattern[T] = mod(_.copy(combinations = true))
   }
 
   object Pattern {
@@ -319,6 +341,10 @@ object Cep {
                   .map { case (n, v) => n -> v.map(_._3).toSeq }
                   .withDefaultValue(Seq.empty)
                 var advanced = false
+                // did any branch CONSUME the partial (eager contiguity)?
+                // any/combinations branches retain the skip-this-event
+                // interpretation instead (SKIP_TILL_ANY).
+                var tookNonAny = false
                 // (a) loop on the current step (a closed strict loop can
                 // never extend again — see Partial.closed)
                 if (cur.isLoop && !p.closed && cur.maxTimes.forall(p.count < _) &&
@@ -326,6 +352,7 @@ object Cep {
                   route(p.copy(count = p.count + 1,
                     acc = p.acc :+ ((cur.name, s, ev))))
                   advanced = true
+                  if (!cur.combinations) tookNonAny = true
                 }
                 // (b) advance to a later step (skipping min-0 steps);
                 // a negative guard (notFollowedBy) consumes nothing —
@@ -352,10 +379,35 @@ object Cep {
                         route(Partial(i, 1, p.acc :+ ((st.name, s, ev)),
                           p.startTs, p.startSeq))
                         advanced = true
+                        if (!st.any) tookNonAny = true
                       }
                       go = st.minTimes == 0
                     }
                     i += 1
+                  }
+                }
+                // (d) keep waiting under relaxed contiguity; strict
+                // obligations kill the partial. Negative guards consume
+                // nothing, so the contiguity obligation is carried by the
+                // first POSITIVE step after them — and it binds only once
+                // the partial is ELIGIBLE to advance (count >= minTimes):
+                // while a relaxed loop is still filling, gaps are the
+                // loop's own business, not the next step's.
+                def keepWaiting(): Unit = {
+                  var nx = p.stepIdx + 1
+                  while (nx < steps.length && steps(nx).negated) nx += 1
+                  val strictNext = p.count >= cur.minTimes &&
+                    nx < steps.length && steps(nx).strict
+                  val strictFill = cur.strict && p.count < cur.minTimes
+                  if (!(strictNext || strictFill)) {
+                    // A filled STRICT loop seeing a non-taking event
+                    // CLOSES (consecutiveness is broken for good) but
+                    // survives to await a relaxed next step — Flink's
+                    // consecutive() + followedBy(end) semantics
+                    // (NFAITCase.java:2858). Relaxed loops stay open:
+                    // SKIP_TILL_NEXT skips gap events.
+                    val nowClosed = p.closed || (cur.strict && cur.isLoop)
+                    nextPartials ::= p.copy(closed = nowClosed)
                   }
                 }
                 if (guardKilled) {
@@ -366,30 +418,13 @@ object Cep {
                   // event: emit the maximal match (partial consumed)
                   if (cur.greedy && cur.isLoop && completable(p.stepIdx, p.count))
                     candidates += p
-                  // (d) else keep waiting under relaxed contiguity; strict
-                  // obligations kill the partial. Negative guards consume
-                  // nothing, so the contiguity obligation is carried by the
-                  // first POSITIVE step after them — and it binds only once
-                  // the partial is ELIGIBLE to advance (count >= minTimes):
-                  // while a relaxed loop is still filling, gaps are the
-                  // loop's own business, not the next step's.
-                  else {
-                    var nx = p.stepIdx + 1
-                    while (nx < steps.length && steps(nx).negated) nx += 1
-                    val strictNext = p.count >= cur.minTimes &&
-                      nx < steps.length && steps(nx).strict
-                    val strictFill = cur.strict && p.count < cur.minTimes
-                    if (!(strictNext || strictFill)) {
-                      // A filled STRICT loop seeing a non-taking event
-                      // CLOSES (consecutiveness is broken for good) but
-                      // survives to await a relaxed next step — Flink's
-                      // consecutive() + followedBy(end) semantics
-                      // (NFAITCase.java:2858). Relaxed loops stay open:
-                      // SKIP_TILL_NEXT skips gap events.
-                      val nowClosed = p.closed || (cur.strict && cur.isLoop)
-                      nextPartials ::= p.copy(closed = nowClosed)
-                    }
-                  }
+                  else keepWaiting()
+                } else if (!tookNonAny) {
+                  // SKIP_TILL_ANY retention: every branch that took this
+                  // event is an any/combinations step, so the skip-this-
+                  // event interpretation stays live under the same
+                  // waiting obligations as an untouched partial
+                  keepWaiting()
                 }
               }
 

@@ -495,12 +495,12 @@ class CepSpec extends AnyFunSuite {
       "relaxed loop skips BOTH d gaps and takes a4")
   }
 
-  test("NFAITCase testSkipTillAnyOneOrMore (2914): allowCombinations subsets " +
-      "are out of scope — pinned deviation") {
-    // Flink SKIP_TILL_ANY emits all 8 subsets containing a1. Our NFA has
-    // no skip-this-event branch inside loops (deviation 1, bounded
-    // state), so the subset family {c a1 a3 b, c a1 a2 a4 b, ...} is
-    // unreachable: the single maximal match stands in for the family.
+  test("NFAITCase testSkipTillAnyOneOrMore (2914): default flags stay " +
+      "maximal-only — subsets need the opt-in allowCombinations") {
+    // Flink SKIP_TILL_ANY emits all 8 subsets containing a1 — the
+    // `.allowCombinations` port below reproduces that exactly. This
+    // test pins the DEFAULT (eager, bounded-state) behavior: without
+    // the opt-in, the single maximal match stands in for the family.
     val p = Cep.Pattern.begin[Tick]("start", isC)
       .followedByOneOrMore("middle", isA)
       .followedBy("end", isB)
@@ -574,6 +574,42 @@ class CepSpec extends AnyFunSuite {
     val (timedOut, matched) = rs.partition(_.timed_out)
     assert(matched.map(_.steps("a").map(_.price)) == Seq(Seq(51.0, 52.0)))
     assert(timedOut.map(_.steps("a").map(_.price)) == Seq(Seq(52.0)))
+  }
+
+  test("allowCombinations: loop subsets match Flink SKIP_TILL_ANY " +
+      "(NFAITCase testSkipTillAnyOneOrMore:2914, reference-exact)") {
+    import CepSpecKinds._
+    // c d a1 a2 a3 d a4 b with start(c).followedBy(a+ combinations)
+    // .followedBy(b): every subset of the loop events containing a1
+    // (loop entry stays eager) — the reference's 8 matches exactly.
+    val p = Cep.Pattern.begin[Tick]("start", kindC)
+      .followedByOneOrMore("middle", kindA).allowCombinations
+      .followedBy("end", kindB)
+    val ms = run(Seq(Tick("AC", 31, ts(0)), Tick("AC", 91, ts(1)),
+      Tick("AC", 11, ts(2)), Tick("AC", 12, ts(3)), Tick("AC", 13, ts(4)),
+      Tick("AC", 92, ts(5)), Tick("AC", 14, ts(6)), Tick("AC", 21, ts(7))),
+      p, Cep.SkipStrategy.NoSkip)
+    val mids = ms.map(_.steps("middle").map(_.price)).toSet
+    assert(mids == Set(
+      Seq(11.0), Seq(11.0, 12.0), Seq(11.0, 13.0), Seq(11.0, 14.0),
+      Seq(11.0, 12.0, 13.0), Seq(11.0, 12.0, 14.0), Seq(11.0, 13.0, 14.0),
+      Seq(11.0, 12.0, 13.0, 14.0)))
+    assert(ms.size == 8)
+  }
+
+  test("followedByAny binds every later alternative " +
+      "(NotPatternITCase testNotNext:46, reference-exact)") {
+    import CepSpecKinds._
+    // With the any-contiguity middle the reference's SECOND match
+    // {a, c2, d} — previously unreachable (deviation 1) — is emitted.
+    val p = Cep.Pattern.begin[Tick]("a", kindA)
+      .notNext("nb", kindB).followedByAny("c", kindC).followedBy("d", kindD)
+    val ms = run(Seq(Tick("FA", 11, ts(0)), Tick("FA", 31, ts(1)),
+      Tick("FA", 21, ts(2)), Tick("FA", 32, ts(3)), Tick("FA", 41, ts(4))), p,
+      Cep.SkipStrategy.NoSkip)
+    assert(ms.map(m =>
+      (m.steps("c").map(_.price), m.steps("d").map(_.price))).toSet ==
+      Set((Seq(31.0), Seq(41.0)), (Seq(32.0), Seq(41.0))))
   }
 
   test("NFA state survives a query restart from checkpoint") {
