@@ -74,6 +74,23 @@ object TimeWindowPack extends QueryPack {
       WindowOps.cumulate(T.events(s, d), $"ts", 900L, 3600L)
         .groupBy($"window_start", $"window_end")
         .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+    }),
+
+    // Count windows, batch form (Flink countWindow(N): tumbling windows
+    // of N events per key in time order; the streaming twin is
+    // CountWindows.tumbling). The window partitions on user_id — high
+    // cardinality, so the per-key sort parallelizes across keys; no
+    // single-task global sort.
+    "q_count_window" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("win_no",
+          floor((row_number().over(w) - 1) / 10).cast("long"))
+        .groupBy($"user_id", $"win_no")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"),
+          min($"event_id").as("first_event"))
     })
   )
 
@@ -84,6 +101,16 @@ object TimeWindowPack extends QueryPack {
                 event_type, count(*) AS n, sum(value) AS sum_value
          FROM events
          GROUP BY 1, 2, 3""",
+    "q_count_window" ->
+      """WITH rn AS (
+           SELECT user_id, value, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS r
+           FROM events)
+         SELECT user_id, (r - 1) // 10 AS win_no,
+                count(*) AS n, sum(value) AS sum_value,
+                min(event_id) AS first_event
+         FROM rn GROUP BY 1, 2""",
     "q_tumble_offset" ->
       """SELECT make_timestamp((CAST(floor((epoch(ts)-900)/3600)*3600 AS BIGINT)+900)*1000000) AS window_start,
                 make_timestamp((CAST(floor((epoch(ts)-900)/3600)*3600 AS BIGINT)+900+3600)*1000000) AS window_end,
