@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   *    only the maximal match of a loop; reluctant emits every valid
   *    completion as the loop grows
   *  - `until` stop-condition on a looping step (Pattern.java:199)
-  *  - contiguity per step: strict (`next`) or relaxed (`followedBy`)
+  *  - contiguity per step: strict (`next`), relaxed (`followedBy`), or
+  *    any (`followedByAny` / `allowCombinations` — SKIP_TILL_ANY,
+  *    opt-in; see the state-cost note on those methods)
   *  - negation: `notFollowedBy` (relaxed — any event until the next
   *    positive step can kill, Pattern.java:222) and `notNext` (strict —
   *    only the immediately-next event is tested, Pattern.java:294)
