@@ -103,7 +103,39 @@ object ExtPack4 extends QueryPack {
     // algorithm and 100 TB shape (this corpus's max pair cosine is
     // 0.51, so 0.4 marks the true near-dup tail).
     "q_semdedup" -> ((s, d) =>
-      VectorOps.semDedup(T.embeddings(s, d), threshold = 0.4))
+      VectorOps.semDedup(T.embeddings(s, d), threshold = 0.4)),
+
+    // FUZZY decontamination: q_decontamination's exact-shingle test
+    // misses REORDERED/paraphrased benchmark leakage; this flags
+    // corpus docs whose token-SET MinHash signature collides with ANY
+    // benchmark doc in ANY LSH band. Token sets are the reorder-robust
+    // representation (this corpus's dup families are token
+    // permutations); the STRICT banding (16 hashes in 2 bands of 8)
+    // keeps the flag discriminative on a small shared vocabulary —
+    // 8 agreeing minima need set-Jaccard near the ~0.8+ leakage tail,
+    // not the ~0.5 corpus-wide baseline. Scale shape: the benchmark
+    // band table is tiny (|bench| x bands rows) and rides a broadcast
+    // join, so the corpus is scanned once map-side; the per-doc agg is
+    // the only shuffle. Same md5-affine signature idiom as
+    // q_minhash_lsh.
+    "q_fuzzy_decontam" -> ((s, d) => {
+      import s.implicits._
+      val sig = T.documents(s, d).select($"doc_id",
+        posexplode(TextOps.bandKeys(
+          TextOps.minhashSignature($"text", 16), 2, 8))
+          .as(Seq("band", "bkey")))
+      val bench = sig.filter($"doc_id" < 5)
+        .select($"band", $"bkey", $"doc_id".as("bench_id")).distinct()
+      val hits = sig.filter($"doc_id" >= 5)
+        .join(broadcast(bench), Seq("band", "bkey"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"bench_id").as("n_bench_hits"))
+      T.documents(s, d).filter($"doc_id" >= 5).select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bench_hits", lit(0L)).as("n_bench_hits"),
+          (coalesce($"n_bench_hits", lit(0L)) > 0).as("contaminated_fuzzy"))
+    })
   )
 
   /** md5-first-8-hex-digits-as-int, the DuckDB twin of
@@ -176,6 +208,36 @@ object ExtPack4 extends QueryPack {
                 row_number() OVER (PARTITION BY shard ORDER BY k)
                   AS pos_in_shard
          FROM h""",
+    "q_fuzzy_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM toks),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 8 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 8),
+         bench AS (
+           SELECT DISTINCT band, bkey, doc_id AS bench_id
+           FROM bands WHERE doc_id < 5),
+         hits AS (
+           SELECT b.doc_id, count(DISTINCT bench_id) AS n
+           FROM bands b JOIN bench USING (band, bkey)
+           WHERE b.doc_id >= 5 GROUP BY 1)
+         SELECT d.doc_id, coalesce(n, 0) AS n_bench_hits,
+                coalesce(n, 0) > 0 AS contaminated_fuzzy
+         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         WHERE d.doc_id >= 5""",
     // Mirrors VectorOps.lshBucket (integer-quantized plane dots) +
     // kmeansAssign(rounds = 1) exactly — the same CTE scheme the
     // q_embedding_ivf oracle uses — then the in-cluster min-partner

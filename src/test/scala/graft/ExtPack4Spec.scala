@@ -86,6 +86,35 @@ class ExtPack4Spec extends AnyFunSuite {
     assert(scored.count() === 0)
   }
 
+  test("q_fuzzy_decontam separates docs by true benchmark set-Jaccard") {
+    val out = ExtPack4.queries("q_fuzzy_decontam")(spark, sf)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    assert(out.count() === docs.filter($"doc_id" >= 5).count())
+    assert(out.filter($"contaminated_fuzzy" =!= ($"n_bench_hits" > 0))
+      .count() === 0)
+    // band collisions are Jaccard evidence: the flagged population's
+    // best set-Jaccard against the benchmark must exceed the
+    // unflagged population's on average
+    val bench = docs.filter($"doc_id" < 5)
+      .select($"t".as("bt")).collect().map(_.getSeq[String](0).toSet)
+    val bBc = spark.sparkContext.broadcast(bench)
+    val withJ = docs.filter($"doc_id" >= 5).as[(Long, Seq[String])]
+      .map { case (id, t) =>
+        val ts = t.toSet
+        val j = bBc.value.map(b =>
+          ts.intersect(b).size.toDouble / ts.union(b).size).max
+        (id, j)
+      }.toDF("doc_id", "max_jac")
+    val agg = out.join(withJ, Seq("doc_id"))
+      .groupBy($"contaminated_fuzzy").agg(avg($"max_jac").as("mj"))
+      .as[(Boolean, Double)].collect().toMap
+    if (agg.contains(true) && agg.contains(false))
+      assert(agg(true) > agg(false),
+        s"flagged mean jaccard ${agg(true)} not above unflagged ${agg(false)}")
+  }
+
   test("q_epoch_shard positions are the dense per-shard rank of the hash order") {
     val out = ExtPack4.queries("q_epoch_shard")(spark, sf)
     import spark.implicits._
