@@ -115,6 +115,21 @@ class ExtPack4Spec extends AnyFunSuite {
         s"flagged mean jaccard ${agg(true)} not above unflagged ${agg(false)}")
   }
 
+  test("scale-critical plan shapes: small sides broadcast, corpus scanned once") {
+    // q_dsir: the 256-row bucket table and the totals row must ride
+    // broadcast joins (the corpus-side explode is never shuffled for
+    // the scoring join)
+    val dsirPlan = ExtPack4.queries("q_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin") ||
+      dsirPlan.contains("BroadcastNestedLoopJoin"), dsirPlan.take(2000))
+    // q_fuzzy_decontam: the benchmark band table rides a broadcast
+    // hash join against the corpus bands
+    val fdPlan = ExtPack4.queries("q_fuzzy_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(fdPlan.contains("BroadcastHashJoin"), fdPlan.take(2000))
+  }
+
   test("q_epoch_shard positions are the dense per-shard rank of the hash order") {
     val out = ExtPack4.queries("q_epoch_shard")(spark, sf)
     import spark.implicits._
