@@ -105,6 +105,28 @@ object ExtPack4 extends QueryPack {
     "q_semdedup" -> ((s, d) =>
       VectorOps.semDedup(T.embeddings(s, d), threshold = 0.4)),
 
+    // BPE pair statistics (tokenizer-training prep): the first merge
+    // step of byte-pair encoding ranks adjacent character pairs by
+    // corpus frequency. The corpus collapses to its VOCABULARY first
+    // (one groupBy on the token — the same skew-absorbing shape as
+    // q_vocab_topk), so the pair explosion runs over |vocab| rows,
+    // not |corpus| rows; pair counts then weight by word frequency.
+    // Total order (count desc, pair) makes the LIMIT deterministic.
+    "q_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      val vocab = T.documents(s, d)
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("wc"))
+      val pairs = vocab.filter(length($"tok") >= 2)
+        .select($"wc", explode(transform(
+          sequence(lit(1), length($"tok") - 1),
+          i => $"tok".substr(i, lit(2)))).as("pair"))
+      pairs.groupBy($"pair")
+        .agg(sum($"wc").as("n_occurs"))
+        .orderBy($"n_occurs".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // FUZZY decontamination: q_decontamination's exact-shingle test
     // misses REORDERED/paraphrased benchmark leakage; this flags
     // corpus docs whose token-SET MinHash signature collides with ANY
@@ -208,6 +230,19 @@ object ExtPack4 extends QueryPack {
                 row_number() OVER (PARTITION BY shard ORDER BY k)
                   AS pos_in_shard
          FROM h""",
+    "q_bpe_pairs" ->
+      """WITH vocab AS (
+           SELECT tok, count(*) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY tok),
+         pairs AS (
+           SELECT wc, unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+           FROM vocab WHERE length(tok) >= 2)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurs
+         FROM pairs GROUP BY pair
+         ORDER BY n_occurs DESC, pair LIMIT 20""",
     "q_fuzzy_decontam" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
