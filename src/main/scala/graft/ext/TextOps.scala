@@ -37,8 +37,8 @@ object TextOps {
     * parse hex. Evaluated by the fused native expression
     * [[graft.functions.TokenHash32]] (same value as
     * `conv(md5(t).substr(1, 8), 16, 10)` with zero intermediate
-    * strings; `SqlFunctionsSpec` pins the parity against the
-    * HOF-md5 SQL form). */
+    * strings; `HofParitySpec` evaluates the literal HOF-md5 SQL form
+    * side by side on edge inputs to pin the value parity). */
   def tokenHash32(t: Column): Column = graft.functions.TokenHash32.of(t)
 
   /** MinHash signature over any element array: numHashes minima of
@@ -86,8 +86,9 @@ object TextOps {
     * from the token's 32-bit base hash (bit b of tokenHash32); the
     * sketch bit is the sign of the +1/-1 vote sum. Fused per row by
     * [[graft.functions.SimHash16]] (one digest + 16 integer votes per
-    * token, no per-bit lambda re-entry; `SqlFunctionsSpec` pins parity
-    * against the HOF-SQL form). */
+    * token, no per-bit lambda re-entry; `HofParitySpec` pins value
+    * parity against the literal per-bit HOF-SQL form, incl. the
+    * documented null-element deviation). */
   def simhash16(text: Column): Column =
     graft.functions.SimHash16.of(distinctTokens(text))
 

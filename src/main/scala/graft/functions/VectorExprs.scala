@@ -146,19 +146,29 @@ case class L2NormD(child: Expression) extends UnaryExpression {
 
 /** Fused sign-LSH bucket assignment. The ±1 plane matrix is embedded
   * at construction (md5-derived, deterministic — see
-  * VectorOps.planeWeights) and referenced from generated code. */
-case class SignLshBucket(child: Expression, weights: Array[Array[Int]])
+  * VectorOps.planeWeights) and referenced from generated code.
+  *
+  * The matrix is held as immutable `Seq[Seq[Int]]` so that two
+  * structurally identical SignLshBucket expressions are `equals` (JVM
+  * arrays compare by reference) — Catalyst semanticEquals, common-
+  * subexpression elimination, and plan dedup all depend on it, and
+  * VectorOps.planeWeights allocates fresh arrays per call. Eval and
+  * codegen use a cached primitive int[][] view. */
+case class SignLshBucket(child: Expression, weights: Seq[Seq[Int]])
     extends UnaryExpression {
+  @transient private lazy val weightArr: Array[Array[Int]] =
+    weights.map(_.toArray).toArray
+
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprs.requireDoubleArray(child.dataType, "sign_lsh_bucket")
 
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorExprs.signLshBucket(input.asInstanceOf[ArrayData], weights)
+    VectorExprs.signLshBucket(input.asInstanceOf[ArrayData], weightArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("lshWeights", weights, "int[][]")
+    val wRef = ctx.addReferenceObj("lshWeights", weightArr, "int[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.VectorExprs.signLshBucket($c, $wRef)")
   }
@@ -181,5 +191,6 @@ object L2NormD {
 object SignLshBucket {
   def of(c: Column, weights: Array[Array[Int]]): Column =
     GraftSqlBridge.columnOf(
-      SignLshBucket(GraftSqlBridge.expressionOf(c), weights))
+      SignLshBucket(GraftSqlBridge.expressionOf(c),
+        weights.map(_.toSeq).toSeq))
 }

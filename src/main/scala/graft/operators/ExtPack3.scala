@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * entropy quality scoring, and edit-distance near-dup verification.
   *
   * Same verification design as ExtPack/ExtPack2: every query is
-  * bit-reproducible in DuckDB (md5-derived hashes, rounded floats,
+  * bit-reproducible in DuckDB (md5-derived hashes, integer micro-unit
+  * encodings for division/libm-derived columns — the q_dsir pattern,
+  * after round(double,6) outputs proved oracle-engine-sensitive in r4 —
   * total orderings), and every shape is linear — candidates are always
   * enumerated through keys (span hashes, canonical URLs, explicit id
   * offsets), never through per-group cross products.
@@ -78,17 +80,21 @@ object ExtPack3 extends QueryPack {
     }),
 
     // URL canonicalization + dedup: lowercase scheme/host, drop the
-    // default port, strip fragments and utm_* tracking params, sort
-    // the surviving query params, trim trailing slashes — then dedup
-    // by canonical form (min doc_id is the keep). The URL column is
-    // synthesized deterministically from doc_id (the corpus has no
-    // URL field), so both engines canonicalize identical strings.
+    // scheme's DEFAULT port only (443 for https, 80 for http — a
+    // non-default port like :8443 is a distinct origin and survives),
+    // strip fragments and utm_* tracking params, sort the surviving
+    // query params, trim trailing slashes — then dedup by canonical
+    // form (min doc_id is the keep). The URL column is synthesized
+    // deterministically from doc_id (the corpus has no URL field) and
+    // includes a :8443 slice so the port rule is actually exercised.
     // Pure per-row regex/array expressions + one groupBy: linear.
     "q_url_dedup" -> ((s, d) => {
       import s.implicits._
       val url = concat(
         lit("HTTPS://WWW.Example"), ($"doc_id" % 7).cast("string"),
-        lit(".COM:443/Path/"), ($"doc_id" % 50).cast("string"),
+        lit(".COM"),
+        when($"doc_id" % 5 === 0, lit(":8443")).otherwise(lit(":443")),
+        lit("/Path/"), ($"doc_id" % 50).cast("string"),
         when($"doc_id" % 3 === 0,
           concat(lit("/?utm_source=feed&id="), ($"doc_id" % 25).cast("string")))
           .when($"doc_id" % 3 === 1,
@@ -96,14 +102,20 @@ object ExtPack3 extends QueryPack {
           .otherwise(lit("/")),
         when($"doc_id" % 2 === 0, lit("#section-2")).otherwise(lit("")))
       val noFrag = regexp_replace(url, "#.*$", "")
+      val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
       val host = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/:?#]+)", 1))
+      val port = regexp_extract(noFrag, "^[a-zA-Z]+://[^/:?#]+:([0-9]+)", 1)
+      val defaultPort = when(scheme === "https", lit("443"))
+        .when(scheme === "http", lit("80")).otherwise(lit(""))
+      val portSuffix = when(port === "" || port === defaultPort, lit(""))
+        .otherwise(concat(lit(":"), port))
       val path = regexp_replace(
         lower(regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(/[^?#]*)?", 1)),
         "/+$", "")
       val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
       val keptParams = array_sort(filter(split(query, "&"),
         p => !startswith(p, lit("utm_")) && p =!= lit("")))
-      val canon = concat(lit("https://"), host, path,
+      val canon = concat(scheme, lit("://"), host, portSuffix, path,
         when(size(keptParams) > 0,
           concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
       T.documents(s, d)
@@ -120,6 +132,11 @@ object ExtPack3 extends QueryPack {
     // duplicated-span fraction. All three shuffles key on high-
     // cardinality hashes with map-side partial agg: linear, and the
     // template-heavy hot spans collapse in the partial phase.
+    // The fraction is emitted as integer PARTS-PER-MILLION computed
+    // with pure BIGINT arithmetic ((1e6*dup + n/2) div n) — the round-4
+    // differential proved that a round(double,6) output column is
+    // sensitive to the oracle engine's float formatting; integer
+    // encoding (the q_dsir micro-nat pattern) is exact in any engine.
     "q_substring_dedup" -> ((s, d) => {
       import s.implicits._
       val spans = T.documents(s, d)
@@ -134,10 +151,11 @@ object ExtPack3 extends QueryPack {
         .join(perDoc, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_spans", lit(0L)).as("n_spans"),
-          coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
-          when(coalesce($"n_spans", lit(0L)) > 0,
-            round($"n_dup_spans" * 1.0 / $"n_spans", 6)).otherwise(0.0)
-            .as("dup_frac"))
+          coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac_ppm",
+          when($"n_spans" > 0,
+            expr("((1000000 * n_dup_spans) + (n_spans div 2)) div n_spans"))
+            .otherwise(lit(0L)))
     }),
 
     // Bloom-prefiltered incremental dedup: is each DELTA doc's
@@ -175,21 +193,35 @@ object ExtPack3 extends QueryPack {
     // in q_quality_repetition). entropy = log2(n) - sum(c*log2 c)/n
     // needs only per-(doc,token) counts and one per-doc agg — two
     // linear shuffles, both partial-agg friendly.
+    // Cross-engine determinism (the q_dsir micro-nat pattern): each
+    // per-term c*log2(c) is rounded ONCE to integer micro-bits, the
+    // per-doc sum is BIGINT (exact under any aggregation order), and
+    // all downstream arithmetic is integer — so neither libm ulps nor
+    // float formatting can flip the oracle hash. The mathematically-
+    // impossible-but-integer-noise-possible negative entropy is
+    // clamped at 0 so the ppm division below never sees a negative
+    // numerator (trunc-vs-floor division differs on negatives).
     "q_token_entropy" -> ((s, d) => {
       import s.implicits._
       val counts = T.documents(s, d)
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
         .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"c",
+          round($"c" * log(2.0, $"c") * 1e6).cast("long").as("cu"))
       counts.groupBy($"doc_id")
         .agg(sum($"c").as("n_tokens"),
           count(lit(1)).as("n_distinct"),
-          sum($"c" * log(2.0, $"c")).as("clog"))
-        .select($"doc_id", $"n_tokens", $"n_distinct",
-          round(log(2.0, $"n_tokens") - $"clog" / $"n_tokens", 6).as("entropy"),
+          sum($"cu").as("clog_u"))
+        .withColumn("log2n_u", round(log(2.0, $"n_tokens") * 1e6).cast("long"))
+        .withColumn("log2d_u", round(log(2.0, $"n_distinct") * 1e6).cast("long"))
+        .withColumn("entropy_microbits",
+          greatest($"log2n_u" -
+            expr("(clog_u + (n_tokens div 2)) div n_tokens"), lit(0L)))
+        .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy_microbits",
           when($"n_distinct" > 1,
-            round((log(2.0, $"n_tokens") - $"clog" / $"n_tokens")
-              / log(2.0, $"n_distinct"), 6)).otherwise(0.0).as("norm_entropy"))
+            expr("((1000000 * entropy_microbits) + (log2d_u div 2)) div log2d_u"))
+            .otherwise(lit(0L)).as("norm_entropy_ppm"))
     }),
 
     // Edit-distance near-dup verification: Levenshtein over text
@@ -240,8 +272,9 @@ object ExtPack3 extends QueryPack {
     "q_url_dedup" ->
       """WITH urls AS (
            SELECT doc_id,
-             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/' ||
-             (doc_id % 50) ||
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM' ||
+             CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE ':443' END ||
+             '/Path/' || (doc_id % 50) ||
              CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=' || (doc_id % 25)
                   WHEN doc_id % 3 = 1 THEN '/?id=' || (doc_id % 25) || '&utm_campaign=x'
                   ELSE '/' END ||
@@ -249,16 +282,22 @@ object ExtPack3 extends QueryPack {
            FROM documents),
          parts AS (
            SELECT doc_id,
-             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-               '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
-             regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+             lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+             regexp_extract(nofrag, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_replace(lower(regexp_extract(nofrag,
                '^[a-zA-Z]+://[^/?#]*(/[^?#]*)?', 1)), '/+$', '') AS path,
              list_sort(list_filter(
-               string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
-                 '\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(nofrag, '\?([^#]*)', 1), '&'),
                p -> NOT starts_with(p, 'utm_') AND p != '')) AS kept
-           FROM urls)
-         SELECT 'https://' || host || path ||
+           FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+                 FROM urls))
+         SELECT scheme || '://' || host ||
+                CASE WHEN port = '' OR port =
+                       (CASE WHEN scheme = 'https' THEN '443'
+                             WHEN scheme = 'http' THEN '80' ELSE '' END)
+                     THEN '' ELSE ':' || port END ||
+                path ||
                 CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
                      ELSE '' END AS canon_url,
                 min(doc_id) AS keep_id, count(*) AS n_dups
@@ -281,9 +320,9 @@ object ExtPack3 extends QueryPack {
          SELECT d.doc_id,
                 coalesce(n_spans, 0) AS n_spans,
                 coalesce(n_dup_spans, 0) AS n_dup_spans,
-                CASE WHEN coalesce(n_spans, 0) > 0
-                     THEN round(n_dup_spans * 1.0 / n_spans, 6)
-                     ELSE 0.0 END AS dup_frac
+                CAST(CASE WHEN coalesce(n_spans, 0) > 0
+                     THEN ((1000000 * n_dup_spans) + (n_spans // 2)) // n_spans
+                     ELSE 0 END AS BIGINT) AS dup_frac_ppm
          FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id""",
     "q_bloom_dedup" ->
       """WITH fps AS (
@@ -300,17 +339,32 @@ object ExtPack3 extends QueryPack {
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents)
            GROUP BY doc_id, tok),
+         cu AS (
+           SELECT doc_id, c,
+                  CAST(round(c * log2(c) * 1000000) AS BIGINT) AS cu
+           FROM counts),
          agg AS (
            SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-                  sum(c * log2(c)) AS clog
-           FROM counts GROUP BY doc_id)
+                  sum(cu) AS clog_u
+           FROM cu GROUP BY doc_id),
+         ints AS (
+           SELECT doc_id, n_tokens, n_distinct, clog_u,
+                  CAST(round(log2(n_tokens) * 1000000) AS BIGINT) AS log2n_u,
+                  CAST(round(log2(n_distinct) * 1000000) AS BIGINT) AS log2d_u
+           FROM agg),
+         ent AS (
+           SELECT doc_id, n_tokens, n_distinct, log2d_u,
+                  greatest(log2n_u
+                    - (clog_u + (n_tokens // 2)) // n_tokens, 0)
+                    AS entropy_microbits
+           FROM ints)
          SELECT doc_id, n_tokens, n_distinct,
-                round(log2(n_tokens) - clog / n_tokens, 6) AS entropy,
-                CASE WHEN n_distinct > 1
-                     THEN round((log2(n_tokens) - clog / n_tokens)
-                                / log2(n_distinct), 6)
-                     ELSE 0.0 END AS norm_entropy
-         FROM agg""",
+                CAST(entropy_microbits AS BIGINT) AS entropy_microbits,
+                CAST(CASE WHEN n_distinct > 1
+                     THEN ((1000000 * entropy_microbits) + (log2d_u // 2))
+                          // log2d_u
+                     ELSE 0 END AS BIGINT) AS norm_entropy_ppm
+         FROM ent""",
     "q_edit_distance" ->
       """WITH docs AS (
            SELECT doc_id, substring(text, 1, 48) AS prefix FROM documents),

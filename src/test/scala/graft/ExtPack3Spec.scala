@@ -54,22 +54,28 @@ class ExtPack3Spec extends AnyFunSuite {
       s"expected ids 1 and 351 to share a canonical URL: ${both.mkString(",")}")
     // every doc lands in exactly one canonical group
     assert(rows.map(_.getAs[Long]("n_dups")).sum == 500L)
-    // no canonical URL retains a fragment or a utm param
+    // no canonical URL retains a fragment or a utm param; the default
+    // :443 is dropped but the non-default :8443 slice survives as a
+    // distinct origin
     rows.foreach { r =>
       val u = r.getAs[String]("canon_url")
       assert(!u.contains("#") && !u.contains("utm_"), u)
       assert(u.startsWith("https://www.example"), u)
+      assert(!u.contains(":443"), u)
     }
+    assert(rows.exists(_.getAs[String]("canon_url").contains(":8443")))
   }
 
-  test("q_substring_dedup: fractions bounded, dup spans never exceed spans") {
+  test("q_substring_dedup: ppm fractions bounded, dup spans never exceed spans") {
     q("q_substring_dedup").collect().foreach { r =>
       val n = r.getAs[Long]("n_spans")
       val dup = r.getAs[Long]("n_dup_spans")
-      val f = r.getAs[Double]("dup_frac")
+      val ppm = r.getAs[Long]("dup_frac_ppm")
       assert(dup <= n)
-      assert(f >= 0.0 && f <= 1.0)
-      if (n > 0) assert(math.abs(f - dup.toDouble / n) < 1e-4)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      if (n > 0)
+        assert(math.abs(ppm / 1e6 - dup.toDouble / n) < 1e-4)
+      else assert(ppm == 0L)
     }
   }
 
@@ -87,14 +93,15 @@ class ExtPack3Spec extends AnyFunSuite {
   }
 
   test("q_token_entropy: repetitive text scores below diverse text") {
-    // invariant on real data: entropy <= log2(n_distinct) + eps, >= 0
+    // invariant on real data: 0 <= entropy <= log2(n_distinct) + eps,
+    // in integer micro-bits (the cross-engine-exact encoding)
     q("q_token_entropy").collect().foreach { r =>
-      val e = r.getAs[Double]("entropy")
+      val eu = r.getAs[Long]("entropy_microbits")
       val d = r.getAs[Long]("n_distinct")
-      assert(e >= -1e-9)
-      assert(e <= math.log(d.toDouble) / math.log(2.0) + 1e-6)
-      val ne = r.getAs[Double]("norm_entropy")
-      assert(ne >= 0.0 && ne <= 1.0 + 1e-6)
+      assert(eu >= 0L)
+      assert(eu / 1e6 <= math.log(d.toDouble) / math.log(2.0) + 1e-4)
+      val ne = r.getAs[Long]("norm_entropy_ppm")
+      assert(ne >= 0L && ne <= 1000001L)
     }
   }
 
