@@ -183,11 +183,17 @@ object VectorOps {
   def ivfTopKMulti(corpus: DataFrame, queries: DataFrame, cellCol: String,
       rounds: Int, a: Int, nProbe: Int, k: Int): DataFrame = {
     import graft.operators.TopN
+    // OUTPUT similarity in integer micro-units (round(x*1e6) as BIGINT):
+    // same quantization grid as round(x, 6) — ordering is unchanged —
+    // but the emitted cell is an integer, immune to round-implementation
+    // and float-formatting divergence across oracle-engine builds (the
+    // r4 q_substring_dedup lesson; see tools/floatsweep.py).
     val cand = ivfCandidatesMulti(corpus, queries, cellCol, rounds, a, nProbe)
       .select(col("q_id"), col("vec_id"),
-        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")), 6).as("sim"))
-    TopN(cand, Seq(col("q_id")), Seq(col("sim").desc, col("vec_id").asc), k)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
+        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")) * 1e6)
+          .cast("long").as("sim_micro"))
+    TopN(cand, Seq(col("q_id")), Seq(col("sim_micro").desc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id"), col("sim_micro"), col("rank_no"))
   }
 
   /** IVF search: route each query to its nProbe nearest centroids, then
@@ -207,9 +213,10 @@ object VectorOps {
     val cand = routed.join(emb, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")), 6).as("sim"))
-    TopN(cand, Seq(col("q_id")), Seq(col("sim").desc, col("vec_id").asc), k)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rank_no"))
+        round(cosinePre(col("qe"), col("qn"), col("e"), col("en")) * 1e6)
+          .cast("long").as("sim_micro"))
+    TopN(cand, Seq(col("q_id")), Seq(col("sim_micro").desc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id"), col("sim_micro"), col("rank_no"))
   }
 
   /** Embedding-cosine near-duplicate dedup: candidate pairs from shared

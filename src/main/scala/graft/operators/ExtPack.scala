@@ -205,8 +205,11 @@ object ExtPack extends QueryPack {
     }),
 
     // Brute-force cosine top-5 neighbors for the first 10 vectors.
-    // Ranking uses round(sim, 6) so float summation-order differences
-    // can never flip an order across engines (ties then break on vec_id).
+    // Ranking uses micro-quantized similarity (round(sim*1e6) as
+    // BIGINT — same grid as round(sim, 6)) so float summation-order
+    // differences can never flip an order across engines (ties then
+    // break on vec_id), and the OUTPUT cell is an integer immune to
+    // round-implementation/formatting divergence (floatsweep r5).
     "q_embedding_topk" -> ((s, d) => {
       import s.implicits._
       val emb = T.embeddings(s, d)
@@ -217,9 +220,10 @@ object ExtPack extends QueryPack {
         .withColumn("qn", VectorOps.l2norm($"qe"))
       val scored = c.join(broadcast(q), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
-          round(VectorOps.cosinePre($"qe", $"qn", $"e", $"en"), 6).as("sim"))
-      TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)
-        .select($"q_id", $"vec_id", $"sim", $"rank_no")
+          round(VectorOps.cosinePre($"qe", $"qn", $"e", $"en") * 1e6)
+            .cast("long").as("sim_micro"))
+      TopN(scored, Seq($"q_id"), Seq($"sim_micro".desc, $"vec_id".asc), 5)
+        .select($"q_id", $"vec_id", $"sim_micro", $"rank_no")
     }),
 
     // Embedding-cosine near-dup dedup (rep-assignment over multi-table
@@ -285,15 +289,19 @@ object ExtPack extends QueryPack {
       val got = TopN(scored, Seq($"q_id"), Seq($"sim".desc, $"vec_id".asc), 5)
         .select($"q_id", $"vec_id")
       val hits = truth.join(got, Seq("q_id", "vec_id"), "left_semi")
+      // ratios emitted as integer ppm via pure BIGINT arithmetic
+      // (floatsweep r5: round(double,6) outputs are oracle-build
+      // sensitive; integers are exact in any engine)
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
         .crossJoin(emb.agg(count(lit(1)).as("n_corpus")))
         .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
         .select($"n_true", $"n_hit",
-          round($"n_hit" / $"n_true".cast("double"), 6).as("recall"),
-          round($"n_scanned" / ($"n_probes" * $"n_corpus").cast("double"), 6)
-            .as("scan_frac"))
+          expr("((1000000 * n_hit) + (n_true div 2)) div n_true")
+            .as("recall_ppm"),
+          expr("""((1000000 * n_scanned) + ((n_probes * n_corpus) div 2))
+                  div (n_probes * n_corpus)""").as("scan_frac_ppm"))
     }),
 
     // Sign-LSH bucket per vector (the ANN scale path: probe only equal
@@ -367,7 +375,8 @@ object ExtPack extends QueryPack {
                 FROM routed r JOIN postings m USING (cell)
                 WHERE m.vec_id <> r.q_id),
        scored AS (SELECT c.q_id, c.vec_id,
-                         round(list_cosine_similarity(p.qe, e.e), 6) AS sim
+                         CAST(round(list_cosine_similarity(p.qe, e.e) * 1000000)
+                              AS BIGINT) AS sim_micro
                   FROM cand c JOIN probes p USING (q_id)
                        JOIN emb0 e ON e.vec_id = c.vec_id)"""
 
@@ -568,11 +577,12 @@ object ExtPack extends QueryPack {
          c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          scored AS (
            SELECT q_id, vec_id,
-                  round(list_cosine_similarity(qe, e), 6) AS sim
+                  CAST(round(list_cosine_similarity(qe, e) * 1000000)
+                       AS BIGINT) AS sim_micro
            FROM q, c WHERE vec_id <> q_id)
-         SELECT q_id, vec_id, sim, rank_no FROM (
+         SELECT q_id, vec_id, sim_micro, rank_no FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, vec_id ASC) AS rank_no
+                     ORDER BY sim_micro DESC, vec_id ASC) AS rank_no
            FROM scored) WHERE rank_no <= 5""",
     "q_embedding_dedup" ->
       """WITH planes AS (
@@ -606,9 +616,9 @@ object ExtPack extends QueryPack {
          FROM emb0 e LEFT JOIN partners p ON e.vec_id = p.vid""",
     "q_embedding_ivf" ->
       s"""$IvfCtes
-         SELECT q_id, vec_id, sim, rank_no FROM (
+         SELECT q_id, vec_id, sim_micro, rank_no FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, vec_id ASC) AS rank_no FROM scored)
+                     ORDER BY sim_micro DESC, vec_id ASC) AS rank_no FROM scored)
          WHERE rank_no <= 5""",
     "q_ivf_recall" ->
       s"""$IvfCtes,
@@ -620,18 +630,22 @@ object ExtPack extends QueryPack {
              FROM probes p JOIN emb0 e ON e.vec_id <> p.q_id) WHERE rn <= 5),
          topk AS (SELECT q_id, vec_id FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id
-                       ORDER BY sim DESC, vec_id ASC) AS rank_no FROM scored)
+                       ORDER BY sim_micro DESC, vec_id ASC) AS rank_no FROM scored)
            WHERE rank_no <= 5),
          hits AS (SELECT * FROM truth t WHERE EXISTS (
              SELECT 1 FROM topk g
              WHERE g.q_id = t.q_id AND g.vec_id = t.vec_id))
          SELECT (SELECT count(*) FROM truth) AS n_true,
                 (SELECT count(*) FROM hits) AS n_hit,
-                round((SELECT count(*) FROM hits) * 1.0 /
-                      (SELECT count(*) FROM truth), 6) AS recall,
-                round((SELECT count(*) FROM cand) * 1.0 /
-                      ((SELECT count(*) FROM probes) *
-                       (SELECT count(*) FROM emb0)), 6) AS scan_frac""",
+                CAST(((1000000 * (SELECT count(*) FROM hits))
+                      + ((SELECT count(*) FROM truth) // 2))
+                     // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
+                CAST(((1000000 * (SELECT count(*) FROM cand))
+                      + (((SELECT count(*) FROM probes)
+                          * (SELECT count(*) FROM emb0)) // 2))
+                     // ((SELECT count(*) FROM probes)
+                        * (SELECT count(*) FROM emb0)) AS BIGINT)
+                  AS scan_frac_ppm""",
     "q_embedding_lsh" ->
       """WITH planes AS (
            SELECT p, i,

@@ -61,17 +61,19 @@ object ExtPack2 extends QueryPack {
     // Weighted sampling without replacement (Efraimidis-Spirakis):
     // top-3 docs per source by key ln(u)/w with weight w = token
     // count — longer docs are proportionally likelier. One WindowGroupLimit
-    // top-k per source; key rounded to 6 decimals (ties broken by
-    // doc_id) so libm ulp differences can never flip an order.
+    // top-k per source; the key is micro-quantized ONCE to an integer
+    // (ties broken by doc_id) so neither libm ulps nor rounding
+    // implementation can flip an order or a hash (floatsweep r5).
     "q_weighted_sample" -> ((s, d) => {
       import s.implicits._
       val h = TextOps.tokenHash32(concat(lit("wsample_"), $"doc_id"))
       val u = (h + 1L) / lit(4294967296.0) // (0, 1]: u=0 would send ln to -inf
       val w = size(TextOps.tokens($"text")).cast("double")
       val scored = T.documents(s, d)
-        .select($"doc_id", $"source", round(log(u) / w, 6).as("k"))
-      TopN(scored, Seq($"source"), Seq($"k".desc, $"doc_id".asc), 3)
-        .select($"source", $"doc_id", $"k", $"rank_no")
+        .select($"doc_id", $"source",
+          round(log(u) / w * 1e6).cast("long").as("k_micro"))
+      TopN(scored, Seq($"source"), Seq($"k_micro".desc, $"doc_id".asc), 3)
+        .select($"source", $"doc_id", $"k_micro", $"rank_no")
     }),
 
     // PII scrubbing: regex redaction of emails, IPv4 addresses, and
@@ -112,6 +114,10 @@ object ExtPack2 extends QueryPack {
     // target_share / actual_share — the DoReMi/Pile-style domain
     // balancing step). One groupBy over the corpus + a broadcast of
     // the one-row total: scales to any corpus, any source count.
+    // Both ratios are emitted as integer PARTS-PER-MILLION in pure
+    // BIGINT arithmetic: the round-5 floatsweep found a mix_weight
+    // cell 7e-10 from a 6-decimal rounding boundary — exactly the
+    // round(double,6) fragility that broke q_substring_dedup in r4.
     "q_domain_mix" -> ((s, d) => {
       import s.implicits._
       val per = T.documents(s, d)
@@ -122,9 +128,10 @@ object ExtPack2 extends QueryPack {
         count(lit(1)).as("n_sources"))
       per.crossJoin(broadcast(tot)).select(
         $"source", $"n_docs", $"n_tokens",
-        round($"n_tokens" / $"tot".cast("double"), 6).as("token_share"),
-        round(($"tot".cast("double") / $"n_sources") / $"n_tokens", 6)
-          .as("mix_weight"))
+        expr("((1000000 * n_tokens) + (tot div 2)) div tot")
+          .as("token_share_ppm"),
+        expr("""((1000000 * tot) + ((n_sources * n_tokens) div 2))
+                div (n_sources * n_tokens)""").as("mix_weight_ppm"))
     }),
 
     // Sequence packing (concat-and-split): per source, documents are
@@ -168,9 +175,12 @@ object ExtPack2 extends QueryPack {
         lit(0.0), (acc, v) => acc + v)
       T.embeddings(s, d).select(
         $"vec_id",
-        round(mn, 6).as("v_min"),
-        round(mx, 6).as("v_max"),
-        round(sqrt(sqErr / size(e)), 6).as("rmse"),
+        // integer micro-units: raw data cells can sit arbitrarily close
+        // to a 6-decimal rounding boundary (floatsweep r5 measured
+        // v_min at 1.3e-9 relative), so emit round(x*1e6) as BIGINT
+        round(mn * 1e6).cast("long").as("v_min_micro"),
+        round(mx * 1e6).cast("long").as("v_max_micro"),
+        round(sqrt(sqErr / size(e)) * 1e6).cast("long").as("rmse_micro"),
         md5(array_join(transform(codes, c => c.cast("string")), ","))
           .as("code_sketch"))
     }),
@@ -206,8 +216,8 @@ object ExtPack2 extends QueryPack {
           detected.agg(count(lit(1)).as("n_detected")))
         .select($"n_true", $"n_detected",
           when($"n_true" > 0,
-            round($"n_detected" / $"n_true".cast("double"), 6))
-            .otherwise(lit(1.0)).as("recall"))
+            expr("((1000000 * n_detected) + (n_true div 2)) div n_true"))
+            .otherwise(lit(1000000L)).as("recall_ppm"))
     }),
 
     // Canonical Broder shingle-MinHash dedup: signatures over distinct
@@ -381,8 +391,10 @@ object ExtPack2 extends QueryPack {
          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
                         count(*) AS n_sources FROM per)
          SELECT source, n_docs, n_tokens,
-                round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share,
-                round((CAST(tot AS DOUBLE) / n_sources) / n_tokens, 6) AS mix_weight
+                CAST(((1000000 * n_tokens) + (tot // 2)) // tot AS BIGINT)
+                  AS token_share_ppm,
+                CAST(((1000000 * tot) + ((n_sources * n_tokens) // 2))
+                     // (n_sources * n_tokens) AS BIGINT) AS mix_weight_ppm
          FROM per, tot""",
     "q_seq_packing" ->
       """SELECT doc_id, source,
@@ -407,25 +419,27 @@ object ExtPack2 extends QueryPack {
          dd AS (SELECT vec_id, e, mn, mx, codes,
                  list_transform(codes, q -> mn + (q + 0.5) * (mx - mn) / 256.0) AS dq
                FROM c)
-         SELECT vec_id, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
-                round(sqrt(list_aggregate(
+         SELECT vec_id,
+                CAST(round(mn * 1000000) AS BIGINT) AS v_min_micro,
+                CAST(round(mx * 1000000) AS BIGINT) AS v_max_micro,
+                CAST(round(sqrt(list_aggregate(
                   list_transform(generate_series(1, len(e)),
-                    i -> (e[i] - dq[i]) * (e[i] - dq[i])), 'sum') / len(e)), 6)
-                  AS rmse,
+                    i -> (e[i] - dq[i]) * (e[i] - dq[i])), 'sum') / len(e))
+                  * 1000000) AS BIGINT) AS rmse_micro,
                 md5(array_to_string(codes, ',')) AS code_sketch
          FROM dd""",
     "q_weighted_sample" ->
       """WITH scored AS (
            SELECT source, doc_id,
-                  round(ln((list_reduce(list_transform(range(1, 9),
+                  CAST(round(ln((list_reduce(list_transform(range(1, 9),
                     i -> strpos('0123456789abcdef',
                                 substr(md5('wsample_' || doc_id), i, 1)) - 1),
                     (a, b) -> a * 16 + b) + 1) / 4294967296.0)
-                    / len(string_split(text, ' ')), 6) AS k
+                    / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS k_micro
            FROM documents)
-         SELECT source, doc_id, k, rank_no FROM (
+         SELECT source, doc_id, k_micro, rank_no FROM (
            SELECT *, row_number() OVER (PARTITION BY source
-                     ORDER BY k DESC, doc_id ASC) AS rank_no
+                     ORDER BY k_micro DESC, doc_id ASC) AS rank_no
            FROM scored) WHERE rank_no <= 3""",
     "q_pii_scrub" ->
       """WITH p AS (
@@ -501,10 +515,11 @@ object ExtPack2 extends QueryPack {
                          WHERE c.id1 = t.id1 AND c.id2 = t.id2))
          SELECT (SELECT count(*) FROM truth) AS n_true,
                 (SELECT count(*) FROM det) AS n_detected,
-                CASE WHEN (SELECT count(*) FROM truth) > 0
-                     THEN round((SELECT count(*) FROM det) * 1.0
-                                / (SELECT count(*) FROM truth), 6)
-                     ELSE 1.0 END AS recall""",
+                CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+                     THEN ((1000000 * (SELECT count(*) FROM det))
+                           + ((SELECT count(*) FROM truth) // 2))
+                          // (SELECT count(*) FROM truth)
+                     ELSE 1000000 END AS BIGINT) AS recall_ppm""",
     "q_minhash_shingled" ->
       """WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -61,8 +61,10 @@ object ExtPack3 extends QueryPack {
     // tf * ln(N/df). The df table is one row per vocabulary term
     // (sublinear in corpus size) joined back on the term key; the
     // corpus-size scalar N rides a broadcast one-row frame, same
-    // pattern as q_domain_mix. Scores rounded to 6 decimals so libm
-    // ln() ulp differences can never flip the (score, term) order.
+    // pattern as q_domain_mix. Scores micro-quantized ONCE to integer
+    // (round(x*1e6) as BIGINT — same grid as round(x,6)) so libm ln()
+    // ulps can't flip the (score, term) order AND the output cell is
+    // integer-exact in any oracle engine (floatsweep r5).
     "q_tfidf" -> ((s, d) => {
       import s.implicits._
       val tf = T.documents(s, d)
@@ -74,9 +76,10 @@ object ExtPack3 extends QueryPack {
       val scored = tf.join(df, Seq("tok"))
         .crossJoin(broadcast(total))
         .select($"doc_id", $"tok",
-          round($"tf" * log($"n_total".cast("double") / $"df"), 6).as("score"))
-      TopN(scored, Seq($"doc_id"), Seq($"score".desc, $"tok".asc), 3)
-        .select($"doc_id", $"tok", $"score", $"rank_no")
+          round($"tf" * log($"n_total".cast("double") / $"df") * 1e6)
+            .cast("long").as("score_micro"))
+      TopN(scored, Seq($"doc_id"), Seq($"score_micro".desc, $"tok".asc), 3)
+        .select($"doc_id", $"tok", $"score_micro", $"rank_no")
     }),
 
     // URL canonicalization + dedup: lowercase scheme/host, drop the
@@ -261,14 +264,16 @@ object ExtPack3 extends QueryPack {
          n AS (SELECT count(*) AS n_total FROM documents),
          scored AS (
            SELECT doc_id, tf.tok,
-                  round(tf * ln(n_total * 1.0 / df), 6) AS score
+                  CAST(round(tf * ln(n_total * 1.0 / df) * 1000000) AS BIGINT)
+                    AS score_micro
            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
          ranked AS (
-           SELECT doc_id, tok, score,
+           SELECT doc_id, tok, score_micro,
                   row_number() OVER (PARTITION BY doc_id
-                    ORDER BY score DESC, tok) AS rank_no
+                    ORDER BY score_micro DESC, tok) AS rank_no
            FROM scored)
-         SELECT doc_id, tok, score, rank_no FROM ranked WHERE rank_no <= 3""",
+         SELECT doc_id, tok, score_micro, rank_no FROM ranked
+         WHERE rank_no <= 3""",
     "q_url_dedup" ->
       """WITH urls AS (
            SELECT doc_id,

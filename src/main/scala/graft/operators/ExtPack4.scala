@@ -71,7 +71,9 @@ object ExtPack4 extends QueryPack {
         .join(per, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-          coalesce(round($"su" / 1e6, 6), lit(0.0)).as("log_weight"))
+          // emit the BIGINT micro-nat sum directly — su/1e6 re-rounded
+          // to 6 decimals reintroduced a float output cell for nothing
+          coalesce($"su", lit(0L)).as("log_weight_micronats"))
     }),
 
     // Deterministic epoch shuffle + shard assignment: every training
@@ -218,7 +220,7 @@ object ExtPack4 extends QueryPack {
            FROM bk JOIN term ON bk.b = term.b GROUP BY doc_id)
          SELECT d.doc_id,
                 coalesce(n_bigrams, 0) AS n_bigrams,
-                coalesce(round(su / 1000000.0, 6), 0.0) AS log_weight
+                CAST(coalesce(su, 0) AS BIGINT) AS log_weight_micronats
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "q_epoch_shard" ->
       s"""WITH h AS (

@@ -31,7 +31,7 @@ class ExtPack3Spec extends AnyFunSuite {
     byDoc.values.foreach { rs =>
       assert(rs.length == 3)
       val byRank = rs.sortBy(_.getAs[Long]("rank_no"))
-      val scores = byRank.map(_.getAs[Double]("score"))
+      val scores = byRank.map(_.getAs[Long]("score_micro"))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -56,7 +56,7 @@ class ExtPack4Spec extends AnyFunSuite {
     // the importance weight must separate the target distribution:
     // mean log-weight of en docs strictly above every other language's
     val means = joined.groupBy($"lang")
-      .agg(avg($"log_weight").as("m"))
+      .agg(avg($"log_weight_micronats").as("m"))
       .as[(String, Double)].collect().toMap
     val enMean = means("en")
     means.filter(_._1 != "en").foreach { case (lang, m) =>
