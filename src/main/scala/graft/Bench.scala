@@ -15,11 +15,27 @@ import org.apache.spark.sql.SparkSession
   * numbers had exactly that cross-contamination, making per-query
   * deltas unverifiable. Failures are recorded as error strings in an
   * "errors" map instead of a silent -1.0 timing.
+  *
+  * Ordering noise: even with isolation, a query's number can inherit
+  * scheduler/block-manager churn from its predecessor (round 4's
+  * q_dedup_exact ran 4x slower right after the iterative
+  * q_dedup_clusters). Two controls:
+  *   - SPARK_GRAFT_BENCH_ORDER = sorted (default) | reversed |
+  *     shuffled:<seed> picks the primary pass order;
+  *   - unless SPARK_GRAFT_BENCH_HEADLINE_RECHECK=off, the headline
+  *     queries are re-timed in REVERSED order after the full pass and
+  *     each headline number is the min over both schedule positions;
+  *     the per-query forward/reversed ratio lands in bench_out.json's
+  *     "order_spread" map (ratio > ~1.3 = harness adjacency, not
+  *     engine cost) and the stdout line carries the max ratio.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "sorted")
+    val recheck =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_RECHECK", "on") != "off"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,13 +54,7 @@ object Bench {
       Right((System.nanoTime() - t0) / 1e9)
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timing = (once(fn), once(fn)) match {
-        case (Right(a), Right(b)) => math.min(a, b)
-        case (l, r) =>
-          errors(name) = l.left.toOption.orElse(r.left.toOption).get
-          -1.0
-      }
+    def isolate(): Unit = {
       // isolation: drop anything this query left in the SQL cache AND
       // any pinned localCheckpoint blocks (Materialize.pin) — catalog
       // clearCache misses those, and 100+ queries' worth of orphaned
@@ -55,17 +65,27 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> timing
     }
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-                  case c if c < ' ' => " "; case c => c.toString }
-    def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errJson = errors.toSeq
-      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val timing = (once(fn), once(fn)) match {
+        case (Right(a), Right(b)) => math.min(a, b)
+        case (l, r) =>
+          errors(name) = l.left.toOption.orElse(r.left.toOption).get
+          -1.0
+      }
+      isolate()
+      timing
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = order match {
+      case "reversed" => sorted.reverse
+      case s if s.startsWith("shuffled:") =>
+        new scala.util.Random(s.stripPrefix("shuffled:").toLong)
+          .shuffle(sorted)
+      case _ => sorted
+    }
+    val primary = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
     // The stdout line must stay short enough for the driver's tail
     // capture (the full 100+-query map overflowed it in round 2 ->
     // "parsed": null), so print only the headline queries inline and
@@ -76,10 +96,39 @@ object Bench {
       "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs", "q_ngram_jaccard",
       "q_embedding_topk", "q_embedding_ivf", "q_decontamination",
       "q_substring_dedup", "q_tfidf")
+    // second, reversed-order timing pass over the headline set: the
+    // reported headline number is min(both positions), so a value can
+    // no longer be an artifact of what happened to run just before it
+    val recheckTimes =
+      if (recheck)
+        sorted.filter(p => headline(p._1)).reverse
+          .map { case (name, fn) => name -> timeOne(name + "#2", fn) }.toMap
+      else Map.empty[String, Double]
+    val results = primary.map { case (name, t) =>
+      recheckTimes.get(name) match {
+        case Some(t2) if t >= 0 && t2 >= 0 => name -> math.min(t, t2)
+        case _ => name -> t
+      }
+    }.sortBy(_._1)
+    val spread = results.collect {
+      case (name, t) if recheckTimes.contains(name) && t > 0 =>
+        val t1 = primary.find(_._1 == name).get._2
+        name -> math.max(t1, recheckTimes(name)) / t
+    }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.toSeq
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val maxSpread = if (spread.isEmpty) 1.0 else spread.map(_._2).max
     val qs = jsonMap(results.filter(r => headline(r._1)))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"order_spread_max":$maxSpread,"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"order_spread":${jsonMap(spread)},"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
