@@ -24,7 +24,8 @@ object SparkEntry {
     SourceSinkPack,
     TypesPack,
     TpchPack,
-    TpchPack2
+    TpchPack2,
+    TpcdsShapePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,433 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-DS-shaped plan battery (SURVEY §5). The reference's primary
+  * validation is 103 TPC-DS queries (flink-end-to-end-tests/
+  * flink-tpcds-test/tpcds-tool/query/, TpcdsTestProgram.java:137);
+  * TPC-H covers simpler join/agg topology, so this pack ports the
+  * TPC-DS plan SHAPES that actually stress Expand, join reorder,
+  * window-over-join and CTE reuse at 100x — re-expressed on the
+  * driver's star schema:
+  *
+  *   - q27/q67/q36: deep ROLLUP / grouping-set aggregates (Expand),
+  *     one with a rank-within-parent window on top,
+  *   - q51: per-channel cumulative windows + FULL OUTER JOIN,
+  *   - q95: a grouped CTE reused by two semi-join consumers,
+  *   - q88: many conditional aggregates in ONE scan (the 8-subquery
+  *     cross join re-expressed as single-pass conditional agg —
+  *     the Spark-first form that does not rescan the fact 8 times),
+  *   - q34/q11/q10/q23: having-filtered fact feeding dim joins,
+  *     year-over-year self-comparison, double-EXISTS customer
+  *     filter, two-CTE frequent-item x big-spender intersection,
+  *   - q71: UNION ALL of differently-filtered channel scans,
+  *   - q92: windowed per-key average compared row-by-row.
+  *
+  * Money determinism: every monetary aggregate first quantizes to
+  * integer CENTS (`CAST(round(x*100) AS BIGINT)` — the testdata is
+  * 2-decimal, max observed distance from the cent grid 4e-9, so the
+  * rounding is unambiguous in any engine) and sums/compares BIGINTs.
+  * Float sums would depend on aggregation order and engine; integer
+  * sums are exact, so ranks, HAVING thresholds and ratio comparisons
+  * (expressed cross-multiplied: 10*a > 13*b) can never flip.
+  */
+object TpcdsShapePack extends QueryPack {
+
+  private def centsCol(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q27 shape: star join into ROLLUP(nation, brand) with grouped
+    // averages + grouping id. Expand feeds partial aggregation, so
+    // the rollup costs one shuffle, not one per grouping set.
+    "q_tpcds_rollup" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .join(T.part(s, d).filter($"p_size" < 15), $"l_partkey" === $"p_partkey")
+        .rollup($"n_name", $"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          avg($"l_quantity").as("avg_qty"), // quantities are integral: exact
+          (sum(centsCol($"l_extendedprice")) / count(lit(1))).as("avg_price_cents"),
+          (sum(centsCol($"l_discount")) / count(lit(1))).as("avg_disc_pct"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // q51 shape: two channel aggregates (returned vs normal flow) per
+    // (supplier, month), each with a cumulative window, stitched by a
+    // FULL OUTER JOIN on the grouping key; keep months where the
+    // return channel's running total overtakes the normal one.
+    "q_tpcds_cumwin" -> ((s, d) => {
+      import s.implicits._
+      def channel(flag: String, out: String) =
+        T.lineitem(s, d).filter($"l_returnflag" === flag)
+          .groupBy($"l_suppkey", date_trunc("month", $"l_shipdate").as("mon"))
+          .agg(sum(centsCol($"l_extendedprice")).as(s"rev_$out"))
+          .withColumn(s"cum_$out",
+            sum(col(s"rev_$out")).over(Window.partitionBy($"l_suppkey")
+              .orderBy($"mon")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"l_suppkey", $"mon", col(s"cum_$out"))
+      channel("R", "ret").join(channel("N", "norm"),
+          Seq("l_suppkey", "mon"), "full")
+        .select($"l_suppkey", $"mon",
+          coalesce($"cum_ret", lit(0L)).as("cum_ret_cents"),
+          coalesce($"cum_norm", lit(0L)).as("cum_norm_cents"))
+        .filter($"cum_ret_cents" > $"cum_norm_cents")
+    }),
+
+    // q95 shape: one grouped CTE (multi-supplier orders) consumed by
+    // TWO semi joins — the membership test and the returned-line test
+    // are both restricted to the same derived set.
+    "q_tpcds_cte_reuse" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val multi = li.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("ns"))
+        .filter($"ns" >= 2).select($"l_orderkey")
+      val returnedMulti = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey").distinct()
+        .join(multi, Seq("l_orderkey"), "left_semi")
+      T.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        .join(multi, $"o_orderkey" === multi("l_orderkey"), "left_semi")
+        .join(returnedMulti,
+          $"o_orderkey" === returnedMulti("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("order_count"),
+          sum(centsCol($"o_totalprice")).as("total_cents"))
+    }),
+
+    // q88 shape: eight bucketed counts of one fact table. TPC-DS
+    // phrases it as 8 scalar subqueries cross-joined — 8 scans; the
+    // Spark-first form is ONE scan with conditional aggregates.
+    "q_tpcds_buckets" -> ((s, d) => {
+      import s.implicits._
+      def bucket(lo: Int, hi: Int, cheap: Boolean) =
+        sum(when($"l_quantity" >= lo && $"l_quantity" < hi &&
+          (if (cheap) $"l_discount" < 0.05 else $"l_discount" >= 0.05), 1L)
+          .otherwise(0L))
+      T.lineitem(s, d).agg(
+        bucket(1, 10, true).as("b1_cheap"), bucket(1, 10, false).as("b1_deep"),
+        bucket(10, 20, true).as("b2_cheap"), bucket(10, 20, false).as("b2_deep"),
+        bucket(20, 30, true).as("b3_cheap"), bucket(20, 30, false).as("b3_deep"),
+        bucket(30, 40, true).as("b4_cheap"), bucket(30, 40, false).as("b4_deep"))
+    }),
+
+    // q67 shape: ROLLUP over (region, nation, year) revenue, then
+    // rank-within-parent on top of the Expand output — the grouping id
+    // is part of the window partition so detail rows, nation subtotals
+    // and grand totals each rank among their own kind.
+    "q_tpcds_rank_rollup" -> ((s, d) => {
+      import s.implicits._
+      val base = T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
+        .withColumn("yr", year($"l_shipdate").cast("long"))
+      val agg = base.rollup($"r_name", $"n_name", $"yr")
+        .agg(sum(centsCol($"l_extendedprice")).as("sales_cents"),
+          grouping_id().cast("long").as("gid"))
+      agg.withColumn("rk",
+          rank().over(Window.partitionBy($"gid", $"r_name")
+            .orderBy($"sales_cents".desc,
+              coalesce($"n_name", lit("")).asc,
+              coalesce($"yr", lit(-1L)).asc)))
+        .filter($"rk" <= 3)
+    }),
+
+    // q34 shape: per-order line counts band-filtered by HAVING, then
+    // joined back to the customer dimension.
+    "q_tpcds_linecount" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+        .filter($"n_lines".between(5, 7))
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"n_lines")
+    }),
+
+    // q11 shape: year-over-year per-customer comparison — one grouped
+    // scan per year, joined, growth test cross-multiplied in BIGINT
+    // (10*t96 > 12*t95 == t96 > 1.2*t95, exactly).
+    "q_tpcds_yoy" -> ((s, d) => {
+      import s.implicits._
+      def yearTotal(y: Int, out: String) =
+        T.orders(s, d).filter(year($"o_orderdate") === y)
+          .groupBy($"o_custkey")
+          .agg(sum(centsCol($"o_totalprice")).as(out))
+      yearTotal(1995, "t95_cents").join(yearTotal(1996, "t96_cents"),
+          Seq("o_custkey"))
+        .filter($"t95_cents" > 0 && $"t96_cents" * 10 > $"t95_cents" * 12)
+        .select($"o_custkey", $"t95_cents", $"t96_cents")
+    }),
+
+    // q10 shape: customers qualified by TWO existence tests on
+    // different fact slices (an urgent 1996 order AND a returned line
+    // on any of their orders), then conditional demographic counts.
+    "q_tpcds_exists_counts" -> ((s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT" &&
+          year($"o_orderdate") === 1996)
+        .select($"o_custkey").distinct()
+      val returned = o.join(
+          T.lineitem(s, d).filter($"l_returnflag" === "R")
+            .select($"l_orderkey").distinct(),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_custkey").distinct()
+      T.customer(s, d)
+        .join(urgent, $"c_custkey" === urgent("o_custkey"), "left_semi")
+        .join(returned, $"c_custkey" === returned("o_custkey"), "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"c_acctbal" > 5000, 1L).otherwise(0L)).as("n_rich"))
+    }),
+
+    // q71 shape: UNION ALL of three differently-filtered channel scans
+    // of the same fact, re-aggregated by (channel, year).
+    "q_tpcds_channels" -> ((s, d) => {
+      import s.implicits._
+      def ch(cond: org.apache.spark.sql.Column, name: String) =
+        T.lineitem(s, d).filter(cond)
+          .select(lit(name).as("channel"),
+            year($"l_shipdate").cast("long").as("yr"),
+            centsCol($"l_extendedprice").as("cents"))
+      ch($"l_discount" >= 0.08, "deep_discount")
+        .unionByName(ch($"l_quantity" >= 40, "bulk"))
+        .unionByName(ch($"l_tax" === 0.0, "tax_free"))
+        .groupBy($"channel", $"yr")
+        .agg(count(lit(1)).as("n_lines"), sum($"cents").as("rev_cents"))
+    }),
+
+    // q92 shape: window-over-join — each line compared against 1.3x
+    // the per-part average price, cross-multiplied in BIGINT
+    // (10*price*cnt > 13*sum == price > 1.3*avg, exactly).
+    "q_tpcds_winjoin" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_partkey")
+      T.lineitem(s, d)
+        .join(T.part(s, d).filter($"p_size" <= 10),
+          $"l_partkey" === $"p_partkey")
+        .withColumn("cents", centsCol($"l_extendedprice"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("part_sum", sum($"cents").over(w))
+        .filter($"cents" * 10 * $"cnt" > $"part_sum" * 13)
+        .agg(count(lit(1)).as("n_lines"), sum($"cents").as("sum_cents"))
+    }),
+
+    // q23 shape: two derived sets — frequent parts (in >= 8 distinct
+    // orders) and big spenders (customer total >= 250k) — intersected
+    // through the fact table.
+    "q_tpcds_freq_cte" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val frequent = li.groupBy($"l_partkey")
+        .agg(countDistinct($"l_orderkey").as("n_orders"))
+        .filter($"n_orders" >= 8).select($"l_partkey")
+      val spenders = T.orders(s, d).groupBy($"o_custkey")
+        .agg(sum(centsCol($"o_totalprice")).as("tot"))
+        .filter($"tot" >= 25000000L).select($"o_custkey")
+      val spenderOrders = T.orders(s, d)
+        .join(spenders, Seq("o_custkey"), "left_semi")
+        .select($"o_orderkey")
+      li.join(frequent, Seq("l_partkey"), "left_semi")
+        .join(spenderOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(centsCol($"l_extendedprice")).as("rev_cents"))
+    }),
+
+    // q36 shape: margin rollup over the region hierarchy with a
+    // rank-within-parent; revenue carries the discount exactly as
+    // cents x (100 - discount-percent) so the rank key is BIGINT.
+    "q_tpcds_margin_rollup" -> ((s, d) => {
+      import s.implicits._
+      val base = T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
+        .withColumn("rev_e4",
+          centsCol($"l_extendedprice") * (lit(100L) - centsCol($"l_discount")))
+      base.rollup($"r_name", $"n_name")
+        .agg(sum($"rev_e4").as("rev_e4"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .withColumn("rk",
+          rank().over(Window.partitionBy($"gid", $"r_name")
+            .orderBy($"rev_e4".desc, coalesce($"n_name", lit("")).asc)))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_tpcds_rollup" ->
+      """SELECT n_name, p_brand, count(*) AS n_items,
+                avg(l_quantity) AS avg_qty,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*)
+                  AS avg_price_cents,
+                sum(CAST(round(l_discount * 100) AS BIGINT)) / count(*)
+                  AS avg_disc_pct,
+                CAST(GROUPING(n_name, p_brand) AS BIGINT) AS gid
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 15
+         GROUP BY ROLLUP(n_name, p_brand)""",
+    "q_tpcds_cumwin" ->
+      """WITH ch AS (
+           SELECT l_returnflag AS fl, l_suppkey,
+                  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')
+           GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT fl, l_suppkey, mon,
+                  sum(rev) OVER (PARTITION BY fl, l_suppkey ORDER BY mon
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM ch)
+         SELECT coalesce(r.l_suppkey, n.l_suppkey) AS l_suppkey,
+                coalesce(r.mon, n.mon) AS mon,
+                coalesce(r.cum, 0) AS cum_ret_cents,
+                coalesce(n.cum, 0) AS cum_norm_cents
+         FROM (SELECT * FROM cum WHERE fl = 'R') r
+         FULL JOIN (SELECT * FROM cum WHERE fl = 'N') n
+           ON r.l_suppkey = n.l_suppkey AND r.mon = n.mon
+         WHERE coalesce(r.cum, 0) > coalesce(n.cum, 0)""",
+    "q_tpcds_cte_reuse" ->
+      """WITH multi AS (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2),
+         ret_multi AS (
+           SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_returnflag = 'R'
+             AND l_orderkey IN (SELECT l_orderkey FROM multi))
+         SELECT count(*) AS order_count,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+         FROM orders
+         WHERE o_orderpriority = '1-URGENT'
+           AND o_orderkey IN (SELECT l_orderkey FROM multi)
+           AND o_orderkey IN (SELECT l_orderkey FROM ret_multi)""",
+    "q_tpcds_buckets" ->
+      """SELECT
+           sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b1_cheap,
+           sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b1_deep,
+           sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b2_cheap,
+           sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b2_deep,
+           sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b3_cheap,
+           sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b3_deep,
+           sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b4_cheap,
+           sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b4_deep
+         FROM lineitem""",
+    "q_tpcds_rank_rollup" ->
+      """WITH agg AS (
+           SELECT r_name, n_name, yr,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sales_cents,
+                  CAST(GROUPING(r_name, n_name, yr) AS BIGINT) AS gid
+           FROM (SELECT l_extendedprice, r_name, n_name,
+                        CAST(year(l_shipdate) AS BIGINT) AS yr
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey)
+           GROUP BY ROLLUP(r_name, n_name, yr))
+         SELECT r_name, n_name, yr, sales_cents, gid, rk FROM (
+           SELECT *, rank() OVER (PARTITION BY gid, r_name
+                     ORDER BY sales_cents DESC,
+                              coalesce(n_name, '') ASC,
+                              coalesce(yr, -1) ASC) AS rk
+           FROM agg) WHERE rk <= 3""",
+    "q_tpcds_linecount" ->
+      """SELECT c_custkey, c_name, o_orderkey, n_lines FROM (
+           SELECT l_orderkey, count(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey
+           HAVING count(*) BETWEEN 5 AND 7) lc
+         JOIN orders ON lc.l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "q_tpcds_yoy" ->
+      """WITH t95 AS (
+           SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t95_cents
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         t96 AS (
+           SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t96_cents
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+         SELECT t95.o_custkey, t95_cents, t96_cents
+         FROM t95 JOIN t96 ON t95.o_custkey = t96.o_custkey
+         WHERE t95_cents > 0 AND t96_cents * 10 > t95_cents * 12""",
+    "q_tpcds_exists_counts" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+                sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich
+         FROM customer
+         WHERE c_custkey IN (
+             SELECT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
+           AND c_custkey IN (
+             SELECT o_custkey FROM orders
+             WHERE o_orderkey IN (
+               SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'))
+         GROUP BY c_mktsegment""",
+    "q_tpcds_channels" ->
+      """WITH u AS (
+           SELECT 'deep_discount' AS channel,
+                  CAST(year(l_shipdate) AS BIGINT) AS yr,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_discount >= 0.08
+           UNION ALL
+           SELECT 'bulk', CAST(year(l_shipdate) AS BIGINT),
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+           FROM lineitem WHERE l_quantity >= 40
+           UNION ALL
+           SELECT 'tax_free', CAST(year(l_shipdate) AS BIGINT),
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+           FROM lineitem WHERE l_tax = 0.0)
+         SELECT channel, yr, count(*) AS n_lines, sum(cents) AS rev_cents
+         FROM u GROUP BY channel, yr""",
+    "q_tpcds_winjoin" ->
+      """WITH w AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  count(*) OVER (PARTITION BY l_partkey) AS cnt,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    OVER (PARTITION BY l_partkey) AS part_sum
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size <= 10)
+         SELECT count(*) AS n_lines, sum(cents) AS sum_cents
+         FROM w WHERE cents * 10 * cnt > part_sum * 13""",
+    "q_tpcds_freq_cte" ->
+      """WITH frequent AS (
+           SELECT l_partkey FROM lineitem
+           GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 8),
+         spenders AS (
+           SELECT o_custkey FROM orders GROUP BY o_custkey
+           HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) >= 25000000),
+         spender_orders AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT o_custkey FROM spenders))
+         SELECT count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+         FROM lineitem
+         WHERE l_partkey IN (SELECT l_partkey FROM frequent)
+           AND l_orderkey IN (SELECT o_orderkey FROM spender_orders)""",
+    "q_tpcds_margin_rollup" ->
+      """WITH base AS (
+           SELECT r_name, n_name, l_quantity,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         agg AS (
+           SELECT r_name, n_name, sum(rev_e4) AS rev_e4,
+                  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+           FROM base GROUP BY ROLLUP(r_name, n_name))
+         SELECT r_name, n_name, rev_e4, sum_qty, gid,
+                rank() OVER (PARTITION BY gid, r_name
+                  ORDER BY rev_e4 DESC, coalesce(n_name, '') ASC) AS rk
+         FROM agg"""
+  )
+}

@@ -37,7 +37,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_decontamination",
     // LSH dedup must keep the single-pass window shape: one banded
     // explode, bucket-min via window, no cache, no pair self-join
-    "q_minhash_lsh")
+    "q_minhash_lsh",
+    // TPC-DS shapes: the rollup must stay ONE Expand + partial/final
+    // agg over a broadcast star join; the channel-cumulative must keep
+    // per-channel windows + a full outer SMJ; the reused CTE must stay
+    // two semi joins over the grouped derived table
+    "q_tpcds_rollup", "q_tpcds_cumwin", "q_tpcds_cte_reuse")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the TPC-DS-style battery
+  * (operators/TpcdsShapePack.scala). Value-level correctness is gated
+  * by the DuckDB differential; these tests pin the properties that
+  * make the shapes scale — the ones TPC-H never exercises.
+  */
+class TpcdsShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_tpcds_rollup: ONE Expand feeding partial aggregation " +
+      "(a rollup must not scan or shuffle once per grouping set)") {
+    val p = plan("q_tpcds_rollup")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+    // the three dimension joins must all broadcast — one fact shuffle max
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+  }
+
+  test("q_tpcds_buckets: eight conditional aggregates in a single scan " +
+      "(no per-bucket rescan, no join)") {
+    val p = plan("q_tpcds_buckets")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), s"single-pass agg must not join:\n$p")
+  }
+
+  test("q_tpcds_cumwin: per-channel cumulative windows + full outer join") {
+    val p = plan("q_tpcds_cumwin")
+    assert(p.contains("FullOuter"), p)
+    assert("RunningWindowFunction|Window".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q_tpcds_winjoin: window over the dimension join, dim broadcast") {
+    val p = plan("q_tpcds_winjoin")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_tpcds_cte_reuse and q_tpcds_freq_cte: derived sets consumed " +
+      "via semi joins (no materialized pair blowup)") {
+    Seq("q_tpcds_cte_reuse", "q_tpcds_freq_cte").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q:\n$p")
+    }
+  }
+
+  test("q_tpcds_rank_rollup ranks within (gid, parent) partitions " +
+      "and keeps rank <= 3") {
+    val rows = SparkEntry.queries("q_tpcds_rank_rollup")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rk") <= 3))
+    // grand-total row (gid = all bits set for 3 rollup cols) exists once
+    assert(rows.count(_.getAs[Long]("gid") == 7L) == 1)
+  }
+
+  test("q_tpcds_yoy growth test is exact integer arithmetic " +
+      "(every surviving customer really grew >20%)") {
+    SparkEntry.queries("q_tpcds_yoy")(spark, TestSpark.sf)
+      .collect().foreach { r =>
+        val t95 = r.getAs[Long]("t95_cents")
+        val t96 = r.getAs[Long]("t96_cents")
+        assert(t95 > 0 && t96 * 10 > t95 * 12, r.toString)
+      }
+  }
+}
