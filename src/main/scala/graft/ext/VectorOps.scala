@@ -275,31 +275,70 @@ object VectorOps {
     * embedding space, then prune near-duplicate pairs INSIDE each
     * cluster only — semantic dedup whose pairwise work is bounded by
     * the cluster size, never the corpus. Clusters come from
-    * [[kmeansAssign]] (sign-LSH seed cells + Lloyd rounds —
-    * deterministic, geometry-adaptive); within a cluster, every vector
-    * takes the smallest vec_id it pairs with at cosine >= threshold as
-    * its representative (rep-assignment like [[cosineDedup]] — no
-    * O(n^2) pair output). At 100 TB the cluster count scales with n
-    * (more planes / more Lloyd centroids), holding per-cluster
-    * membership — and therefore the in-cluster join — bounded; that
-    * in-cluster pairwise IS the published algorithm's shape.
-    * Output: vec_id, cell, rep_id, is_dup. */
-  def semDedup(corpus: DataFrame, threshold: Double, planes: Int = 6,
-      dims: Int = 64, rounds: Int = 1): DataFrame = {
+    * sign-LSH-seeded Lloyd centroids (deterministic,
+    * geometry-adaptive), with each vector MULTI-ASSIGNED to its `a`
+    * nearest cells (Jégou-style multiple assignment — the published
+    * hard-assignment variant recalls only 0.10 of true near-dup pairs
+    * on near-isotropic embeddings; see q_semdedup_recall); within any
+    * shared cell, every vector takes the smallest vec_id it pairs with
+    * at cosine >= threshold as its representative (rep-assignment like
+    * [[cosineDedup]] — no O(n^2) pair output). At 100 TB the cluster
+    * count scales with n (more planes / more Lloyd centroids), holding
+    * per-cluster membership — and therefore the in-cluster join —
+    * bounded at a^2 x cell size; that in-cluster pairwise IS the
+    * published algorithm's shape. Output: vec_id, cell (primary),
+    * rep_id, is_dup. */
+  /** The assignment half of [[semDedup]]: each vector's `a` nearest
+    * Lloyd centroids (seeded from sign-LSH cells; with rounds = 1 the
+    * reference centroids are the raw seed-cell means). MULTI-assignment
+    * is the same recall lever as [[ivfCandidatesMulti]], and for the
+    * same reason: on near-isotropic embeddings, single-cell Voronoi
+    * membership barely correlates with neighborhood — the r5
+    * in-pipeline measurement put single-assignment pair recall at
+    * 0.10, a=4 at ~0.73-0.78 while scanning ~25% of the pair space
+    * (q_semdedup_recall). Exposed so the recall measurement probes
+    * EXACTLY the cells the dedup uses.
+    * Output: vec_id, cell, e, en, rank_no (rank_no = 1 is primary). */
+  def semAssignments(corpus: DataFrame, planes: Int = 6, dims: Int = 64,
+      rounds: Int = 1, a: Int = 4): DataFrame = {
+    import graft.operators.TopN
     val emb = corpus
       .withColumn("cell0", lshBucket(col("embedding"), planes, dims))
-    val assigned = kmeansAssign(emb, "cell0", rounds)
-    val base = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .join(assigned, Seq("vec_id"))
-      .withColumn("en", l2norm(col("e")))
-    val partners = base.as("a").join(base.as("b"),
+    val prev =
+      if (rounds <= 1) emb.select(col("vec_id"), col("cell0").as("cell"))
+      else kmeansAssign(emb, "cell0", rounds - 1)
+    val withE = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cent = centroids(withE.join(prev, Seq("vec_id"))
+      .select(col("cell"), col("e").as("embedding")), "cell")
+    TopN(
+      withE.withColumn("en", l2norm(col("e")))
+        .crossJoin(broadcast(
+          cent.select(col("cell").as("pcell"), col("centroid"))
+            .withColumn("cn", l2norm(col("centroid")))))
+        .select(col("vec_id"), col("e"), col("en"), col("pcell"),
+          round(cosinePre(col("e"), col("en"), col("centroid"), col("cn")), 6)
+            .as("csim")),
+      Seq(col("vec_id")), Seq(col("csim").desc, col("pcell").asc), a)
+      .select(col("vec_id"), col("pcell").as("cell"),
+        col("e"), col("en"), col("rank_no"))
+  }
+
+  def semDedup(corpus: DataFrame, threshold: Double, planes: Int = 6,
+      dims: Int = 64, rounds: Int = 1, a: Int = 4): DataFrame = {
+    // a pair is verified if it shares ANY of its `a` assigned cells;
+    // in-cluster pairwise stays bounded by cell size x a^2 — never the
+    // corpus. Postings pinned: they feed both sides of the pair join
+    // plus the primary-cell restore.
+    val postings = Materialize.pin(
+      semAssignments(corpus, planes, dims, rounds, a))
+    val partners = postings.as("a").join(postings.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(cosinePre(
         col("a.e"), col("a.en"), col("b.e"), col("b.en")), 6) >= threshold)
       .groupBy(col("b.vec_id").as("vid"))
       .agg(min(col("a.vec_id")).as("mp"))
-    base.select(col("vec_id"), col("cell"))
+    postings.filter(col("rank_no") === 1).select(col("vec_id"), col("cell"))
       .join(partners, col("vec_id") === col("vid"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("mp"), col("vec_id")).as("rep_id"))

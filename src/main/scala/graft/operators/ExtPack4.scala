@@ -107,6 +107,43 @@ object ExtPack4 extends QueryPack {
     "q_semdedup" -> ((s, d) =>
       VectorOps.semDedup(T.embeddings(s, d), threshold = 0.4)),
 
+    // In-pipeline SemDeDup quality report (mirrors q_lsh_recall /
+    // q_ivf_recall): dup-pair recall of the k-means clustering against
+    // exact cosine >= 0.4 ground truth on a deterministic 50%
+    // hash-sample — SemDeDup can only prune a pair that lands in ONE
+    // cluster, so same-cluster containment of true near-dup pairs IS
+    // the algorithm's recall. Exact truth is confined to the sample by
+    // design (broadcast nested-loop over ~n/2 rows, never the corpus);
+    // the cluster assignment reconstructs semDedup's exact pipeline
+    // (sign-LSH seed cells + 1 Lloyd round). Ratio emitted as integer
+    // ppm (BIGINT arithmetic; floatsweep r5).
+    "q_semdedup_recall" -> ((s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val se = emb
+        .filter(TextOps.tokenHash32(concat(lit("semrec_"), $"vec_id"))
+          % 2 === 0)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("en", VectorOps.l2norm($"e"))
+      val truth = graft.ext.Materialize.pin(
+        se.as("a").join(broadcast(se.as("b")), $"a.vec_id" < $"b.vec_id")
+          .filter(round(VectorOps.cosinePre(
+            $"a.e", $"a.en", $"b.e", $"b.en"), 6) >= 0.4)
+          .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2")))
+      val cells = VectorOps.semAssignments(emb).select($"vec_id", $"cell")
+      val det = truth
+        .join(cells.select($"vec_id".as("id1"), $"cell".as("c1")), Seq("id1"))
+        .join(cells.select($"vec_id".as("id2"), $"cell".as("c2")), Seq("id2"))
+        .filter($"c1" === $"c2")
+        .select($"id1", $"id2").distinct()
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+        .select($"n_true", $"n_detected",
+          when($"n_true" > 0,
+            expr("((1000000 * n_detected) + (n_true div 2)) div n_true"))
+            .otherwise(lit(1000000L)).as("recall_ppm"))
+    }),
+
     // BPE pair statistics (tokenizer-training prep): the first merge
     // step of byte-pair encoding ranks adjacent character pairs by
     // corpus frequency. The corpus collapses to its VOCABULARY first
@@ -280,7 +317,49 @@ object ExtPack4 extends QueryPack {
     // q_embedding_ivf oracle uses — then the in-cluster min-partner
     // rep-assignment.
     "q_semdedup" ->
-      """WITH planes AS (
+      s"""$SemCtes,
+         partners AS (
+           SELECT b.vec_id AS vid, min(a.vec_id) AS mp
+           FROM emb0 a JOIN asgm ca ON a.vec_id = ca.vec_id
+                JOIN asgm cb ON ca.cell = cb.cell
+                JOIN emb0 b ON b.vec_id = cb.vec_id
+           WHERE a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+           GROUP BY b.vec_id)
+         SELECT g.vec_id, g.cell,
+                coalesce(p.mp, g.vec_id) AS rep_id,
+                coalesce(p.mp, g.vec_id) < g.vec_id AS is_dup
+         FROM asg1 g LEFT JOIN partners p ON g.vec_id = p.vid""",
+    "q_semdedup_recall" ->
+      s"""$SemCtes,
+         sample AS (
+           SELECT vec_id, e FROM emb0
+           WHERE ${h32sql("'semrec_' || vec_id")} % 2 = 0),
+         truth AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+         det AS (
+           SELECT DISTINCT t.id1, t.id2
+           FROM truth t
+           JOIN asgm ca ON ca.vec_id = t.id1
+           JOIN asgm cb ON cb.vec_id = t.id2
+           WHERE ca.cell = cb.cell)
+         SELECT (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM det) AS n_detected,
+                CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+                     THEN ((1000000 * (SELECT count(*) FROM det))
+                           + ((SELECT count(*) FROM truth) // 2))
+                          // (SELECT count(*) FROM truth)
+                     ELSE 1000000 END AS BIGINT) AS recall_ppm"""
+  )
+
+  /** Shared oracle CTE prefix: VectorOps.lshBucket (integer-quantized
+    * plane dots over 6 planes x 64 dims) + kmeansAssign(rounds = 1) —
+    * `asg1` is the cluster assignment both q_semdedup and
+    * q_semdedup_recall consume. */
+  private val SemCtes =
+    """WITH planes AS (
            SELECT p, i,
              CASE WHEN strpos('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 >= 8
                   THEN 1 ELSE -1 END AS wt
@@ -300,23 +379,11 @@ object ExtPack4 extends QueryPack {
                     FROM emb0 e JOIN cells0 c USING (vec_id), dims d
                     GROUP BY c.cell, d.i),
          centa AS (SELECT cell, list(cv ORDER BY i) AS ce FROM centa0 GROUP BY cell),
-         asg1 AS (SELECT vec_id, cell FROM (
+         asgm AS (SELECT vec_id, cell, rn FROM (
              SELECT e.vec_id, ct.cell,
                     row_number() OVER (PARTITION BY e.vec_id
                       ORDER BY round(list_cosine_similarity(e.e, ct.ce), 6) DESC,
                                ct.cell ASC) AS rn
-             FROM emb0 e CROSS JOIN centa ct) WHERE rn = 1),
-         partners AS (
-           SELECT b.vec_id AS vid, min(a.vec_id) AS mp
-           FROM emb0 a JOIN asg1 ca ON a.vec_id = ca.vec_id
-                JOIN asg1 cb ON ca.cell = cb.cell
-                JOIN emb0 b ON b.vec_id = cb.vec_id
-           WHERE a.vec_id < b.vec_id
-             AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
-           GROUP BY b.vec_id)
-         SELECT g.vec_id, g.cell,
-                coalesce(p.mp, g.vec_id) AS rep_id,
-                coalesce(p.mp, g.vec_id) < g.vec_id AS is_dup
-         FROM asg1 g LEFT JOIN partners p ON g.vec_id = p.vid"""
-  )
+             FROM emb0 e CROSS JOIN centa ct) WHERE rn <= 4),
+         asg1 AS (SELECT vec_id, cell FROM asgm WHERE rn = 1)"""
 }

@@ -74,16 +74,22 @@ class ExtPack4Spec extends AnyFunSuite {
     // rep-assignment basics: rep never above the member, flag consistent
     assert(out.filter($"rep_id" > $"vec_id").count() === 0)
     assert(out.filter($"is_dup" =!= ($"rep_id" < $"vec_id")).count() === 0)
-    // every flagged pair is an in-cluster pair with cosine >= 0.4
+    // every flagged pair clears the cosine bar (pairs come from shared
+    // MULTI-assigned cells, so primary `cell` equality is NOT implied;
+    // the verification filter is the correctness boundary)
     val pairs = out.filter($"is_dup")
-      .join(out.select($"vec_id".as("rep_id"), $"cell".as("rep_cell")),
-        Seq("rep_id"))
-    assert(pairs.filter($"cell" =!= $"rep_cell").count() === 0)
     val scored = pairs
       .join(emb.select($"vec_id", $"e"), Seq("vec_id"))
       .join(emb.select($"vec_id".as("rep_id"), $"e".as("re")), Seq("rep_id"))
       .filter(round(ext.VectorOps.cosine($"e", $"re"), 6) < 0.4)
     assert(scored.count() === 0)
+  }
+
+  test("q_semdedup_recall reports the multi-assignment recall lift " +
+      "(>= 0.5 on the sample; single assignment measured 0.10)") {
+    val r = ExtPack4.queries("q_semdedup_recall")(spark, sf).head()
+    val ppm = r.getAs[Long]("recall_ppm")
+    assert(ppm >= 500000L && ppm <= 1000000L, s"recall_ppm = $ppm")
   }
 
   test("q_fuzzy_decontam separates docs by true benchmark set-Jaccard") {
