@@ -24,12 +24,21 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark: SparkSession = SparkSession.builder()
+    // State-store backend: the default HDFS-backed provider keeps state
+    // as in-heap immutable maps (fast, memory-bound); RocksDB keeps it
+    // off-heap on disk (bounded heap, the backend Flink's comparably
+    // cited numbers assume). SPARK_GRAFT_STATE_STORE=rocksdb switches —
+    // COVERAGE.md documents both measurements.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark: SparkSession = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -109,7 +118,7 @@ object StreamBench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.0f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_rows_per_sec","ops":$qs,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus}""")
+    println(s"""{"metric":"stream_rows_per_sec","ops":$qs,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus,"state_store":"$stateStore"}""")
     spark.stop()
   }
 }
