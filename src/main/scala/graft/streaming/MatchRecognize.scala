@@ -73,18 +73,59 @@ object MatchRecognize {
     Cep.Pattern(steps.updated(0, steps.head.copy(strict = true)), withinMs)
   }
 
+  /** State-retention contract of the SQL layer. The raw [[Cep.run]]
+    * keeps its flexible `ttlMs: Option[Long]` (a power user may know
+    * the key space is small), but a SQL MATCH_RECOGNIZE user gets no
+    * such context — a silently-unbounded default here is the classic
+    * slow state leak (see the contract note on [[Cep.run]]: an idle key
+    * retains at minimum its sequence counter forever). So the SQL layer
+    * demands an explicit choice:
+    *  - [[StateRetention.Auto]] (default): derive TTL = 2 x the
+    *    pattern's `within` window — a partial cannot complete beyond
+    *    `within`, so twice that is a conservative idle-eviction bound;
+    *    REFUSES (IllegalArgumentException) when the pattern has no
+    *    `within`, because nothing bounds a safe TTL.
+    *  - [[StateRetention.Ttl]]: explicit idle-key eviction.
+    *  - [[StateRetention.Unbounded]]: explicit opt-in to keeping every
+    *    key's state forever (bounded key spaces only). */
+  sealed trait StateRetention
+  object StateRetention {
+    case object Auto extends StateRetention
+    final case class Ttl(ms: Long) extends StateRetention {
+      require(ms > 0, "TTL must be positive")
+    }
+    case object Unbounded extends StateRetention
+  }
+
+  private[graft] def resolveTtl(retention: StateRetention,
+      withinMs: Option[Long]): Option[Long] = retention match {
+    case StateRetention.Ttl(ms) => Some(ms)
+    case StateRetention.Unbounded => None
+    case StateRetention.Auto => withinMs match {
+      case Some(w) => Some(math.max(2 * w, w)) // overflow-safe: 2w>=w
+      case None => throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE state retention: the pattern has no `within` " +
+          "window, so no TTL can be derived. Pass StateRetention.Ttl(ms) " +
+          "to bound state on an unbounded key space, or " +
+          "StateRetention.Unbounded to explicitly keep per-key state " +
+          "forever (bounded key spaces only).")
+    }
+  }
+
   /** One-call MATCH_RECOGNIZE: PARTITION BY `key`, ORDER BY arrival
     * (compose with EventTimeSort for rowtime order), PATTERN + DEFINE
-    * via `compile`, AFTER MATCH `skip`. */
+    * via `compile`, AFTER MATCH `skip`, state retention per
+    * [[StateRetention]] (explicit-or-derived — never silently
+    * unbounded). */
   def apply[K: Encoder, T: Encoder](ds: Dataset[T], patternStr: String,
       defs: Map[String, T => Boolean],
       skip: Cep.SkipStrategy = Cep.SkipStrategy.SkipPastLastEvent,
       withinMs: Option[Long] = None,
-      ttlMs: Option[Long] = None,
+      retention: StateRetention = StateRetention.Auto,
       relaxed: Boolean = false)(
       key: T => K, tsMillis: T => Long): Dataset[Cep.Match[K, T]] =
-    Cep.run(ds, compile(patternStr, defs, withinMs, relaxed), skip, ttlMs)(
-      key, tsMillis)
+    Cep.run(ds, compile(patternStr, defs, withinMs, relaxed), skip,
+      resolveTtl(retention, withinMs))(key, tsMillis)
 
   /** One matched event under ALL ROWS PER MATCH: tagged with the match
     * identity (the match's first/last per-key sequence numbers), its

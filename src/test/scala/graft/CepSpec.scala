@@ -701,4 +701,50 @@ class CepSpec extends AnyFunSuite {
     assert(ok.map(m => (m.steps("b").map(_.price), m.steps("d").map(_.price)))
       == Seq((Seq(21.0, 22.0), Seq(41.0))))
   }
+
+  test("MATCH_RECOGNIZE state retention is explicit-or-derived, never " +
+      "silently unbounded (raw Cep.run stays Option-flexible)") {
+    import graft.streaming.MatchRecognize
+    import graft.streaming.MatchRecognize.StateRetention
+    // Auto + within: TTL derived as 2x the window
+    assert(MatchRecognize.resolveTtl(StateRetention.Auto, Some(10000L))
+      == Some(20000L))
+    // Auto without within: REFUSED — nothing bounds a safe TTL
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.resolveTtl(StateRetention.Auto, None)
+    }
+    assert(e.getMessage.contains("StateRetention"))
+    // explicit choices pass through
+    assert(MatchRecognize.resolveTtl(StateRetention.Ttl(5000L), None)
+      == Some(5000L))
+    assert(MatchRecognize.resolveTtl(StateRetention.Unbounded, None).isEmpty)
+    // end-to-end: the one-call form with a within window runs under the
+    // derived TTL and still matches. The derived TTL arms
+    // ProcessingTimeTimeout, which makes shouldRunAnotherBatch
+    // always-true — processAllAvailable() would livelock (see the
+    // StreamingSpec TTL test) — so drive one AvailableNow hop instead.
+    val defs = Map[String, Tick => Boolean](
+      "low" -> ((t: Tick) => t.price < 100),
+      "high" -> ((t: Tick) => t.price >= 100))
+    val in = MemoryStream[Tick]
+    in.addData(Tick("MR", 90, ts(0)), Tick("MR", 110, ts(1)))
+    val matched = scala.collection.mutable.ArrayBuffer[String]()
+    val q = MatchRecognize(in.toDS(), "low high", defs,
+        withinMs = Some(60000L))(_.symbol, _.ts.getTime)
+      .map(_.key)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[String], _: Long) =>
+        matched.synchronized { matched ++= df.collect() }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(60000)
+    q.stop()
+    assert(matched.toSeq == Seq("MR"))
+    // and the one-call form WITHOUT a within window refuses Auto
+    intercept[IllegalArgumentException] {
+      MatchRecognize(in.toDS(), "low high", defs)(_.symbol, _.ts.getTime)
+    }
+  }
 }
