@@ -19,11 +19,15 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.count() // force AQE final plan (and warm)
+    // collect() (not count()) so the action runs THIS queryExecution and
+    // the printed plan is the AQE-final one, with runtime stage reuse.
+    df.collect()
     val t0 = System.nanoTime()
-    df.count()
+    df.collect()
     println(f"[planprobe] $name warm=${(System.nanoTime - t0) / 1e9}%.3f s")
-    val plan = df.queryExecution.executedPlan.toString
+    // Count only the AQE-final section; the toString also appends the
+    // "== Initial Plan ==" which would double every operator.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     def n(pat: String) = pat.r.findAllIn(plan).length
     println(s"[planprobe] $name " +
       s"shuffles=${n("""Exchange (hash|range|SinglePartition)""")} " +

@@ -82,7 +82,11 @@ object TpcdsShapePack extends QueryPack {
 
     // q95 shape: one grouped CTE (multi-supplier orders) consumed by
     // TWO semi joins — the membership test and the returned-line test
-    // are both restricted to the same derived set.
+    // are both restricted to the same derived set. The initial physical
+    // plan duplicates the CTE subtree, but AQE's runtime stage cache
+    // keys on the canonicalized exchange, so the second consumer gets a
+    // ReusedExchange of the CTE broadcast (verified via PlanProbe:
+    // final plan has 3 scans / reused=1, not 2 countDistinct pipelines).
     "q_tpcds_cte_reuse" -> ((s, d) => {
       import s.implicits._
       val li = T.lineitem(s, d)
