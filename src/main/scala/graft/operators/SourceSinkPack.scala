@@ -67,6 +67,36 @@ object SourceSinkPack extends QueryPack {
       graft.sources.AvroFormat.read(s, dir, src.schema)
     }),
 
+    // Protobuf format roundtrip (flink-formats/flink-protobuf analog;
+    // see sources/ProtoFormat.scala — native wire-format codec, no
+    // protobuf runtime needed). Exercises varint, zigzag (score can be
+    // negative), repeated string, and a nested message; the oracle
+    // computes the same projection directly, so encode+decode must be
+    // the identity for the hash to match.
+    "q_proto_source" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.ProtoFormat._
+      import graft.sources.ProtoFormat.PType._
+      val meta = PSchema(Seq(
+        PField(1, "source", PString), PField(2, "n_chars", PInt64)))
+      val schema = PSchema(Seq(
+        PField(1, "doc_id", PInt64),
+        PField(2, "lang", PString),
+        PField(3, "score", PSInt64),
+        PField(4, "toks", PString, repeated = true),
+        PField(5, "meta", PMsg(meta))))
+      T.documents(s, d)
+        .select(protoEncode(struct(
+          $"doc_id", $"lang", ($"n_chars" - 300L).as("score"),
+          slice(split($"text", " "), 1, 5).as("toks"),
+          struct($"source", $"n_chars").as("meta")), schema).as("bin"))
+        .select(protoDecode($"bin", schema).as("m"))
+        .select($"m.doc_id".as("doc_id"), $"m.lang".as("lang"),
+          $"m.score".as("score"),
+          array_join($"m.toks", " ").as("toks_head"),
+          $"m.meta.source".as("source"), $"m.meta.n_chars".as("n_chars"))
+    }),
+
     // JDBC connector roundtrip through embedded Derby (the same
     // spark-jdbc path a Postgres/MySQL URL would take; flink-connector-
     // jdbc analog). Embedded = in-JVM, so single-partition write; a
@@ -141,6 +171,12 @@ object SourceSinkPack extends QueryPack {
       """SELECT * FROM part""",
     "q_jdbc_source" ->
       """SELECT * FROM nation""",
+    "q_proto_source" ->
+      """SELECT doc_id, lang, n_chars - 300 AS score,
+            array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+              AS toks_head,
+            source, n_chars
+         FROM documents""",
     "q_avro_source" ->
       """SELECT * FROM supplier""",
     "q_window_join" ->
