@@ -25,7 +25,8 @@ object SparkEntry {
     TypesPack,
     TpchPack,
     TpchPack2,
-    TpcdsShapePack
+    TpcdsShapePack,
+    IteratePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

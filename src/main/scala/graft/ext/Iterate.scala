@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Generic bounded iteration (SURVEY.md §2.13 iterations row;
+  * reference flink-streaming-java
+  * .../api/datastream/IterativeStream.java and the DataSet bulk
+  * iteration in flink-java .../operators/IterativeDataSet.java —
+  * Flink feeds a stream/set back into itself with a termination
+  * bound).
+  *
+  * Spark has no feedback edges, so the Spark-first re-expression is a
+  * driver loop over MATERIALIZED rounds: each round's output is pinned
+  * through [[Materialize.pin]] (lineage cut, eager), which is what
+  * makes an iterative dataflow viable at all on Catalyst — without the
+  * pin the logical plan doubles per round and explain/codegen blows up
+  * around round 10. The driver drops its reference to the previous
+  * round as soon as the next is pinned, so its blocks are reclaimed by
+  * the ContextCleaner (the Materialize contract — localCheckpoint
+  * blocks are NOT registered in the SQL cache and free on GC); steady-
+  * state storage is ~two rounds. Fault tolerance follows the
+  * Materialize contract: default localCheckpoint (executor-resident,
+  * loud failure on executor loss), `graft.checkpoint.reliable=true`
+  * for 1000-executor runs that must survive node loss mid-iteration.
+  *
+  * Termination is Flink's model: a fixed max round count, optionally
+  * tightened by a convergence predicate evaluated per round (the
+  * DataSet API's aggregator-based convergence criterion). The
+  * predicate sees (previous, current) and should be a cheap
+  * distributed check (count of changed rows, not a collect of the
+  * frames).
+  */
+object Iterate {
+
+  /** Run `step` for exactly `rounds` rounds. `step` receives the
+    * previous round's (pinned) frame and the 1-based round number. */
+  def loop(init: DataFrame, rounds: Int)
+      (step: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(rounds >= 0, s"negative round count: $rounds")
+    var cur = Materialize.pin(init)
+    var r = 1
+    while (r <= rounds) {
+      cur = Materialize.pin(step(cur, r))
+      r += 1
+    }
+    cur
+  }
+
+  /** Run `step` until `converged(prev, next)` or `maxRounds`. Returns
+    * (result, roundsRun, converged) — callers that require the
+    * fixpoint can assert on the flag (the ConnectedComponents
+    * contract: hitting the bound silently would mean wrong answers).
+    */
+  def loopUntil(init: DataFrame, maxRounds: Int)
+      (step: (DataFrame, Int) => DataFrame)
+      (converged: (DataFrame, DataFrame) => Boolean)
+      : (DataFrame, Int, Boolean) = {
+    require(maxRounds >= 1, s"non-positive round bound: $maxRounds")
+    var cur = Materialize.pin(init)
+    var r = 0
+    while (r < maxRounds) {
+      r += 1
+      val next = Materialize.pin(step(cur, r))
+      val done = converged(cur, next)
+      cur = next
+      if (done) return (cur, r, true)
+    }
+    (cur, r, false)
+  }
+}

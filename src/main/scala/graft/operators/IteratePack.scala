@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import graft.ext.{Iterate, Materialize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative dataflow (SURVEY.md §2.13 iterations row; reference
+  * flink-streaming-java .../api/datastream/IterativeStream.java,
+  * flink-java .../operators/IterativeDataSet.java — previously the one
+  * declared-out-of-scope §2.13 row; graft.ext.Iterate closes it).
+  *
+  * Both queries run on the bipartite customer<->supplier graph derived
+  * from orders x lineitem (suppliers offset by +100000 so the id
+  * spaces cannot collide), symmetrized so every node has in- and
+  * out-edges. All iteration arithmetic is INTEGER (micro-rank units,
+  * floor division) so Spark and the DuckDB recursive-CTE oracle agree
+  * bit-for-bit — float PageRank would hash-diverge on summation order.
+  *
+  * Scale shape: the edge table is pinned once (one orders x lineitem
+  * join, not one per round); each round is one shuffle join on the
+  * rank key + one aggregation on dst — the same per-round cost profile
+  * as ConnectedComponents, with plan growth cut by Iterate's pinning.
+  */
+object IteratePack extends QueryPack {
+
+  /** Symmetric (src, dst) edges; distinct; both endpoints BIGINT. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val fwd = T.orders(s, d)
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 100000L).as("dst"))
+      .distinct()
+    // directions live in disjoint id ranges, so the union stays distinct
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer PageRank, 10 fixed power-iteration rounds (damping 0.85
+    // as the exact rational 17/20). rank'(v) = 150000 +
+    // (17 * sum_{u->v} (rank(u) div deg(u))) div 20, all BIGINT.
+    "q_pagerank" -> ((s, d) => {
+      val e = Materialize.pin(edges(s, d))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val ewd = Materialize.pin(e.join(deg, "src"))
+      val init = e.select(col("src").as("id")).distinct()
+        .withColumn("rank_micro", lit(1000000L))
+      Iterate.loop(init, 10) { (pr, _) =>
+        pr.join(ewd, pr("id") === ewd("src"))
+          .select(ewd("dst").as("id"),
+            expr("rank_micro div d").as("c"))
+          .groupBy("id").agg(sum("c").as("contrib"))
+          .select(col("id"),
+            (lit(150000L) + expr("(17 * contrib) div 20"))
+              .as("rank_micro"))
+      }
+    }),
+
+    // BFS hop levels from the minimum node id, run to CONVERGENCE via
+    // loopUntil (the DataSet-iteration convergence-criterion path):
+    // a round that improves no distance ends the loop.
+    "q_bfs_levels" -> ((s, d) => {
+      val e = Materialize.pin(edges(s, d))
+      val nodes = e.select(col("src").as("id")).distinct()
+      val seed = nodes.agg(min("id").as("seed_id"))
+      val init = nodes
+        .join(broadcast(seed), nodes("id") === seed("seed_id"), "left")
+        .select(col("id"),
+          when(col("seed_id").isNotNull, 0L).cast("long").as("dist"))
+      val (out, _, converged) = Iterate.loopUntil(init, 20) { (cur, _) =>
+        val prop = cur.filter(col("dist").isNotNull)
+          .join(e, cur("id") === e("src"))
+          .select(e("dst").as("id"), (col("dist") + 1L).as("nd"))
+          .groupBy("id").agg(min("nd").as("nd"))
+        cur.join(prop, Seq("id"), "left")
+          .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+      } { (prev, next) =>
+        next.as("n").join(prev.as("p"), "id")
+          .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+      }
+      require(converged, "BFS did not converge within the round bound")
+      out
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      """WITH RECURSIVE
+         fwd AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (
+           SELECT src, dst FROM fwd
+           UNION ALL SELECT dst, src FROM fwd),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         pr AS (
+           SELECT 0 AS iter, id, CAST(1000000 AS BIGINT) AS rank_micro
+           FROM nodes
+           UNION ALL
+           SELECT pr.iter + 1, e.dst AS id,
+                  CAST(150000 + (17 * SUM(pr.rank_micro // d.d)) // 20
+                       AS BIGINT)
+           FROM pr JOIN edges e ON pr.id = e.src
+                   JOIN deg d ON d.src = pr.id
+           WHERE pr.iter < 10
+           GROUP BY pr.iter, e.dst)
+         SELECT id, rank_micro FROM pr WHERE iter = 10""",
+    "q_bfs_levels" ->
+      """WITH RECURSIVE
+         fwd AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (
+           SELECT src, dst FROM fwd
+           UNION ALL SELECT dst, src FROM fwd),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         walk AS (
+           SELECT id, CAST(0 AS BIGINT) AS dist
+           FROM (SELECT MIN(id) AS id FROM nodes)
+           UNION
+           SELECT e.dst AS id, w.dist + 1 AS dist
+           FROM walk w JOIN edges e ON w.id = e.src
+           WHERE w.dist < 12)
+         SELECT n.id, MIN(w.dist) AS dist
+         FROM nodes n LEFT JOIN walk w ON n.id = w.id
+         GROUP BY n.id"""
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ext.Iterate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.ext.Iterate — the bounded-iteration operator behind
+  * q_pagerank / q_bfs_levels (reference IterativeStream.java /
+  * IterativeDataSet.java; SURVEY §2.13 iterations row).
+  */
+class IterateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("loop runs exactly N rounds and threads the round number") {
+    val sp = spark
+    import sp.implicits._
+    val init = Seq((1L, 0L), (2L, 0L)).toDF("id", "acc")
+    // acc += round each round: after 12 rounds acc = 1+2+...+12 = 78.
+    // 12 rounds is past the plan-doubling blowup point an unpinned
+    // self-referencing loop hits (~round 10) — completing at all is
+    // the lineage-cut guarantee.
+    val out = Iterate.loop(init, 12) { (df, r) =>
+      df.select($"id", ($"acc" + r).as("acc"))
+    }
+    assert(out.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(78L, 78L))
+  }
+
+  test("loop with 0 rounds returns the (pinned) init unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val init = Seq(5L).toDF("v")
+    assert(Iterate.loop(init, 0)((df, _) => df.limit(0)).count() == 1)
+  }
+
+  test("loopUntil stops at the fixpoint round with converged=true") {
+    val sp = spark
+    import sp.implicits._
+    // v -> min(v+1, 5): fixpoint 5 reached from 1 after 4 improving
+    // rounds; detected on the 5th (no change), well under the bound.
+    val init = Seq(1L).toDF("v")
+    val (out, rounds, converged) = Iterate.loopUntil(init, 50) { (df, _) =>
+      df.select(least($"v" + 1L, lit(5L)).as("v"))
+    } { (prev, next) =>
+      next.as("n").join(prev.as("p"), lit(true))
+        .filter($"n.v" =!= $"p.v").isEmpty
+    }
+    assert(converged)
+    assert(rounds == 5, s"expected detection on round 5, got $rounds")
+    assert(out.head.getLong(0) == 5L)
+  }
+
+  test("loopUntil reports converged=false when the bound cuts it off") {
+    val sp = spark
+    import sp.implicits._
+    val init = Seq(0L).toDF("v")
+    val (out, rounds, converged) = Iterate.loopUntil(init, 3) { (df, _) =>
+      df.select(($"v" + 1L).as("v"))
+    } { (_, _) => false }
+    assert(!converged && rounds == 3 && out.head.getLong(0) == 3L)
+  }
+}
