@@ -77,6 +77,12 @@ object Bench {
       isolate()
       timing
     }
+    // Untimed warmup: absorb session/codegen/parquet-footer startup so
+    // it does not land on whichever query runs first (it previously
+    // inflated alphabetically-first q1_agg's forward pass ~2.4x vs its
+    // reversed-pass position).
+    once(SparkEntry.queries("q1_agg"))
+    isolate()
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = order match {
       case "reversed" => sorted.reverse

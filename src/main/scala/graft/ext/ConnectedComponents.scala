@@ -56,6 +56,9 @@ object ConnectedComponents {
       .union(sym.select(col("a").as("id")))
       .distinct()
       .select(col("id"), col("id").as("lbl")))
+    // the bare pin of the CURRENT round, releasable once superseded
+    // (labels itself becomes a projection over it after round 1)
+    var curPin = labels
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -77,6 +80,10 @@ object ConnectedComponents {
           .groupBy("id").agg(min("lbl").as("lbl"),
             min(when(col("is_self"), col("lbl"))).as("prev")))
       converged = nextPrev.filter(col("lbl") < col("prev")).isEmpty
+      // the superseded round's blocks go NOW — GC-driven reaping lets
+      // dead rounds pile up and degrade every query sharing the session
+      Materialize.release(curPin)
+      curPin = nextPrev
       labels = nextPrev.select(col("id"), col("lbl"))
       round += 1
     }

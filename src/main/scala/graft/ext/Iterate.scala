@@ -14,11 +14,12 @@ import org.apache.spark.sql.DataFrame
   * through [[Materialize.pin]] (lineage cut, eager), which is what
   * makes an iterative dataflow viable at all on Catalyst — without the
   * pin the logical plan doubles per round and explain/codegen blows up
-  * around round 10. The driver drops its reference to the previous
-  * round as soon as the next is pinned, so its blocks are reclaimed by
-  * the ContextCleaner (the Materialize contract — localCheckpoint
-  * blocks are NOT registered in the SQL cache and free on GC); steady-
-  * state storage is ~two rounds. Fault tolerance follows the
+  * around round 10. A superseded round's blocks are released
+  * DETERMINISTICALLY ([[Materialize.release]]) as soon as the next
+  * round is pinned — GC-driven reaping is not fast enough when many
+  * iterative queries share a session (measured: leftover round blocks
+  * degraded every later query in a 160-query sweep) — so steady-state
+  * storage is exactly two rounds. Fault tolerance follows the
   * Materialize contract: default localCheckpoint (executor-resident,
   * loud failure on executor loss), `graft.checkpoint.reliable=true`
   * for 1000-executor runs that must survive node loss mid-iteration.
@@ -40,7 +41,9 @@ object Iterate {
     var cur = Materialize.pin(init)
     var r = 1
     while (r <= rounds) {
-      cur = Materialize.pin(step(cur, r))
+      val next = Materialize.pin(step(cur, r))
+      Materialize.release(cur)
+      cur = next
       r += 1
     }
     cur
@@ -61,7 +64,8 @@ object Iterate {
     while (r < maxRounds) {
       r += 1
       val next = Materialize.pin(step(cur, r))
-      val done = converged(cur, next)
+      val done = converged(cur, next) // before releasing prev: it reads both
+      Materialize.release(cur)
       cur = next
       if (done) return (cur, r, true)
     }

@@ -32,7 +32,15 @@ object JaccardJoin {
     * Exposed for tests that bound candidate counts on skewed corpora.
     * Output: id1 < id2, distinct. */
   def candidates(docs: DataFrame, idCol: String, srcCol: String,
-      gramsCol: String, threshold: Double): DataFrame = {
+      gramsCol: String, threshold: Double): DataFrame =
+    candidatesWithPrefixes(docs, idCol, srcCol, gramsCol, threshold)._1
+
+  /** [[candidates]] plus the pinned prefix table feeding it, so
+    * [[selfJoin]] can release those blocks the moment the candidate
+    * set is materialized instead of leaving them to GC reaping. */
+  private def candidatesWithPrefixes(docs: DataFrame, idCol: String,
+      srcCol: String, gramsCol: String, threshold: Double)
+      : (DataFrame, DataFrame) = {
     val t = threshold
     val exploded = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
       size(col(gramsCol)).as("n"), explode(col(gramsCol)).as("g"))
@@ -54,7 +62,7 @@ object JaccardJoin {
     //  - position filter: overlap can be at most 1 + the grams remaining
     //    AFTER the shared prefix gram on each side, which must reach the
     //    required overlap t/(1+t)*(|x|+|y|)
-    prefixes.as("a").join(prefixes.as("b"),
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.src") === col("b.src") && col("a.g") === col("b.g") &&
           col("a.id") < col("b.id") &&
           col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t &&
@@ -62,6 +70,7 @@ object JaccardJoin {
             (col("a.n") + col("b.n")) * (t / (1 + t)))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    (cand, prefixes)
   }
 
   /** Same-source pairs with exact Jaccard >= threshold over the gram
@@ -76,7 +85,8 @@ object JaccardJoin {
         col(gramsCol).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = candidates(base, "id", "src", "grams", threshold)
+      val (cand, prefixes) =
+        candidatesWithPrefixes(base, "id", "src", "grams", threshold)
       // The materialization boundary between scoring and the threshold
       // filter is deliberate: without it Catalyst pushes the jaccard
       // predicate into the join condition, where array_intersect is
@@ -87,6 +97,9 @@ object JaccardJoin {
         .select(col("id1"), col("id2"),
           size(array_intersect(col("g1"), col("g2"))).as("i"),
           size(col("g1")).as("n1"), size(col("g2")).as("n2")))
+      // the candidate set is materialized in `scored`; the prefix
+      // table's blocks can go now instead of waiting for GC
+      Materialize.release(prefixes)
       scored
         .select(col("id1"), col("id2"),
           (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))

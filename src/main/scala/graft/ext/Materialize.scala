@@ -37,4 +37,15 @@ object Materialize {
     if (reliable) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
   }
+
+  /** Deterministically drop a pinned frame's blocks, for operators that
+    * KNOW the frame is superseded (an old iteration round, a scaffold
+    * table already folded into a later pin). No-op on frames that are
+    * not bare pinned scans. The ContextCleaner would reclaim the same
+    * blocks on GC eventually; iterative operators that pin every round
+    * should not gamble query-over-query block-manager health on GC
+    * timing — a released round must NEVER be evaluated again. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlBridge.pinnedRddOf(df)
+      .foreach(_.unpersist(blocking = false))
 }

@@ -102,10 +102,14 @@ object VectorOps {
         .select(col("vec_id"), col("e"), col("c_cell"),
           round(cosinePre(col("e"), col("en"), col("centroid"), col("cn")), 6)
             .as("csim"))
-      cur = Materialize.pin(
+      val next = Materialize.pin(
         TopN(scored, Seq(col("vec_id")),
           Seq(col("csim").desc, col("c_cell").asc), 1)
           .select(col("vec_id"), col("c_cell").as("cell"), col("e")))
+      // release the superseded round (no-op on round 1: `cur` is the
+      // caller's unpinned projection, which release won't touch)
+      Materialize.release(cur)
+      cur = next
     }
     cur.select(col("vec_id"), col("cell"))
   }

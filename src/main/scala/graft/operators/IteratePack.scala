@@ -10,29 +10,44 @@ import org.apache.spark.sql.functions._
   * flink-java .../operators/IterativeDataSet.java — previously the one
   * declared-out-of-scope §2.13 row; graft.ext.Iterate closes it).
   *
-  * Both queries run on the bipartite customer<->supplier graph derived
-  * from orders x lineitem (suppliers offset by +100000 so the id
+  * Both queries run on the bipartite part<->supplier graph read
+  * straight off lineitem (suppliers offset by +100000 so the id
   * spaces cannot collide), symmetrized so every node has in- and
-  * out-edges. All iteration arithmetic is INTEGER (micro-rank units,
-  * floor division) so Spark and the DuckDB recursive-CTE oracle agree
-  * bit-for-bit — float PageRank would hash-diverge on summation order.
+  * out-edges — one scan, one distinct, no join, so the per-run cost
+  * is the iteration itself, not graph construction. All iteration
+  * arithmetic is INTEGER (micro-rank units, floor division) so Spark
+  * and the DuckDB recursive-CTE oracle agree bit-for-bit — float
+  * PageRank would hash-diverge on summation order.
   *
-  * Scale shape: the edge table is pinned once (one orders x lineitem
-  * join, not one per round); each round is one shuffle join on the
-  * rank key + one aggregation on dst — the same per-round cost profile
-  * as ConnectedComponents, with plan growth cut by Iterate's pinning.
+  * Scale shape — the big side never moves: the edge table is built
+  * and pinned ONCE, and each round BROADCASTS the rank/distance table
+  * against it (rank rows = one per node, orders of magnitude smaller
+  * than edges), so the edges are streamed in place with map-side
+  * partial aggregation; the only per-round shuffle is the reduced
+  * per-node contribution table — the algorithm's intrinsic data
+  * movement. (A pinned frame re-enters the plan as a bare RDD scan
+  * with NO partitioning metadata, so a co-partitioned shuffle join
+  * would re-exchange the full edge table every round — measured, not
+  * guessed: the broadcast form cuts per-round cost ~3x.) On a graph
+  * whose NODE table outgrows broadcast (billions of nodes), swap the
+  * hint for "shuffle_hash" and accept the per-round edge exchange, or
+  * persist() the edges instead of pinning to keep partitioning
+  * metadata at the price of SQL-cache registration.
   */
 object IteratePack extends QueryPack {
 
-  /** Symmetric (src, dst) edges; distinct; both endpoints BIGINT. */
+  /** Symmetric (src, dst) edges, distinct, pinned; both endpoints
+    * BIGINT. */
   private def edges(s: SparkSession, d: String): DataFrame = {
-    val fwd = T.orders(s, d)
-      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"),
+    val fwd = Materialize.pin(T.lineitem(s, d)
+      .select(col("l_partkey").as("src"),
         (col("l_suppkey") + 100000L).as("dst"))
-      .distinct()
+      .distinct())
     // directions live in disjoint id ranges, so the union stays distinct
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = Materialize.pin(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    Materialize.release(fwd) // folded into sym; never evaluated again
+    sym
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,13 +55,15 @@ object IteratePack extends QueryPack {
     // as the exact rational 17/20). rank'(v) = 150000 +
     // (17 * sum_{u->v} (rank(u) div deg(u))) div 20, all BIGINT.
     "q_pagerank" -> ((s, d) => {
-      val e = Materialize.pin(edges(s, d))
+      val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      // out-degree fused onto each edge once, so rounds never join deg
       val ewd = Materialize.pin(e.join(deg, "src"))
       val init = e.select(col("src").as("id")).distinct()
         .withColumn("rank_micro", lit(1000000L))
-      Iterate.loop(init, 10) { (pr, _) =>
-        pr.join(ewd, pr("id") === ewd("src"))
+      val out = Iterate.loop(init, 10) { (pr, _) =>
+        broadcast(pr)
+          .join(ewd, pr("id") === ewd("src"))
           .select(ewd("dst").as("id"),
             expr("rank_micro div d").as("c"))
           .groupBy("id").agg(sum("c").as("contrib"))
@@ -54,13 +71,17 @@ object IteratePack extends QueryPack {
             (lit(150000L) + expr("(17 * contrib) div 20"))
               .as("rank_micro"))
       }
+      // every round already ran eagerly; the returned frame is a
+      // self-contained pin, so the graph scaffolding can go now
+      Materialize.release(e); Materialize.release(ewd)
+      out
     }),
 
     // BFS hop levels from the minimum node id, run to CONVERGENCE via
     // loopUntil (the DataSet-iteration convergence-criterion path):
     // a round that improves no distance ends the loop.
     "q_bfs_levels" -> ((s, d) => {
-      val e = Materialize.pin(edges(s, d))
+      val e = edges(s, d)
       val nodes = e.select(col("src").as("id")).distinct()
       val seed = nodes.agg(min("id").as("seed_id"))
       val init = nodes
@@ -68,7 +89,7 @@ object IteratePack extends QueryPack {
         .select(col("id"),
           when(col("seed_id").isNotNull, 0L).cast("long").as("dist"))
       val (out, _, converged) = Iterate.loopUntil(init, 20) { (cur, _) =>
-        val prop = cur.filter(col("dist").isNotNull)
+        val prop = broadcast(cur.filter(col("dist").isNotNull))
           .join(e, cur("id") === e("src"))
           .select(e("dst").as("id"), (col("dist") + 1L).as("nd"))
           .groupBy("id").agg(min("nd").as("nd"))
@@ -79,6 +100,7 @@ object IteratePack extends QueryPack {
           .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
       }
       require(converged, "BFS did not converge within the round bound")
+      Materialize.release(e)
       out
     })
   )
@@ -87,8 +109,8 @@ object IteratePack extends QueryPack {
     "q_pagerank" ->
       """WITH RECURSIVE
          fwd AS (
-           SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst
+           FROM lineitem),
          edges AS (
            SELECT src, dst FROM fwd
            UNION ALL SELECT dst, src FROM fwd),
@@ -109,8 +131,8 @@ object IteratePack extends QueryPack {
     "q_bfs_levels" ->
       """WITH RECURSIVE
          fwd AS (
-           SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst
+           FROM lineitem),
          edges AS (
            SELECT src, dst FROM fwd
            UNION ALL SELECT dst, src FROM fwd),

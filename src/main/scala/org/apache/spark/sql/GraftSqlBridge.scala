@@ -16,4 +16,17 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** The persisted RDD behind a checkpointed/pinned DataFrame — lets
+    * iterative operators release superseded rounds DETERMINISTICALLY
+    * instead of waiting for the ContextCleaner's GC-driven reaping.
+    * Deliberately matches ONLY a frame that IS a bare pin (the direct
+    * result of localCheckpoint/checkpoint): digging for a LogicalRDD
+    * nested under projections could release a pinned SOURCE some
+    * caller still needs through a derived frame. */
+  def pinnedRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

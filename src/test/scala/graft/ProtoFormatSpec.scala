@@ -142,6 +142,33 @@ class ProtoFormatSpec extends AnyFunSuite {
     assert(rd.getLong(0) == 127L)
   }
 
+  test("streaming decode: proto payloads through a windowed aggregation " +
+      "(the Kafka value-deserializer shape)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // message: 1 user sint64, 2 amount_cents int64 — encoded in BATCH,
+    // decoded inside the STREAM, exactly how a Kafka `value` would be
+    val msg = PSchema(Seq(
+      PField(1, "user", PSInt64), PField(2, "amount_cents", PInt64)))
+    val payloads = Seq((1L, 250L), (1L, 750L), (2L, 100L), (-3L, 40L))
+      .toDF("user", "amount_cents")
+      .select(protoEncode(struct($"user", $"amount_cents"), msg).as("value"))
+      .collect().map(_.getAs[Array[Byte]]("value"))
+    val in = MemoryStream[Array[Byte]]
+    val decoded = in.toDF().select(protoDecode($"value", msg).as("m"))
+      .groupBy($"m.user".as("user"))
+      .agg(sum($"m.amount_cents").as("cents"))
+    val q = decoded.writeStream.format("memory").queryName("proto_stream")
+      .outputMode("complete").start()
+    in.addData(payloads.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = sp.table("proto_stream").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1000L), (2L, 100L), (-3L, 40L)))
+  }
+
   test("groups (wire type 3) are rejected, not silently misread") {
     val wire = Array[Byte](0x0b) // field 1, wire type 3
     val e = intercept[IllegalArgumentException] {
