@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *     year-over-year self-comparison, double-EXISTS customer
   *     filter, two-CTE frequent-item x big-spender intersection,
   *   - q71: UNION ALL of differently-filtered channel scans,
-  *   - q92: windowed per-key average compared row-by-row.
+  *   - q92: windowed per-key average compared row-by-row,
+  *   - q74/q4: four aggregated subframes joined 4-way with a
+  *     cross-multiplied growth-ratio comparison,
+  *   - q78: returns excluded by aggregated ANTI join, then per-year
+  *     profile,
+  *   - q97: FULL OUTER membership overlap matrix of two derived sets.
   *
   * Money determinism: every monetary aggregate first quantizes to
   * integer CENTS (`CAST(round(x*100) AS BIGINT)` — the testdata is
@@ -244,6 +249,61 @@ object TpcdsShapePack extends QueryPack {
           sum(centsCol($"l_extendedprice")).as("rev_cents"))
     }),
 
+    // q74/q4 shape: TWO channels x TWO years of per-customer totals
+    // (four aggregated subframes joined 4-way), keeping customers
+    // whose lineitem-revenue growth outpaces their order-spend growth;
+    // the ratio comparison is cross-multiplied in BIGINT so it can
+    // never flip on float division.
+    "q_tpcds_growth" -> ((s, d) => {
+      import s.implicits._
+      def spend(y: Int, out: String) =
+        T.orders(s, d).filter(year($"o_orderdate") === y)
+          .groupBy($"o_custkey")
+          .agg(sum(centsCol($"o_totalprice")).as(out))
+      def rev(y: Int, out: String) =
+        T.orders(s, d)
+          .join(T.lineitem(s, d).filter(year($"l_shipdate") === y),
+            $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey")
+          .agg(sum(centsCol($"l_extendedprice")).as(out))
+      spend(1995, "a95").join(spend(1996, "a96"), Seq("o_custkey"))
+        .join(rev(1995, "b95"), Seq("o_custkey"))
+        .join(rev(1996, "b96"), Seq("o_custkey"))
+        .filter($"a95" > 0 && $"b95" > 0 &&
+          $"b96" * $"a95" > $"a96" * $"b95")
+        .select($"o_custkey", $"a95", $"a96", $"b95", $"b96")
+    }),
+
+    // q78 shape: the fact with RETURNED units anti-joined away, then
+    // per-year volume/revenue — the returns-excluded sales profile.
+    "q_tpcds_antireturn" -> ((s, d) => {
+      import s.implicits._
+      val returned = T.lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_orderkey").distinct()
+      T.lineitem(s, d)
+        .join(returned, Seq("l_orderkey"), "left_anti")
+        .groupBy(year($"l_shipdate").cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum(centsCol($"l_extendedprice")).as("rev_cents"))
+    }),
+
+    // q97 shape: FULL OUTER JOIN of two aggregated membership sets
+    // (1995 buyers vs 1996 buyers) reduced to the overlap matrix.
+    "q_tpcds_overlap" -> ((s, d) => {
+      import s.implicits._
+      def buyers(y: Int, out: String) =
+        T.orders(s, d).filter(year($"o_orderdate") === y)
+          .select($"o_custkey".as(out)).distinct()
+      buyers(1995, "c95")
+        .join(buyers(1996, "c96"), $"c95" === $"c96", "full_outer")
+        .agg(
+          sum(when($"c95".isNotNull && $"c96".isNotNull, 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when($"c96".isNull, 1L).otherwise(0L)).as("n_only_95"),
+          sum(when($"c95".isNull, 1L).otherwise(0L)).as("n_only_96"))
+    }),
+
     // q36 shape: margin rollup over the region hierarchy with a
     // rank-within-parent; revenue carries the discount exactly as
     // cents x (100 - discount-percent) so the rank key is BIGINT.
@@ -432,6 +492,45 @@ object TpcdsShapePack extends QueryPack {
          SELECT r_name, n_name, rev_e4, sum_qty, gid,
                 rank() OVER (PARTITION BY gid, r_name
                   ORDER BY rev_e4 DESC, coalesce(n_name, '') ASC) AS rk
-         FROM agg"""
+         FROM agg""",
+    "q_tpcds_growth" ->
+      """WITH spend AS (
+           SELECT o_custkey, year(o_orderdate) AS yr,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+           GROUP BY o_custkey, year(o_orderdate)),
+         rev AS (
+           SELECT o_custkey, year(l_shipdate) AS yr,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE year(l_shipdate) IN (1995, 1996)
+           GROUP BY o_custkey, year(l_shipdate))
+         SELECT a95.o_custkey, a95.cents AS a95, a96.cents AS a96,
+                b95.cents AS b95, b96.cents AS b96
+         FROM (SELECT * FROM spend WHERE yr = 1995) a95
+         JOIN (SELECT * FROM spend WHERE yr = 1996) a96 USING (o_custkey)
+         JOIN (SELECT * FROM rev WHERE yr = 1995) b95 USING (o_custkey)
+         JOIN (SELECT * FROM rev WHERE yr = 1996) b96 USING (o_custkey)
+         WHERE a95.cents > 0 AND b95.cents > 0
+           AND b96.cents * a95.cents > a96.cents * b95.cents""",
+    "q_tpcds_antireturn" ->
+      """SELECT year(l_shipdate) AS yr, count(*) AS n_lines,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+         FROM lineitem
+         WHERE l_orderkey NOT IN (
+           SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY year(l_shipdate)""",
+    "q_tpcds_overlap" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey AS c95 FROM orders
+                      WHERE year(o_orderdate) = 1995),
+            c96 AS (SELECT DISTINCT o_custkey AS c96 FROM orders
+                      WHERE year(o_orderdate) = 1996)
+         SELECT
+           sum(CASE WHEN c95 IS NOT NULL AND c96 IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_both,
+           sum(CASE WHEN c96 IS NULL THEN 1 ELSE 0 END) AS n_only_95,
+           sum(CASE WHEN c95 IS NULL THEN 1 ELSE 0 END) AS n_only_96
+         FROM c95 FULL OUTER JOIN c96 ON c95 = c96"""
   )
 }
