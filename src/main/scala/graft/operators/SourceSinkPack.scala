@@ -50,6 +50,20 @@ object SourceSinkPack extends QueryPack {
       s.read.schema("r_regionkey INT, r_name STRING").json(dir)
     }),
 
+    // Compressed-format roundtrip (flink-formats/flink-compress
+    // analog): gzip JSON-lines out, transparent codec-detected read
+    // back. Each partition writes one .gz file; the codec rides on the
+    // writer, so the layout story is identical to the uncompressed
+    // path. (Gzip is not splittable — one file = one read task — which
+    // is why the per-partition-file layout matters at scale; splittable
+    // codecs like zstd ride the same option.)
+    "q_compress_source" -> ((s, d) => {
+      val dir = tmpDir("gz_customer")
+      T.customer(s, d).write.mode("overwrite")
+        .option("compression", "gzip").json(dir)
+      s.read.schema(T.customer(s, d).schema).json(dir)
+    }),
+
     // ORC format roundtrip on part (Spark built-in columnar datasource;
     // flink-formats/flink-orc analog). Full pushdown on re-read.
     "q_orc_source" -> ((s, d) => {
@@ -169,6 +183,8 @@ object SourceSinkPack extends QueryPack {
       """SELECT * FROM region""",
     "q_orc_source" ->
       """SELECT * FROM part""",
+    "q_compress_source" ->
+      """SELECT * FROM customer""",
     "q_jdbc_source" ->
       """SELECT * FROM nation""",
     "q_proto_source" ->
