@@ -42,7 +42,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     // agg over a broadcast star join; the channel-cumulative must keep
     // per-channel windows + a full outer SMJ; the reused CTE must stay
     // two semi joins over the grouped derived table
-    "q_tpcds_rollup", "q_tpcds_cumwin", "q_tpcds_cte_reuse")
+    "q_tpcds_rollup", "q_tpcds_cumwin", "q_tpcds_cte_reuse",
+    // 4-way join of aggregated subframes: each year/channel aggregate
+    // must keep its partial/final split and the join stay on custkey;
+    // the anti-return profile must keep the LeftAnti + one agg shape
+    "q_tpcds_growth", "q_tpcds_antireturn")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
