@@ -50,6 +50,22 @@ class IterateSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 5L)
   }
 
+  test("superseded rounds release their blocks: only the final pin " +
+      "remains registered") {
+    val sp = spark
+    import sp.implicits._
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = Iterate.loop(Seq(1L).toDF("v"), 6) { (df, _) =>
+      df.select(($"v" + 1L).as("v"))
+    }
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    // init pin + 6 round pins ran; 6 were superseded and released
+    assert(added.size == 1,
+      s"expected exactly the final round's RDD to stay pinned, " +
+        s"found ${added.size}")
+    assert(out.head.getLong(0) == 7L)
+  }
+
   test("loopUntil reports converged=false when the bound cuts it off") {
     val sp = spark
     import sp.implicits._
