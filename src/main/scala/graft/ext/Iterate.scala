@@ -34,17 +34,28 @@ import org.apache.spark.sql.DataFrame
 object Iterate {
 
   /** Run `step` for exactly `rounds` rounds. `step` receives the
-    * previous round's (pinned) frame and the 1-based round number. */
-  def loop(init: DataFrame, rounds: Int)
+    * previous round's frame and the 1-based round number.
+    *
+    * `pinEvery` trades pin-job overhead against plan depth: with
+    * `pinEvery = k`, k consecutive steps compose lazily into ONE
+    * materialization, so a 10-round loop runs 10/k jobs with plans k
+    * steps deep. Keep k small (2-4): plan size is exponential in k
+    * when a step references its input more than once, linear
+    * otherwise. k = 1 (the default) is the pin-per-round behavior
+    * convergence-checked loops need. */
+  def loop(init: DataFrame, rounds: Int, pinEvery: Int = 1)
       (step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(rounds >= 0, s"negative round count: $rounds")
+    require(pinEvery >= 1, s"non-positive pinEvery: $pinEvery")
     var cur = Materialize.pin(init)
     var r = 1
     while (r <= rounds) {
-      val next = Materialize.pin(step(cur, r))
+      var frame = cur
+      val upTo = math.min(rounds, r + pinEvery - 1)
+      while (r <= upTo) { frame = step(frame, r); r += 1 }
+      val next = Materialize.pin(frame)
       Materialize.release(cur)
       cur = next
-      r += 1
     }
     cur
   }

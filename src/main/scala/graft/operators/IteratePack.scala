@@ -61,11 +61,18 @@ object IteratePack extends QueryPack {
       val ewd = Materialize.pin(e.join(deg, "src"))
       val init = e.select(col("src").as("id")).distinct()
         .withColumn("rank_micro", lit(1000000L))
-      val out = Iterate.loop(init, 10) { (pr, _) =>
-        broadcast(pr)
-          .join(ewd, pr("id") === ewd("src"))
-          .select(ewd("dst").as("id"),
-            expr("rank_micro div d").as("c"))
+      // pinEvery=2: each materialization job covers two power-iteration
+      // steps (the rank frame enters each step once, so plan depth is
+      // linear in the stride) — half the pin-job overhead
+      // alias-qualified join: with pinEvery=2 the second composed step
+      // re-joins ewd against a frame already derived from ewd, which
+      // dataset-id column references would flag as an ambiguous
+      // self-join
+      val out = Iterate.loop(init, 10, pinEvery = 2) { (pr, _) =>
+        broadcast(pr.as("p"))
+          .join(ewd.as("w"), col("p.id") === col("w.src"))
+          .select(col("w.dst").as("id"),
+            expr("p.rank_micro div w.d").as("c"))
           .groupBy("id").agg(sum("c").as("contrib"))
           .select(col("id"),
             (lit(150000L) + expr("(17 * contrib) div 20"))
