@@ -196,6 +196,61 @@ object ExtPack4 extends QueryPack {
         .select($"doc_id",
           coalesce($"n_bench_hits", lit(0L)).as("n_bench_hits"),
           (coalesce($"n_bench_hits", lit(0L)) > 0).as("contaminated_fuzzy"))
+    }),
+
+    // CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web
+    // Crawl Data"): score every document by the negative log
+    // likelihood of a bigram LM trained on a reference slice, the
+    // standard pretraining-pipeline quality gate (keep = low
+    // perplexity). The LM is Laplace-smoothed over bigram-head
+    // history counts: p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V+1) with
+    // V = |distinct train heads| (+1 reserves unk mass), trained on
+    // the deterministic doc_id % 4 == 0 slice and scored over ALL
+    // docs. Cross-engine determinism (the q_dsir micro-nat pattern):
+    // the per-BIGRAM-TYPE log-prob is rounded ONCE to integer
+    // micro-nats, per-doc sums are BIGINT — exact under any
+    // aggregation order; the per-token average is pure integer
+    // division (both operands non-negative, so Spark's `div` and
+    // DuckDB's `//` agree). Scale shape: counts are linear groupBys
+    // (hot bigrams collapse map-side), the term table is keyed on the
+    // bigram TYPE (|distinct bigrams|, linear in corpus) and joins the
+    // instance stream on a high-cardinality key, and the per-doc agg
+    // is linear — nothing quadratic, no driver state, no collect.
+    "q_ngram_lm_ppl" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+              .as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+      val inst = T.documents(s, d)
+        .select($"doc_id", explode(pairs).as("u"))
+        .select($"doc_id", $"u.w1".as("w1"), $"u.bg".as("bg"))
+      val train = inst.filter(pmod($"doc_id", lit(4L)) === 0)
+      val cb = train.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      val cu = train.groupBy($"w1").agg(count(lit(1)).as("cu"))
+      val v = train.agg(countDistinct($"w1").as("v"))
+      val term = inst.select($"w1", $"bg").distinct()
+        .join(cb, Seq("bg"), "left")
+        .join(cu, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select($"bg",
+          round(log((coalesce($"cb", lit(0L)) + 1.0)
+            / (coalesce($"cu", lit(0L)) + $"v" + 1.0)) * 1e6)
+            .cast("long").as("term_u"))
+      val per = inst.join(term, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), (-sum($"term_u")).as("nll"))
+      T.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          coalesce($"nll", lit(0L)).as("nll_micronats"),
+          when(coalesce($"n_bigrams", lit(0L)) === 0, lit(0L))
+            .otherwise(expr("nll div n_bigrams")).as("avg_nll_micronat"))
     })
   )
 
@@ -351,7 +406,36 @@ object ExtPack4 extends QueryPack {
                      THEN ((1000000 * (SELECT count(*) FROM det))
                            + ((SELECT count(*) FROM truth) // 2))
                           // (SELECT count(*) FROM truth)
-                     ELSE 1000000 END AS BIGINT) AS recall_ppm"""
+                     ELSE 1000000 END AS BIGINT) AS recall_ppm""",
+    "q_ngram_lm_ppl" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         inst AS (
+           SELECT doc_id, u.w1 AS w1, u.bg AS bg
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS u
+                 FROM toks)),
+         train AS (SELECT * FROM inst WHERE doc_id % 4 = 0),
+         cb AS (SELECT bg, count(*) AS cb FROM train GROUP BY bg),
+         cu AS (SELECT w1, count(*) AS cu FROM train GROUP BY w1),
+         v AS (SELECT count(DISTINCT w1) AS v FROM train),
+         term AS (
+           SELECT bg,
+                  CAST(round(ln((coalesce(cb, 0) + 1.0)
+                    / (coalesce(cu, 0) + v + 1.0)) * 1000000) AS BIGINT)
+                    AS term_u
+           FROM (SELECT DISTINCT w1, bg FROM inst) ty
+           LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1) CROSS JOIN v),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams, -sum(term_u) AS nll
+           FROM inst JOIN term USING (bg) GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n_bigrams, 0) AS n_bigrams,
+                CAST(coalesce(nll, 0) AS BIGINT) AS nll_micronats,
+                CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                     ELSE nll // n_bigrams END AS BIGINT) AS avg_nll_micronat
+         FROM documents d LEFT JOIN per USING (doc_id)"""
   )
 
   /** Shared oracle CTE prefix: VectorOps.lshBucket (integer-quantized

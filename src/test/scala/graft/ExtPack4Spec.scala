@@ -64,6 +64,37 @@ class ExtPack4Spec extends AnyFunSuite {
     }
   }
 
+  test("q_ngram_lm_ppl: NLL accounting is exact and the LM separates " +
+      "its training slice from held-out docs") {
+    val out = ExtPack4.queries("q_ngram_lm_ppl")(spark, sf)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+
+    // bigram accounting: n_bigrams == max(tokens - 1, 0); NLL of a
+    // Laplace-smoothed model is strictly positive for any scored doc;
+    // the average is the integer quotient of the BIGINT sum.
+    val bad = out.join(
+        docs.select($"doc_id",
+          greatest(size(split($"text", " ")) - 1, lit(0)).cast("long")
+            .as("expect_bg")), Seq("doc_id"))
+      .filter($"n_bigrams" =!= $"expect_bg"
+        || ($"n_bigrams" > 0 && $"nll_micronats" <= 0)
+        || ($"n_bigrams" > 0
+             && $"avg_nll_micronat" =!= expr("nll_micronats div n_bigrams")))
+    assert(bad.count() === 0)
+
+    // the filter signal: docs the LM was trained on (doc_id % 4 == 0)
+    // must average lower per-token NLL than held-out docs — their
+    // bigrams all carry count mass. This is the property a perplexity
+    // threshold keeps/drops on.
+    val Array((trainM, heldM)) = out
+      .agg(avg(when(pmod($"doc_id", lit(4L)) === 0, $"avg_nll_micronat")),
+        avg(when(pmod($"doc_id", lit(4L)) =!= 0, $"avg_nll_micronat")))
+      .as[(Double, Double)].collect()
+    assert(trainM < heldM,
+      s"train mean $trainM not below held-out mean $heldM")
+  }
+
   test("q_semdedup: dup pairs share a cluster and clear the cosine bar") {
     val out = ExtPack4.queries("q_semdedup")(spark, sf)
     import spark.implicits._
