@@ -320,7 +320,7 @@ object ExtPack3 extends QueryPack {
            FROM spans GROUP BY span),
          per_doc AS (
            SELECT doc_id, count(*) AS n_spans,
-                  sum(CASE WHEN n_span_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+                  CAST(sum(CASE WHEN n_span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
            FROM spans JOIN shared USING (span) GROUP BY doc_id)
          SELECT d.doc_id,
                 coalesce(n_spans, 0) AS n_spans,
@@ -349,8 +349,9 @@ object ExtPack3 extends QueryPack {
                   CAST(round(c * log2(c) * 1000000) AS BIGINT) AS cu
            FROM counts),
          agg AS (
-           SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-                  sum(cu) AS clog_u
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct,
+                  CAST(sum(cu) AS BIGINT) AS clog_u
            FROM cu GROUP BY doc_id),
          ints AS (
            SELECT doc_id, n_tokens, n_distinct, clog_u,

@@ -344,13 +344,13 @@ object TpcdsShapePack extends QueryPack {
       """WITH ch AS (
            SELECT l_returnflag AS fl, l_suppkey,
                   CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
-                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
            FROM lineitem WHERE l_returnflag IN ('R', 'N')
            GROUP BY 1, 2, 3),
          cum AS (
            SELECT fl, l_suppkey, mon,
-                  sum(rev) OVER (PARTITION BY fl, l_suppkey ORDER BY mon
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  CAST(sum(rev) OVER (PARTITION BY fl, l_suppkey ORDER BY mon
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
            FROM ch)
          SELECT coalesce(r.l_suppkey, n.l_suppkey) AS l_suppkey,
                 coalesce(r.mon, n.mon) AS mon,
@@ -369,26 +369,26 @@ object TpcdsShapePack extends QueryPack {
            WHERE l_returnflag = 'R'
              AND l_orderkey IN (SELECT l_orderkey FROM multi))
          SELECT count(*) AS order_count,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders
          WHERE o_orderpriority = '1-URGENT'
            AND o_orderkey IN (SELECT l_orderkey FROM multi)
            AND o_orderkey IN (SELECT l_orderkey FROM ret_multi)""",
     "q_tpcds_buckets" ->
       """SELECT
-           sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b1_cheap,
-           sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b1_deep,
-           sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b2_cheap,
-           sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b2_deep,
-           sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b3_cheap,
-           sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b3_deep,
-           sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS b4_cheap,
-           sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS b4_deep
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b1_cheap,
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity < 10 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b1_deep,
+           CAST(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b2_cheap,
+           CAST(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b2_deep,
+           CAST(sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b3_cheap,
+           CAST(sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b3_deep,
+           CAST(sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b4_cheap,
+           CAST(sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b4_deep
          FROM lineitem""",
     "q_tpcds_rank_rollup" ->
       """WITH agg AS (
            SELECT r_name, n_name, yr,
-                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sales_cents,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales_cents,
                   CAST(GROUPING(r_name, n_name, yr) AS BIGINT) AS gid
            FROM (SELECT l_extendedprice, r_name, n_name,
                         CAST(year(l_shipdate) AS BIGINT) AS yr
@@ -413,18 +413,18 @@ object TpcdsShapePack extends QueryPack {
     "q_tpcds_yoy" ->
       """WITH t95 AS (
            SELECT o_custkey,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t95_cents
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t95_cents
            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
          t96 AS (
            SELECT o_custkey,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t96_cents
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t96_cents
            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
          SELECT t95.o_custkey, t95_cents, t96_cents
          FROM t95 JOIN t96 ON t95.o_custkey = t96.o_custkey
          WHERE t95_cents > 0 AND t96_cents * 10 > t95_cents * 12""",
     "q_tpcds_exists_counts" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-                sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich
+                CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich
          FROM customer
          WHERE c_custkey IN (
              SELECT o_custkey FROM orders
@@ -448,7 +448,8 @@ object TpcdsShapePack extends QueryPack {
            SELECT 'tax_free', CAST(year(l_shipdate) AS BIGINT),
                   CAST(round(l_extendedprice * 100) AS BIGINT)
            FROM lineitem WHERE l_tax = 0.0)
-         SELECT channel, yr, count(*) AS n_lines, sum(cents) AS rev_cents
+         SELECT channel, yr, count(*) AS n_lines,
+                CAST(sum(cents) AS BIGINT) AS rev_cents
          FROM u GROUP BY channel, yr""",
     "q_tpcds_winjoin" ->
       """WITH w AS (
@@ -458,7 +459,7 @@ object TpcdsShapePack extends QueryPack {
                     OVER (PARTITION BY l_partkey) AS part_sum
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_size <= 10)
-         SELECT count(*) AS n_lines, sum(cents) AS sum_cents
+         SELECT count(*) AS n_lines, CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM w WHERE cents * 10 * cnt > part_sum * 13""",
     "q_tpcds_freq_cte" ->
       """WITH frequent AS (
@@ -471,7 +472,7 @@ object TpcdsShapePack extends QueryPack {
            SELECT o_orderkey FROM orders
            WHERE o_custkey IN (SELECT o_custkey FROM spenders))
          SELECT count(*) AS n_lines,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
          FROM lineitem
          WHERE l_partkey IN (SELECT l_partkey FROM frequent)
            AND l_orderkey IN (SELECT o_orderkey FROM spender_orders)""",
@@ -485,7 +486,7 @@ object TpcdsShapePack extends QueryPack {
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey),
          agg AS (
-           SELECT r_name, n_name, sum(rev_e4) AS rev_e4,
+           SELECT r_name, n_name, CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                   CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
            FROM base GROUP BY ROLLUP(r_name, n_name))
@@ -496,12 +497,12 @@ object TpcdsShapePack extends QueryPack {
     "q_tpcds_growth" ->
       """WITH spend AS (
            SELECT o_custkey, year(o_orderdate) AS yr,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
            GROUP BY o_custkey, year(o_orderdate)),
          rev AS (
            SELECT o_custkey, year(l_shipdate) AS yr,
-                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            WHERE year(l_shipdate) IN (1995, 1996)
            GROUP BY o_custkey, year(l_shipdate))
@@ -516,7 +517,7 @@ object TpcdsShapePack extends QueryPack {
     "q_tpcds_antireturn" ->
       """SELECT year(l_shipdate) AS yr, count(*) AS n_lines,
                 CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
          FROM lineitem
          WHERE l_orderkey NOT IN (
            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
@@ -527,10 +528,10 @@ object TpcdsShapePack extends QueryPack {
             c96 AS (SELECT DISTINCT o_custkey AS c96 FROM orders
                       WHERE year(o_orderdate) = 1996)
          SELECT
-           sum(CASE WHEN c95 IS NOT NULL AND c96 IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_both,
-           sum(CASE WHEN c96 IS NULL THEN 1 ELSE 0 END) AS n_only_95,
-           sum(CASE WHEN c95 IS NULL THEN 1 ELSE 0 END) AS n_only_96
+           CAST(sum(CASE WHEN c95 IS NOT NULL AND c96 IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN c96 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_95,
+           CAST(sum(CASE WHEN c95 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_96
          FROM c95 FULL OUTER JOIN c96 ON c95 = c96"""
   )
 }

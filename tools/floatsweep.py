@@ -44,16 +44,23 @@ import duckdb
 
 
 def strip_round6(sql: str) -> str:
-    """Replace every two-arg round(X, 6) with (X), innermost first."""
-    changed = True
-    while changed:
-        changed = False
+    """Replace every two-arg round(X, 6) with (X), innermost first.
+
+    Candidates are scanned RIGHTMOST-first: the rightmost round( has no
+    round( inside its argument, so the first strippable match is always
+    innermost, and an outer round(X, 6) whose argument contains only
+    non-strippable calls (e.g. single-arg round(x * 1000000)) is still
+    stripped instead of silently skipped.
+    """
+    while True:
         low = sql.lower()
-        start = 0
-        while True:
-            i = low.find("round(", start)
-            if i < 0:
-                break
+        positions = []
+        i = low.find("round(")
+        while i >= 0:
+            positions.append(i)
+            i = low.find("round(", i + 1)
+        stripped = False
+        for i in reversed(positions):
             # find matching close paren and top-level commas
             depth = 0
             commas = []
@@ -73,18 +80,14 @@ def strip_round6(sql: str) -> str:
                     commas.append(j)
                 j += 1
             if end < 0:
-                break
+                continue
             if len(commas) == 1 and sql[commas[0] + 1:end].strip() == "6":
                 inner = sql[arg_start:commas[0]]
-                if "round(" in inner.lower():
-                    # recurse into the inner call first
-                    start = i + len("round(")
-                    continue
                 sql = sql[:i] + "(" + inner + ")" + sql[end + 1:]
-                changed = True
+                stripped = True
                 break
-            start = i + len("round(")
-    return sql
+        if not stripped:
+            return sql
 
 
 def main():
