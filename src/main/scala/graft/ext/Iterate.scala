@@ -33,6 +33,38 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterate {
 
+  /** Hint `df` as the SMALL side of a per-round iterative join:
+    * `broadcast` while `estRows * bytesPerRow` fits the session's
+    * `spark.sql.autoBroadcastJoinThreshold`, else `shuffle_hash`.
+    *
+    * Iterative loops can't lean on Catalyst's own size-based broadcast
+    * choice: a pinned round re-enters the plan as a bare RDD scan with
+    * default (= unusably pessimistic) stats, so without a hint the
+    * planner would never broadcast, and with an unconditional
+    * `broadcast()` a rank/frontier table that outgrows driver memory
+    * (billions of nodes) would OOM the driver. This is the automatic
+    * switch between the two regimes — callers pass a cheap upper-bound
+    * row estimate (node count, computed once per query, constant
+    * across rounds), mirroring how the reference runs bulk iterations
+    * on the shuffle plane when the solution set is large
+    * (flink-java .../operators/IterativeDataSet.java).
+    *
+    * `bytesPerRow` defaults to 64: a broadcast hashed relation of two
+    * BIGINT columns costs ~48-64 B/row with bucket overhead —
+    * deliberately conservative so the switch to shuffle_hash fires
+    * BEFORE the driver is at risk. */
+  def smallSide(df: DataFrame, estRows: Long,
+      bytesPerRow: Long = 64): DataFrame = {
+    require(estRows >= 0, s"negative row estimate: $estRows")
+    require(bytesPerRow >= 1, s"non-positive bytesPerRow: $bytesPerRow")
+    val thr = org.apache.spark.sql.GraftSqlBridge
+      .autoBroadcastThreshold(df.sparkSession)
+    // divide, don't multiply: estRows * bytesPerRow could overflow
+    if (thr > 0 && estRows <= thr / bytesPerRow)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
   /** Run `step` for exactly `rounds` rounds. `step` receives the
     * previous round's frame and the 1-based round number.
     *
@@ -48,16 +80,21 @@ object Iterate {
     require(rounds >= 0, s"negative round count: $rounds")
     require(pinEvery >= 1, s"non-positive pinEvery: $pinEvery")
     var cur = Materialize.pin(init)
-    var r = 1
-    while (r <= rounds) {
-      var frame = cur
-      val upTo = math.min(rounds, r + pinEvery - 1)
-      while (r <= upTo) { frame = step(frame, r); r += 1 }
-      val next = Materialize.pin(frame)
-      Materialize.release(cur)
-      cur = next
-    }
-    cur
+    // a step/pin failure mid-loop must not leave the current round's
+    // blocks stranded in the shared session until GC — release before
+    // rethrowing (the release contract this loop exists to uphold)
+    try {
+      var r = 1
+      while (r <= rounds) {
+        var frame = cur
+        val upTo = math.min(rounds, r + pinEvery - 1)
+        while (r <= upTo) { frame = step(frame, r); r += 1 }
+        val next = Materialize.pin(frame)
+        Materialize.release(cur)
+        cur = next
+      }
+      cur
+    } catch { case t: Throwable => Materialize.release(cur); throw t }
   }
 
   /** Run `step` until `converged(prev, next)` or `maxRounds`. Returns
@@ -71,15 +108,21 @@ object Iterate {
       : (DataFrame, Int, Boolean) = {
     require(maxRounds >= 1, s"non-positive round bound: $maxRounds")
     var cur = Materialize.pin(init)
-    var r = 0
-    while (r < maxRounds) {
-      r += 1
-      val next = Materialize.pin(step(cur, r))
-      val done = converged(cur, next) // before releasing prev: it reads both
-      Materialize.release(cur)
-      cur = next
-      if (done) return (cur, r, true)
-    }
-    (cur, r, false)
+    // release in-flight pins (cur, and next if already pinned) before
+    // rethrowing — see loop()
+    try {
+      var r = 0
+      while (r < maxRounds) {
+        r += 1
+        val next = Materialize.pin(step(cur, r))
+        val done =
+          try converged(cur, next) // before releasing prev: it reads both
+          catch { case t: Throwable => Materialize.release(next); throw t }
+        Materialize.release(cur)
+        cur = next
+        if (done) return (cur, r, true)
+      }
+      (cur, r, false)
+    } catch { case t: Throwable => Materialize.release(cur); throw t }
   }
 }

@@ -20,21 +20,32 @@ import org.apache.spark.sql.functions._
   * PageRank would hash-diverge on summation order.
   *
   * Scale shape — the big side never moves: the edge table is built
-  * and pinned ONCE, and each round BROADCASTS the rank/distance table
-  * against it (rank rows = one per node, orders of magnitude smaller
-  * than edges), so the edges are streamed in place with map-side
-  * partial aggregation; the only per-round shuffle is the reduced
+  * and pinned ONCE, and each round hints the rank/distance table as
+  * the SMALL join side via [[Iterate.smallSide]] (rank rows = one per
+  * node, orders of magnitude smaller than edges): while the node
+  * count × 64 B fits `spark.sql.autoBroadcastJoinThreshold` it is
+  * BROADCAST, so the edges are streamed in place with map-side
+  * partial aggregation and the only per-round shuffle is the reduced
   * per-node contribution table — the algorithm's intrinsic data
   * movement. (A pinned frame re-enters the plan as a bare RDD scan
   * with NO partitioning metadata, so a co-partitioned shuffle join
   * would re-exchange the full edge table every round — measured, not
   * guessed: the broadcast form cuts per-round cost ~3x.) On a graph
-  * whose NODE table outgrows broadcast (billions of nodes), swap the
-  * hint for "shuffle_hash" and accept the per-round edge exchange, or
-  * persist() the edges instead of pinning to keep partitioning
-  * metadata at the price of SQL-cache registration.
+  * whose NODE table outgrows the threshold (billions of nodes) the
+  * hint switches AUTOMATICALLY to shuffle_hash — per-round edge
+  * exchange instead of a driver OOM, the same regime the reference
+  * runs bulk iterations in (IterativeDataSet.java solves on the
+  * shuffle plane). The node count is computed once per query and is
+  * a constant (PageRank) or conservative (BFS frontier ≤ nodes)
+  * upper bound for every round.
   */
 object IteratePack extends QueryPack {
+
+  /** One bound for BOTH the Spark loopUntil and the oracle's recursive
+    * CTE — a graph whose seed eccentricity exceeds it fails the Spark
+    * convergence require() loudly instead of silently diverging from a
+    * shorter-bounded oracle walk. */
+  private val MaxHops = 20
 
   /** Symmetric (src, dst) edges, distinct, pinned; both endpoints
     * BIGINT. */
@@ -59,8 +70,10 @@ object IteratePack extends QueryPack {
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
       // out-degree fused onto each edge once, so rounds never join deg
       val ewd = Materialize.pin(e.join(deg, "src"))
-      val init = e.select(col("src").as("id")).distinct()
-        .withColumn("rank_micro", lit(1000000L))
+      val nodes = e.select(col("src").as("id")).distinct()
+      // one count job; constant across rounds (rank rows = nodes)
+      val nNodes = nodes.count()
+      val init = nodes.withColumn("rank_micro", lit(1000000L))
       // pinEvery=2: each materialization job covers two power-iteration
       // steps (the rank frame enters each step once, so plan depth is
       // linear in the stride) — half the pin-job overhead
@@ -69,7 +82,7 @@ object IteratePack extends QueryPack {
       // dataset-id column references would flag as an ambiguous
       // self-join
       val out = Iterate.loop(init, 10, pinEvery = 2) { (pr, _) =>
-        broadcast(pr.as("p"))
+        Iterate.smallSide(pr.as("p"), nNodes)
           .join(ewd.as("w"), col("p.id") === col("w.src"))
           .select(col("w.dst").as("id"),
             expr("p.rank_micro div w.d").as("c"))
@@ -90,13 +103,15 @@ object IteratePack extends QueryPack {
     "q_bfs_levels" -> ((s, d) => {
       val e = edges(s, d)
       val nodes = e.select(col("src").as("id")).distinct()
+      val nNodes = nodes.count() // frontier ≤ nodes every round
       val seed = nodes.agg(min("id").as("seed_id"))
       val init = nodes
         .join(broadcast(seed), nodes("id") === seed("seed_id"), "left")
         .select(col("id"),
           when(col("seed_id").isNotNull, 0L).cast("long").as("dist"))
-      val (out, _, converged) = Iterate.loopUntil(init, 20) { (cur, _) =>
-        val prop = broadcast(cur.filter(col("dist").isNotNull))
+      val (out, _, converged) = Iterate.loopUntil(init, MaxHops) { (cur, _) =>
+        val prop = Iterate
+          .smallSide(cur.filter(col("dist").isNotNull), nNodes)
           .join(e, cur("id") === e("src"))
           .select(e("dst").as("id"), (col("dist") + 1L).as("nd"))
           .groupBy("id").agg(min("nd").as("nd"))
@@ -136,7 +151,7 @@ object IteratePack extends QueryPack {
            GROUP BY pr.iter, e.dst)
          SELECT id, rank_micro FROM pr WHERE iter = 10""",
     "q_bfs_levels" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
          fwd AS (
            SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst
            FROM lineitem),
@@ -150,7 +165,7 @@ object IteratePack extends QueryPack {
            UNION
            SELECT e.dst AS id, w.dist + 1 AS dist
            FROM walk w JOIN edges e ON w.id = e.src
-           WHERE w.dist < 12)
+           WHERE w.dist < $MaxHops)
          SELECT n.id, MIN(w.dist) AS dist
          FROM nodes n LEFT JOIN walk w ON n.id = w.id
          GROUP BY n.id"""

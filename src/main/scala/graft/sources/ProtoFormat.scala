@@ -321,7 +321,11 @@ object ProtoFormat {
               java.util.Arrays.copyOfRange(bytes, pos, pos + len), nested)
             pos += len
             if (f.repeated) listFor(i) += v else values(i) = v
-          case (2, scalar) => // packed repeated numerics
+          // packed encoding is only legal for REPEATED numerics — a
+          // non-repeated scalar with wire type 2 must fall through to
+          // the wire-type-mismatch error below, not park an array in a
+          // scalar slot that explodes later at row access
+          case (2, scalar) if f.repeated => // packed repeated numerics
             val len = readVarint().toInt
             val end = pos + len
             val acc = listFor(i)

@@ -17,6 +17,12 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** The session's autoBroadcastJoinThreshold in bytes (-1 = broadcast
+    * disabled), already parsed by SQLConf — size-adaptive operators
+    * compare their own estimates against it. */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
   /** The persisted RDD behind a checkpointed/pinned DataFrame — lets
     * iterative operators release superseded rounds DETERMINISTICALLY
     * instead of waiting for the ContextCleaner's GC-driven reaping.

@@ -66,6 +66,31 @@ class IterateSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 7L)
   }
 
+  test("smallSide: broadcast under the threshold, shuffle_hash above " +
+      "it (the iterative-join size switch)") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val b = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "w")
+    def planOf(small: org.apache.spark.sql.DataFrame) =
+      small.join(b, "id").queryExecution.executedPlan.toString
+    // 2 rows × 64 B is far under the default 10 MB threshold
+    val smallPlan = planOf(Iterate.smallSide(a, 2))
+    assert(smallPlan.contains("BroadcastHashJoin"), smallPlan)
+    // an estimate that cannot fit any threshold must switch the hint
+    val bigPlan = planOf(Iterate.smallSide(a, Long.MaxValue / 128))
+    assert(bigPlan.contains("ShuffledHashJoin"), bigPlan)
+    assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan)
+    // broadcast disabled entirely (-1) must also take the shuffle path
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = sp.conf.get(thrKey)
+    try {
+      sp.conf.set(thrKey, "-1")
+      val offPlan = planOf(Iterate.smallSide(a, 2))
+      assert(offPlan.contains("ShuffledHashJoin"), offPlan)
+    } finally sp.conf.set(thrKey, saved)
+  }
+
   test("loopUntil reports converged=false when the bound cuts it off") {
     val sp = spark
     import sp.implicits._
