@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object ExtPack2 extends QueryPack {
 
+  /** Absolute row budget for q_lsh_recall's exact-truth sample — the
+    * ground truth is pairwise over the sample, so an absolute cap (not
+    * a fraction) keeps the recall probe linear-cost at any corpus
+    * size. Sized so the sf0.01 modulus matches the historical 25%
+    * sample exactly. */
+  private val LshRecallBudget = 128L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Transitive duplicate clusters: MinHash band buckets give
     // doc->bucket-min edges (O(n*bands), never in-bucket cliques);
@@ -188,15 +195,21 @@ object ExtPack2 extends QueryPack {
     // LSH quality measurement: recall of the MinHash band candidates
     // against exact token-set Jaccard >= 0.7 ground truth (same-source
     // pairs) — the tuning signal for numHashes/bands. Measured on a
-    // deterministic 25% hash-sample of docs: recall estimation needs a
-    // sample, not the corpus (exact ground truth is inherently
-    // quadratic in duplicate-cluster sizes), and the hash keeps the
-    // subset reproducible across engines and runs.
+    // deterministic hash-sample of docs bounded by an ABSOLUTE row
+    // budget: recall estimation needs a sample, not the corpus (exact
+    // ground truth is inherently quadratic in duplicate-cluster
+    // sizes), a count-derived modulus keeps the sample ~LshRecallBudget
+    // rows at ANY SF (at sf0.01's 500 docs the modulus is 4 — the old
+    // 25% sample — so the measured recall is unchanged), and the hash
+    // keeps the subset reproducible across engines and runs.
     "q_lsh_recall" -> ((s, d) => {
       import s.implicits._
-      val sampled = T.documents(s, d)
+      val docsAll = T.documents(s, d)
+      val m = math.max(1L,
+        (docsAll.count() + LshRecallBudget - 1) / LshRecallBudget)
+      val sampled = docsAll
         .filter(TextOps.tokenHash32(concat(lit("recall_"), $"doc_id"))
-          % 4 === 0)
+          % m === 0)
       val docs = sampled
         .select($"doc_id", $"source",
           TextOps.distinctTokens($"text").as("grams"))
@@ -464,12 +477,15 @@ object ExtPack2 extends QueryPack {
              '\+\d-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
          FROM p""",
     "q_lsh_recall" ->
-      """WITH sampled AS (
+      s"""WITH sampled AS (
            SELECT * FROM documents
            WHERE list_reduce(list_transform(range(1, 9),
                    i -> strpos('0123456789abcdef',
                                substr(md5('recall_' || doc_id), i, 1)) - 1),
-                   (a, b) -> a * 16 + b) % 4 = 0),
+                   (a, b) -> a * 16 + b)
+                 % (SELECT greatest(1, (count(*) + ${LshRecallBudget - 1})
+                                       // $LshRecallBudget)
+                    FROM documents) = 0),
          tk AS (
            SELECT DISTINCT doc_id, source,
                   unnest(list_distinct(string_split(text, ' '))) AS tok

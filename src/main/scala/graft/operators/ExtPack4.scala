@@ -24,6 +24,13 @@ object ExtPack4 extends QueryPack {
     * newlines). */
   private val lineW = 10
 
+  /** Absolute row budget for q_semdedup_recall's exact-truth sample.
+    * The truth set is all-pairs over the sample, so this bounds the
+    * pairwise work at ~budget² rows at ANY corpus size (a fractional
+    * sample would be quadratic in the corpus). Sized so the sf0.01
+    * modulus matches the historical 50% sample exactly. */
+  private val SemRecallBudget = 256L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style global line dedup + document reconstruction — see
     // [[graft.ext.LineDedup]] for the algorithm and 100 TB shape.
@@ -109,20 +116,27 @@ object ExtPack4 extends QueryPack {
 
     // In-pipeline SemDeDup quality report (mirrors q_lsh_recall /
     // q_ivf_recall): dup-pair recall of the k-means clustering against
-    // exact cosine >= 0.4 ground truth on a deterministic 50%
-    // hash-sample — SemDeDup can only prune a pair that lands in ONE
-    // cluster, so same-cluster containment of true near-dup pairs IS
-    // the algorithm's recall. Exact truth is confined to the sample by
-    // design (broadcast nested-loop over ~n/2 rows, never the corpus);
-    // the cluster assignment reconstructs semDedup's exact pipeline
-    // (sign-LSH seed cells + 1 Lloyd round). Ratio emitted as integer
-    // ppm (BIGINT arithmetic; floatsweep r5).
+    // exact cosine >= 0.4 ground truth on a deterministic hash-sample
+    // — SemDeDup can only prune a pair that lands in ONE cluster, so
+    // same-cluster containment of true near-dup pairs IS the
+    // algorithm's recall. The sample is bounded by an ABSOLUTE row
+    // budget, not a fraction: the truth side is all-pairs over the
+    // sample, so a fractional sample would grow quadratically with the
+    // corpus — the modulus is derived from the corpus count so the
+    // exact-pairs side stays ~SemRecallBudget rows at ANY SF (at
+    // sf0.01's 500 embeddings the modulus is 2, identical to the old
+    // 50% sample, so the measured recall is unchanged). The cluster
+    // assignment reconstructs semDedup's exact pipeline (sign-LSH seed
+    // cells + 1 Lloyd round). Ratio emitted as integer ppm (BIGINT
+    // arithmetic; floatsweep r5).
     "q_semdedup_recall" -> ((s, d) => {
       import s.implicits._
       val emb = T.embeddings(s, d)
+      val m = math.max(1L,
+        (emb.count() + SemRecallBudget - 1) / SemRecallBudget)
       val se = emb
         .filter(TextOps.tokenHash32(concat(lit("semrec_"), $"vec_id"))
-          % 2 === 0)
+          % m === 0)
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("en", VectorOps.l2norm($"e"))
       val truth = graft.ext.Materialize.pin(
@@ -389,7 +403,10 @@ object ExtPack4 extends QueryPack {
       s"""$SemCtes,
          sample AS (
            SELECT vec_id, e FROM emb0
-           WHERE ${h32sql("'semrec_' || vec_id")} % 2 = 0),
+           WHERE ${h32sql("'semrec_' || vec_id")}
+                 % (SELECT greatest(1, (count(*) + ${SemRecallBudget - 1})
+                                       // $SemRecallBudget)
+                    FROM embeddings) = 0),
          truth AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2
            FROM sample a JOIN sample b ON a.vec_id < b.vec_id
