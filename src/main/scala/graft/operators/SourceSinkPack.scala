@@ -111,6 +111,33 @@ object SourceSinkPack extends QueryPack {
           $"m.meta.source".as("source"), $"m.meta.n_chars".as("n_chars"))
     }),
 
+    // SequenceFile format roundtrip (flink-formats/flink-sequence-file
+    // .../SequenceFileWriterFactory.java analog): Hadoop key-value
+    // SequenceFile written and re-read through the in-container Hadoop
+    // API (saveAsSequenceFile / sc.sequenceFile — Writable conversion
+    // is implicit), bridged back to a DataFrame. The key carries the
+    // row id (LongWritable), the value a delimited record (Text) —
+    // the classic Hadoop-interop layout. This is the one deliberate
+    // RDD use in the source packs: SequenceFile IS a key-value RDD
+    // format; everything after the read is DataFrame again.
+    "q_seqfile_source" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmpDir("seq_nation")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // overwrite semantics
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long"),
+          concat_ws("|", $"n_name", $"n_regionkey"))
+        .as[(Long, String)].rdd
+        .saveAsSequenceFile(dir)
+      s.sparkContext.sequenceFile[Long, String](dir)
+        .toDF("k", "payload")
+        .select($"k".cast("int").as("n_nationkey"),
+          split($"payload", "\\|")(0).as("n_name"),
+          split($"payload", "\\|")(1).cast("int").as("n_regionkey"))
+    }),
+
     // JDBC connector roundtrip through embedded Derby (the same
     // spark-jdbc path a Postgres/MySQL URL would take; flink-connector-
     // jdbc analog). Embedded = in-JVM, so single-partition write; a
@@ -186,6 +213,8 @@ object SourceSinkPack extends QueryPack {
     "q_compress_source" ->
       """SELECT * FROM customer""",
     "q_jdbc_source" ->
+      """SELECT * FROM nation""",
+    "q_seqfile_source" ->
       """SELECT * FROM nation""",
     "q_proto_source" ->
       """SELECT doc_id, lang, n_chars - 300 AS score,
