@@ -29,7 +29,16 @@ import org.apache.spark.sql.functions._
   *     cross-multiplied growth-ratio comparison,
   *   - q78: returns excluded by aggregated ANTI join, then per-year
   *     profile,
-  *   - q97: FULL OUTER membership overlap matrix of two derived sets.
+  *   - q97: FULL OUTER membership overlap matrix of two derived sets,
+  *   - q1: correlated scalar subquery vs a group average of a derived
+  *     aggregate (decorrelated to a broadcast grouped pass),
+  *   - q6: scalar-subquery-per-row vs the brand average + HAVING,
+  *   - q38/q87: triple-INTERSECT loyalty and INTERSECT-then-EXCEPT
+  *     lapsed-buyer counts,
+  *   - q16/q94: correlated EXISTS chain (same-order different-supplier
+  *     self semi join + NOT EXISTS returns + urgent-order semi join),
+  *   - q9-adjacent: uncorrelated scalar subquery in the projection
+  *     (corpus-total revenue share in ppm).
   *
   * Money determinism: every monetary aggregate first quantizes to
   * integer CENTS (`CAST(round(x*100) AS BIGINT)` — the testdata is
@@ -322,6 +331,99 @@ object TpcdsShapePack extends QueryPack {
         .withColumn("rk",
           rank().over(Window.partitionBy($"gid", $"r_name")
             .orderBy($"rev_e4".desc, coalesce($"n_name", lit("")).asc)))
+    }),
+
+    // q1 shape: correlated scalar subquery against a GROUP AVERAGE of
+    // a derived aggregate — customers whose returned-line total beats
+    // 1.2x their nation's average. Decorrelated Spark-first: the
+    // per-nation avg is a second grouped pass over the per-customer
+    // aggregate, broadcast back; the avg comparison is cross-multiplied
+    // (ret*10*cnt > sum*12) so it stays in exact BIGINT.
+    "q_tpcds_ret_above_avg" -> ((s, d) => {
+      import s.implicits._
+      val ctr = T.lineitem(s, d).filter($"l_returnflag" === "R")
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_nationkey")
+        .agg(sum(centsCol($"l_extendedprice")).as("ret_cents"))
+      val nat = ctr.groupBy($"c_nationkey")
+        .agg(sum($"ret_cents").as("nat_sum"), count(lit(1)).as("nat_cnt"))
+      ctr.join(broadcast(nat), Seq("c_nationkey"))
+        .filter($"ret_cents" * 10L * $"nat_cnt" > $"nat_sum" * 12L)
+        .select($"c_custkey", $"ret_cents")
+    }),
+
+    // q6 shape: scalar-subquery-per-row — each line against 1.2x its
+    // BRAND's average price, then per-nation counts with HAVING. The
+    // correlated per-row avg decorrelates to one per-brand aggregate
+    // broadcast onto the fact; nations keep the q6 `HAVING count >= 10`.
+    "q_tpcds_scalar_sub" -> ((s, d) => {
+      import s.implicits._
+      val withBrand = T.lineitem(s, d)
+        .withColumn("cents", centsCol($"l_extendedprice"))
+        .join(T.part(s, d), $"l_partkey" === $"p_partkey")
+      val bavg = withBrand.groupBy($"p_brand")
+        .agg(sum($"cents").as("bsum"), count(lit(1)).as("bcnt"))
+      withBrand.join(broadcast(bavg), Seq("p_brand"))
+        .filter($"cents" * 10L * $"bcnt" > $"bsum" * 12L)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(count(lit(1)).as("n_pricey"))
+        .filter($"n_pricey" >= 10)
+    }),
+
+    // q38/q87 shape: INTERSECT-heavy multi-channel membership — buyers
+    // present in ALL three years (q38: triple INTERSECT) next to buyers
+    // in '94 AND '95 but NOT '96 (q87: INTERSECT then EXCEPT). Spark
+    // lowers intersect/except to left-semi/anti over distinct sets.
+    "q_tpcds_intersect" -> ((s, d) => {
+      import s.implicits._
+      def buyers(y: Int) = T.orders(s, d)
+        .filter(year($"o_orderdate") === y)
+        .select($"o_custkey").distinct()
+      val both45 = buyers(1994).intersect(buyers(1995))
+      both45.intersect(buyers(1996)).agg(count(lit(1)).as("n_all3"))
+        .crossJoin(
+          both45.except(buyers(1996)).agg(count(lit(1)).as("n_lapsed")))
+    }),
+
+    // q16/q94 shape: correlated EXISTS chain — 1995-shipped lines of
+    // urgent orders that EXIST with a same-order DIFFERENT-supplier
+    // line (self semi join with an inequality conjunct) and have NO
+    // returned line anywhere in the order (anti join).
+    "q_tpcds_exists_chain" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val other = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+      val returned = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey").distinct()
+      li.filter(year($"l_shipdate") === 1995)
+        .join(other, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2",
+          "left_semi")
+        .join(returned, Seq("l_orderkey"), "left_anti")
+        .join(T.orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey", "left_semi")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(centsCol($"l_extendedprice")).as("rev_cents"))
+    }),
+
+    // q9-adjacent shape: UNCORRELATED scalar subquery in the
+    // projection — every nation's revenue against the corpus-total
+    // scalar, emitted as integer ppm share (half-up: +tot/2 before the
+    // floor division, the same idiom as the text-quality ratios).
+    "q_tpcds_share" -> ((s, d) => {
+      import s.implicits._
+      val nat = T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(centsCol($"l_extendedprice")).as("rev_cents"))
+      val total = nat.agg(sum($"rev_cents").as("tot"))
+      nat.crossJoin(broadcast(total))
+        .select($"n_name", $"rev_cents",
+          expr("((1000000 * rev_cents) + (tot div 2)) div tot")
+            .as("share_ppm"))
     })
   )
 
@@ -532,6 +634,84 @@ object TpcdsShapePack extends QueryPack {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
            CAST(sum(CASE WHEN c96 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_95,
            CAST(sum(CASE WHEN c95 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_96
-         FROM c95 FULL OUTER JOIN c96 ON c95 = c96"""
+         FROM c95 FULL OUTER JOIN c96 ON c95 = c96""",
+    "q_tpcds_ret_above_avg" ->
+      """WITH ctr AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS ret_cents
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE l_returnflag = 'R'
+           GROUP BY c_custkey, c_nationkey),
+         nat AS (
+           SELECT c_nationkey, CAST(sum(ret_cents) AS BIGINT) AS nat_sum,
+                  count(*) AS nat_cnt
+           FROM ctr GROUP BY c_nationkey)
+         SELECT c_custkey, ret_cents
+         FROM ctr JOIN nat USING (c_nationkey)
+         WHERE ret_cents * 10 * nat_cnt > nat_sum * 12""",
+    "q_tpcds_scalar_sub" ->
+      """WITH pb AS (
+           SELECT l_suppkey, p_brand,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         bavg AS (
+           SELECT p_brand, CAST(sum(cents) AS BIGINT) AS bsum,
+                  count(*) AS bcnt
+           FROM pb GROUP BY p_brand)
+         SELECT n_name, count(*) AS n_pricey
+         FROM pb
+         JOIN bavg USING (p_brand)
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE cents * 10 * bcnt > bsum * 12
+         GROUP BY n_name HAVING count(*) >= 10""",
+    "q_tpcds_intersect" ->
+      """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1994),
+            b95 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1995),
+            b96 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1996),
+            b45 AS (SELECT o_custkey FROM b94
+                    INTERSECT SELECT o_custkey FROM b95)
+         SELECT (SELECT count(*) FROM
+                   (SELECT o_custkey FROM b45
+                    INTERSECT SELECT o_custkey FROM b96)) AS n_all3,
+                (SELECT count(*) FROM
+                   (SELECT o_custkey FROM b45
+                    EXCEPT SELECT o_custkey FROM b96)) AS n_lapsed""",
+    "q_tpcds_exists_chain" ->
+      """SELECT count(DISTINCT l1.l_orderkey) AS n_orders,
+                count(*) AS n_lines,
+                CAST(sum(CAST(round(l1.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_cents
+         FROM lineitem l1
+         WHERE year(l1.l_shipdate) = 1995
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_returnflag = 'R')
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l1.l_orderkey
+                         AND o.o_orderpriority = '1-URGENT')""",
+    "q_tpcds_share" ->
+      """WITH nat AS (
+           SELECT n_name,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name),
+         tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM nat)
+         SELECT n_name, rev_cents,
+                CAST(((1000000 * rev_cents) + (tot // 2)) // tot
+                     AS BIGINT) AS share_ppm
+         FROM nat CROSS JOIN tot"""
   )
 }

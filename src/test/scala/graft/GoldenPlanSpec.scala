@@ -46,7 +46,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     // 4-way join of aggregated subframes: each year/channel aggregate
     // must keep its partial/final split and the join stay on custkey;
     // the anti-return profile must keep the LeftAnti + one agg shape
-    "q_tpcds_growth", "q_tpcds_antireturn")
+    "q_tpcds_growth", "q_tpcds_antireturn",
+    // r6 shapes: the decorrelated brand-average must stay a broadcast
+    // grouped pass; INTERSECT/EXCEPT must stay semi/anti over
+    // distincts; the EXISTS chain must stay semi+anti with no
+    // cartesian
+    "q_tpcds_scalar_sub", "q_tpcds_intersect", "q_tpcds_exists_chain")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

@@ -60,6 +60,39 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("gid") == 7L) == 1)
   }
 
+  test("q_tpcds_ret_above_avg / q_tpcds_scalar_sub: the decorrelated " +
+      "group-average joins back via BROADCAST (never a fact shuffle " +
+      "for a per-group scalar)") {
+    Seq("q_tpcds_ret_above_avg", "q_tpcds_scalar_sub").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("partial_"), s"$q expected partial agg:\n$p")
+    }
+  }
+
+  test("q_tpcds_intersect: INTERSECT/EXCEPT lower to semi/anti joins " +
+      "over distinct sets (no pair materialization)") {
+    val p = plan("q_tpcds_intersect")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_tpcds_exists_chain: EXISTS chain is two semi joins + one " +
+      "anti join, no cartesian") {
+    val p = plan("q_tpcds_exists_chain")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpcds_share: the corpus-total scalar joins as a single-row " +
+      "broadcast, never a shuffle") {
+    val p = plan("q_tpcds_share")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_tpcds_yoy growth test is exact integer arithmetic " +
       "(every surviving customer really grew >20%)") {
     SparkEntry.queries("q_tpcds_yoy")(spark, TestSpark.sf)
