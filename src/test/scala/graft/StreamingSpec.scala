@@ -331,6 +331,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalBoard == Map(1 -> 2L, 2 -> 3L))
   }
 
+  test("streaming window top-N emitted at watermark equals the batch " +
+      "window top-N (q_window_topn's streaming form)") {
+    // Window rank rides the append-mode invariant: ALL rows of a
+    // window are emitted in the SAME micro-batch (the one whose
+    // watermark crosses window_end), so ranking per-batch per-window
+    // is exact — the Spark-first StreamExecWindowRank: window state
+    // lives in the agg, the rank itself is stateless.
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.tumbleAgg(in.toDF(), "ts", "30 seconds", "1 minute",
+      Seq($"user_id"), Seq(count(lit(1)).as("n"), sum($"value").as("sv")))
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start")
+          .orderBy($"n".desc, $"sv".desc, $"user_id".asc)
+        val top = b.withColumn("rank_no", row_number().over(w))
+          .filter($"rank_no" <= 2)
+          .select($"window_start".cast("string"), $"user_id", $"n")
+          .as[(String, Long, Long)].collect()
+        buf.synchronized { buf ++= top }
+        ()
+      }.start()
+    val events = Seq(
+      Ev(1, ts("2024-01-01 00:00:05"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:15"), 1, "a", 2.0),
+      Ev(3, ts("2024-01-01 00:00:25"), 2, "b", 9.0),
+      Ev(4, ts("2024-01-01 00:00:35"), 3, "c", 4.0),
+      Ev(5, ts("2024-01-01 00:01:10"), 2, "b", 5.0),
+      Ev(6, ts("2024-01-01 00:01:20"), 2, "b", 6.0),
+      Ev(7, ts("2024-01-01 00:01:30"), 3, "c", 7.0))
+    in.addData(events: _*)
+    runAll(q)
+    in.addData(Ev(99, ts("2024-01-01 01:00:00"), 9, "z", 0.0)) // close all
+    runAll(q)
+    q.stop()
+    // batch form: same events, same windowed rank
+    val batch = events.toDF()
+      .withColumn("window_start", window($"ts", "1 minute")("start"))
+      .groupBy($"window_start", $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start")
+      .orderBy($"n".desc, $"sv".desc, $"user_id".asc)
+    val expected = batch.withColumn("rank_no", row_number().over(bw))
+      .filter($"rank_no" <= 2)
+      .select($"window_start".cast("string"), $"user_id", $"n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(buf.toSet == expected,
+      s"stream ${buf.toSet} vs batch $expected")
+  }
+
+  test("streaming window dedup equals the batch first-per-(user, window) " +
+      "(q_window_dedup's streaming form)") {
+    val in = MemoryStream[Ev]
+    val name = nextName()
+    val dd = StreamOps.dedupKeepFirst(
+      in.toDF().withColumn("window_start", window($"ts", "1 minute")("start")),
+      "ts", "30 seconds", Seq("user_id", "window_start"))
+    val q = dd.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val events = Seq(
+      Ev(1, ts("2024-01-01 00:00:05"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:00:15"), 1, "a", 2.0), // dup of (1, w0)
+      Ev(3, ts("2024-01-01 00:00:25"), 2, "b", 3.0),
+      Ev(4, ts("2024-01-01 00:01:10"), 1, "a", 4.0), // new window, kept
+      Ev(5, ts("2024-01-01 00:01:20"), 1, "a", 5.0)) // dup of (1, w1)
+    in.addData(events: _*)
+    runAll(q)
+    q.stop()
+    val got = spark.table(name).select($"event_id").as[Long].collect().toSet
+    val expected = graft.operators.Dedup.keepFirst(
+        events.toDF().withColumn("window_start",
+          window($"ts", "1 minute")("start")),
+        Seq($"user_id", $"window_start"), Seq($"ts", $"event_id"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+  }
+
   test("EventTimeSort emits rows in event-time order once watermark passes") {
     val in = MemoryStream[Ev]
     val name = nextName()
