@@ -38,7 +38,14 @@ import org.apache.spark.sql.functions._
   *   - q16/q94: correlated EXISTS chain (same-order different-supplier
   *     self semi join + NOT EXISTS returns + urgent-order semi join),
   *   - q9-adjacent: uncorrelated scalar subquery in the projection
-  *     (corpus-total revenue share in ppm).
+  *     (corpus-total revenue share in ppm),
+  *   - q44: best/worst two-sided rankings self-joined on (group, rank),
+  *   - q47/q57: deviation from the supplier-year monthly average with
+  *     lag/lead neighbors,
+  *   - q59: per-category sales matrix via groupBy.pivot,
+  *   - q90: am/pm time-bucket count ratio in one scan,
+  *   - q17/q29: bought-returned-rebought triple fact chain on
+  *     (customer, part).
   *
   * Money determinism: every monetary aggregate first quantizes to
   * integer CENTS (`CAST(round(x*100) AS BIGINT)` — the testdata is
@@ -408,6 +415,115 @@ object TpcdsShapePack extends QueryPack {
           sum(centsCol($"l_extendedprice")).as("rev_cents"))
     }),
 
+    // q44 shape: best AND worst performers via two OPPOSITE rankings
+    // over one aggregate, self-joined on (group, rank) — the
+    // two-sided leaderboard join.
+    "q_tpcds_bestworst" -> ((s, d) => {
+      import s.implicits._
+      val agg = T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey", $"s_suppkey")
+        .agg(sum(centsCol($"l_extendedprice")).as("rev_cents"))
+      val best = agg.withColumn("rk", rank().over(
+          Window.partitionBy($"s_nationkey")
+            .orderBy($"rev_cents".desc, $"s_suppkey".asc)))
+        .filter($"rk" <= 2)
+        .select($"s_nationkey", $"rk".cast("long").as("rk"),
+          $"s_suppkey".as("best_supp"), $"rev_cents".as("best_cents"))
+      val worst = agg.withColumn("rk", rank().over(
+          Window.partitionBy($"s_nationkey")
+            .orderBy($"rev_cents".asc, $"s_suppkey".asc)))
+        .filter($"rk" <= 2)
+        .select($"s_nationkey".as("nk2"), $"rk".cast("long").as("rk2"),
+          $"s_suppkey".as("worst_supp"), $"rev_cents".as("worst_cents"))
+      best.join(worst, $"s_nationkey" === $"nk2" && $"rk" === $"rk2")
+        .select($"s_nationkey", $"rk",
+          $"best_supp", $"best_cents", $"worst_supp", $"worst_cents")
+    }),
+
+    // q47/q57 shape: monthly revenue against the supplier-year MONTHLY
+    // AVERAGE with the neighboring months alongside (lag/lead) — keep
+    // months deviating > 30%. The avg comparison multiplies through by
+    // the month count (|rev*n - ytot|*10 > ytot*3) so it stays exact
+    // BIGINT.
+    "q_tpcds_monthdev" -> ((s, d) => {
+      import s.implicits._
+      val monthly = T.lineitem(s, d)
+        .groupBy($"l_suppkey", year($"l_shipdate").cast("long").as("yr"),
+          date_trunc("month", $"l_shipdate").as("mon"))
+        .agg(sum(centsCol($"l_extendedprice")).as("rev_cents"))
+      val wy = Window.partitionBy($"l_suppkey", $"yr")
+      val ws = Window.partitionBy($"l_suppkey", $"yr").orderBy($"mon")
+      monthly
+        .withColumn("ytot", sum($"rev_cents").over(wy))
+        .withColumn("nmon", count(lit(1)).over(wy))
+        .withColumn("prev_cents", lag($"rev_cents", 1).over(ws))
+        .withColumn("next_cents", lead($"rev_cents", 1).over(ws))
+        .filter(abs($"rev_cents" * $"nmon" - $"ytot") * 10 > $"ytot" * 3)
+        .select($"l_suppkey", $"mon", $"rev_cents",
+          $"prev_cents", $"next_cents")
+    }),
+
+    // q59 shape: the per-category sales MATRIX via pivot — revenue per
+    // nation pivoted by return flag (Spark's groupBy.pivot == the
+    // day-of-week matrix q59 builds with conditional sums). Missing
+    // cells coalesce to 0 so the pivot matches the oracle's
+    // CASE-sum form exactly.
+    "q_tpcds_pivot" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(centsCol($"l_extendedprice")))
+        .select($"n_name",
+          coalesce($"A", lit(0L)).as("a_cents"),
+          coalesce($"N", lit(0L)).as("n_cents"),
+          coalesce($"R", lit(0L)).as("r_cents"))
+    }),
+
+    // q90 shape: ratio of two time-bucket counts of one fact scan
+    // (TPC-DS's am/pm ratio) — single-pass conditional counts, integer
+    // ppm ratio with a guarded zero denominator.
+    "q_tpcds_timebucket" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d).groupBy($"event_type")
+        .agg(sum(when(hour($"ts") < 12, 1L).otherwise(0L)).as("n_am"),
+          sum(when(hour($"ts") >= 12, 1L).otherwise(0L)).as("n_pm"))
+        .select($"event_type", $"n_am", $"n_pm",
+          when($"n_pm" > 0,
+            expr("((1000000 * n_am) + (n_pm div 2)) div n_pm"))
+            .otherwise(lit(-1L)).as("am_pm_ppm"))
+    }),
+
+    // q17/q29 shape: bought, returned, and bought AGAIN — three slices
+    // of the fact joined on (customer, part), profiled per market
+    // segment. The triple equi-join chain is TPC-DS's
+    // store/returns/store-again pattern.
+    "q_tpcds_rebuy" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      def slice(yr: Int, retOnly: Boolean, qOut: String) = {
+        val l = if (retOnly) li.filter($"l_returnflag" === "R") else li
+        l.filter(year($"l_shipdate") === yr)
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey", $"l_partkey")
+          .agg(sum($"l_quantity").cast("long").as(qOut))
+      }
+      slice(1995, retOnly = false, "q_buy")
+        .join(slice(1995, retOnly = true, "q_ret"),
+          Seq("o_custkey", "l_partkey"))
+        .join(slice(1996, retOnly = false, "q_rebuy"),
+          Seq("o_custkey", "l_partkey"))
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_triples"),
+          sum($"q_buy").as("sum_buy"), sum($"q_ret").as("sum_ret"),
+          sum($"q_rebuy").as("sum_rebuy"))
+    }),
+
     // q9-adjacent shape: UNCORRELATED scalar subquery in the
     // projection — every nation's revenue against the corpus-total
     // scalar, emitted as integer ppm share (half-up: +tot/2 before the
@@ -699,6 +815,105 @@ object TpcdsShapePack extends QueryPack {
            AND EXISTS (SELECT 1 FROM orders o
                        WHERE o.o_orderkey = l1.l_orderkey
                          AND o.o_orderpriority = '1-URGENT')""",
+    "q_tpcds_bestworst" ->
+      """WITH agg AS (
+           SELECT s_nationkey, s_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_cents
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY s_nationkey, s_suppkey),
+         best AS (
+           SELECT s_nationkey,
+                  rank() OVER (PARTITION BY s_nationkey
+                    ORDER BY rev_cents DESC, s_suppkey ASC) AS rk,
+                  s_suppkey AS best_supp, rev_cents AS best_cents
+           FROM agg),
+         worst AS (
+           SELECT s_nationkey,
+                  rank() OVER (PARTITION BY s_nationkey
+                    ORDER BY rev_cents ASC, s_suppkey ASC) AS rk,
+                  s_suppkey AS worst_supp, rev_cents AS worst_cents
+           FROM agg)
+         SELECT b.s_nationkey, CAST(b.rk AS BIGINT) AS rk,
+                best_supp, best_cents, worst_supp, worst_cents
+         FROM best b JOIN worst w
+           ON b.s_nationkey = w.s_nationkey AND b.rk = w.rk
+         WHERE b.rk <= 2""",
+    "q_tpcds_monthdev" ->
+      """WITH monthly AS (
+           SELECT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY 1, 2, 3),
+         w AS (
+           SELECT *,
+                  CAST(sum(rev_cents) OVER (PARTITION BY l_suppkey, yr)
+                       AS BIGINT) AS ytot,
+                  count(*) OVER (PARTITION BY l_suppkey, yr) AS nmon,
+                  lag(rev_cents) OVER (PARTITION BY l_suppkey, yr
+                    ORDER BY mon) AS prev_cents,
+                  lead(rev_cents) OVER (PARTITION BY l_suppkey, yr
+                    ORDER BY mon) AS next_cents
+           FROM monthly)
+         SELECT l_suppkey, mon, rev_cents, prev_cents, next_cents
+         FROM w WHERE abs(rev_cents * nmon - ytot) * 10 > ytot * 3""",
+    "q_tpcds_pivot" ->
+      """SELECT n_name,
+           CAST(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS a_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'N'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS n_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS r_cents
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_tpcds_timebucket" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_am,
+                  CAST(sum(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pm
+           FROM events GROUP BY event_type)
+         SELECT event_type, n_am, n_pm,
+                CAST(CASE WHEN n_pm > 0
+                     THEN ((1000000 * n_am) + (n_pm // 2)) // n_pm
+                     ELSE -1 END AS BIGINT) AS am_pm_ppm
+         FROM b""",
+    "q_tpcds_rebuy" ->
+      """WITH buy AS (
+           SELECT o_custkey, l_partkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS q_buy
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE year(l_shipdate) = 1995
+           GROUP BY o_custkey, l_partkey),
+         ret AS (
+           SELECT o_custkey, l_partkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS q_ret
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE year(l_shipdate) = 1995 AND l_returnflag = 'R'
+           GROUP BY o_custkey, l_partkey),
+         rebuy AS (
+           SELECT o_custkey, l_partkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS q_rebuy
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE year(l_shipdate) = 1996
+           GROUP BY o_custkey, l_partkey)
+         SELECT c_mktsegment, count(*) AS n_triples,
+                CAST(sum(q_buy) AS BIGINT) AS sum_buy,
+                CAST(sum(q_ret) AS BIGINT) AS sum_ret,
+                CAST(sum(q_rebuy) AS BIGINT) AS sum_rebuy
+         FROM buy
+         JOIN ret USING (o_custkey, l_partkey)
+         JOIN rebuy USING (o_custkey, l_partkey)
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q_tpcds_share" ->
       """WITH nat AS (
            SELECT n_name,

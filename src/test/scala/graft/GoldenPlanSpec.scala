@@ -51,7 +51,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     // grouped pass; INTERSECT/EXCEPT must stay semi/anti over
     // distincts; the EXISTS chain must stay semi+anti with no
     // cartesian
-    "q_tpcds_scalar_sub", "q_tpcds_intersect", "q_tpcds_exists_chain")
+    "q_tpcds_scalar_sub", "q_tpcds_intersect", "q_tpcds_exists_chain",
+    // the window stack (year totals + lag/lead) must stay ONE sort per
+    // (supplier, year) partition; the triple fact chain must stay
+    // shuffled equi joins with partial aggs
+    "q_tpcds_monthdev", "q_tpcds_rebuy")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

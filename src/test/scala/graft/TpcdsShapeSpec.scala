@@ -93,6 +93,27 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_tpcds_timebucket: two bucket counts in ONE scan of events " +
+      "(no per-bucket rescan)") {
+    val p = plan("q_tpcds_timebucket")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_tpcds_bestworst: two opposite rankings join WITHOUT a " +
+      "cartesian (equi on group+rank)") {
+    val p = plan("q_tpcds_bestworst")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("q_tpcds_rebuy: triple fact chain is all equi joins, " +
+      "no cartesian") {
+    val p = plan("q_tpcds_rebuy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_tpcds_yoy growth test is exact integer arithmetic " +
       "(every surviving customer really grew >20%)") {
     SparkEntry.queries("q_tpcds_yoy")(spark, TestSpark.sf)
