@@ -45,7 +45,14 @@ import org.apache.spark.sql.functions._
   *   - q59: per-category sales matrix via groupBy.pivot,
   *   - q90: am/pm time-bucket count ratio in one scan,
   *   - q17/q29: bought-returned-rebought triple fact chain on
-  *     (customer, part).
+  *     (customer, part),
+  *   - q54: first-purchase month -> next-month revenue histogram
+  *     (integer year*12+month arithmetic),
+  *   - q31: region-share growth, whole-dollar sums + half-up integer
+  *     ppm shares (a cents cross-multiply would overflow int64),
+  *   - q70: rank-filtered rollup (top-2 nations gate the Expand),
+  *   - q35: existence-flag matrix grouping,
+  *   - q62/q99: shipping-latency aging buckets.
   *
   * Money determinism: every monetary aggregate first quantizes to
   * integer CENTS (`CAST(round(x*100) AS BIGINT)` — the testdata is
@@ -524,6 +531,109 @@ object TpcdsShapePack extends QueryPack {
           sum($"q_rebuy").as("sum_rebuy"))
     }),
 
+    // q54 shape: first-purchase month per customer, then the revenue
+    // histogram of the FOLLOWING month — month arithmetic done as
+    // integer year*12+month so both engines join on exact BIGINTs,
+    // bucketed by 5000-dollar (500000-cent) ranges.
+    "q_tpcds_nextmonth" -> ((s, d) => {
+      import s.implicits._
+      val om = T.orders(s, d).withColumn("ym",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long"))
+      val first = om.groupBy($"o_custkey").agg(min($"ym").as("first_ym"))
+      om.join(first, Seq("o_custkey"))
+        .filter($"ym" === $"first_ym" + 1)
+        .groupBy($"o_custkey")
+        .agg(sum(centsCol($"o_totalprice")).as("next_cents"))
+        .groupBy(expr("next_cents div 500000").as("bucket"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // q31 shape: market-SHARE growth — each nation's share of its
+    // region's revenue, 1995 vs 1996, keeping nations whose share
+    // grew. Revenue is summed in WHOLE DOLLARS (cents div 100 per
+    // line) and shares compared as half-up integer ppm — a cents
+    // cross-multiply (n96*r95) overflows int64 once region totals
+    // pass ~1e9 cents, so the scale-safe form quantizes the share,
+    // identically in both engines, instead of multiplying raw sums.
+    "q_tpcds_sharegrowth" -> ((s, d) => {
+      import s.implicits._
+      def shares(y: Int, nOut: String, rOut: String, pOut: String) =
+        T.lineitem(s, d).filter(year($"l_shipdate") === y)
+          .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+          .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+          .join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(expr(
+            "cast(round(l_extendedprice * 100) as bigint) div 100"))
+            .as(nOut))
+          .withColumn(rOut,
+            sum(col(nOut)).over(Window.partitionBy($"r_name")))
+          .withColumn(pOut,
+            expr(s"((1000000 * $nOut) + ($rOut div 2)) div $rOut"))
+      shares(1995, "n95_usd", "r95_usd", "p95")
+        .join(shares(1996, "n96_usd", "r96_usd", "p96"),
+          Seq("r_name", "n_name"))
+        .filter($"p96" > $"p95")
+        .select($"r_name", $"n_name", $"n95_usd", $"r95_usd",
+          $"n96_usd", $"r96_usd", $"p95".as("share95_ppm"),
+          $"p96".as("share96_ppm"))
+    }),
+
+    // q70 shape: a RANKED subquery gates the rollup — only each
+    // region's top-2 nations by revenue enter the (region, nation)
+    // rollup, so subtotals aggregate a rank-filtered fact.
+    "q_tpcds_rankgate" -> ((s, d) => {
+      import s.implicits._
+      val base = T.lineitem(s, d)
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
+      val top2 = base.groupBy($"r_name", $"n_name")
+        .agg(sum(centsCol($"l_extendedprice")).as("rev"))
+        .withColumn("rk", rank().over(Window.partitionBy($"r_name")
+          .orderBy($"rev".desc, $"n_name".asc)))
+        .filter($"rk" <= 2).select($"r_name", $"n_name")
+      base.join(top2, Seq("r_name", "n_name"), "left_semi")
+        .rollup($"r_name", $"n_name")
+        .agg(sum(centsCol($"l_extendedprice")).as("rev_cents"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // q35 shape: customers grouped by their EXISTENCE-FLAG matrix —
+    // (bought in '95?, bought in '96?) from two left semi-ish flag
+    // joins, with counts and account-balance sums per cell.
+    "q_tpcds_flagmatrix" -> ((s, d) => {
+      import s.implicits._
+      def buyers(y: Int, out: String) = T.orders(s, d)
+        .filter(year($"o_orderdate") === y)
+        .select($"o_custkey".as(out)).distinct()
+      T.customer(s, d)
+        .join(buyers(1995, "b95"), $"c_custkey" === $"b95", "left")
+        .join(buyers(1996, "b96"), $"c_custkey" === $"b96", "left")
+        .select($"c_custkey", $"c_acctbal",
+          $"b95".isNotNull.as("has95"), $"b96".isNotNull.as("has96"))
+        .groupBy($"has95", $"has96")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(centsCol($"c_acctbal")).as("acct_cents"))
+    }),
+
+    // q62/q99 shape: the shipping-latency AGING matrix — days from
+    // order to ship bucketed 0-30/31-60/61-90/90+ per nation, one
+    // scan, integer datediff in both engines.
+    "q_tpcds_aging" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .withColumn("lat", datediff($"l_shipdate", $"o_orderdate").cast("long"))
+        .groupBy($"n_name")
+        .agg(sum(when($"lat" <= 30, 1L).otherwise(0L)).as("d30"),
+          sum(when($"lat" > 30 && $"lat" <= 60, 1L).otherwise(0L)).as("d60"),
+          sum(when($"lat" > 60 && $"lat" <= 90, 1L).otherwise(0L)).as("d90"),
+          sum(when($"lat" > 90, 1L).otherwise(0L)).as("d90plus"))
+    }),
+
     // q9-adjacent shape: UNCORRELATED scalar subquery in the
     // projection — every nation's revenue against the corpus-total
     // scalar, emitted as integer ppm share (half-up: +tot/2 before the
@@ -914,6 +1024,119 @@ object TpcdsShapePack extends QueryPack {
          JOIN rebuy USING (o_custkey, l_partkey)
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "q_tpcds_nextmonth" ->
+      """WITH om AS (
+           SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                       AS BIGINT) AS ym,
+                  o_totalprice
+           FROM orders),
+         first AS (
+           SELECT o_custkey, CAST(min(ym) AS BIGINT) AS first_ym
+           FROM om GROUP BY o_custkey),
+         nextm AS (
+           SELECT om.o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS next_cents
+           FROM om JOIN first USING (o_custkey)
+           WHERE ym = first_ym + 1
+           GROUP BY om.o_custkey)
+         SELECT next_cents // 500000 AS bucket,
+                count(*) AS n_customers
+         FROM nextm GROUP BY 1""",
+    "q_tpcds_sharegrowth" ->
+      """WITH y95 AS (
+           SELECT r_name, n_name,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           // 100) AS BIGINT) AS n95_usd
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE year(l_shipdate) = 1995 GROUP BY r_name, n_name),
+         y95w AS (
+           SELECT *,
+                  CAST(sum(n95_usd) OVER (PARTITION BY r_name)
+                       AS BIGINT) AS r95_usd FROM y95),
+         y95p AS (
+           SELECT *, ((1000000 * n95_usd) + (r95_usd // 2)) // r95_usd
+                       AS p95 FROM y95w),
+         y96 AS (
+           SELECT r_name, n_name,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           // 100) AS BIGINT) AS n96_usd
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE year(l_shipdate) = 1996 GROUP BY r_name, n_name),
+         y96w AS (
+           SELECT *,
+                  CAST(sum(n96_usd) OVER (PARTITION BY r_name)
+                       AS BIGINT) AS r96_usd FROM y96),
+         y96p AS (
+           SELECT *, ((1000000 * n96_usd) + (r96_usd // 2)) // r96_usd
+                       AS p96 FROM y96w)
+         SELECT r_name, n_name, n95_usd, r95_usd, n96_usd, r96_usd,
+                CAST(p95 AS BIGINT) AS share95_ppm,
+                CAST(p96 AS BIGINT) AS share96_ppm
+         FROM y95p JOIN y96p USING (r_name, n_name)
+         WHERE p96 > p95""",
+    "q_tpcds_rankgate" ->
+      """WITH base AS (
+           SELECT r_name, n_name, l_extendedprice
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         top2 AS (
+           SELECT r_name, n_name FROM (
+             SELECT r_name, n_name,
+                    rank() OVER (PARTITION BY r_name
+                      ORDER BY sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) DESC,
+                               n_name ASC) AS rk
+             FROM base GROUP BY r_name, n_name) WHERE rk <= 2)
+         SELECT r_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_cents,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+         FROM base JOIN top2 USING (r_name, n_name)
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q_tpcds_flagmatrix" ->
+      """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1995),
+            b96 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1996)
+         SELECT (b95.o_custkey IS NOT NULL) AS has95,
+                (b96.o_custkey IS NOT NULL) AS has96,
+                count(*) AS n_customers,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS acct_cents
+         FROM customer
+         LEFT JOIN b95 ON c_custkey = b95.o_custkey
+         LEFT JOIN b96 ON c_custkey = b96.o_custkey
+         GROUP BY 1, 2""",
+    "q_tpcds_aging" ->
+      """SELECT n_name,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              > 30 AND datediff('day', o_orderdate,
+                              l_shipdate) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              > 60 AND datediff('day', o_orderdate,
+                              l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d90plus
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q_tpcds_share" ->
       """WITH nat AS (
            SELECT n_name,

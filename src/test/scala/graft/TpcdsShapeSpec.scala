@@ -114,6 +114,22 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_tpcds_rankgate: the rank filter gates the rollup via a semi " +
+      "join and ONE Expand") {
+    val p = plan("q_tpcds_rankgate")
+    assert(p.contains("LeftSemi"), p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_tpcds_aging: four latency buckets in one grouped pass, " +
+      "dims broadcast") {
+    val p = plan("q_tpcds_aging")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one partial+final agg pair, not one per bucket
+    assert("HashAggregate".r.findAllIn(p).length <= 4, p)
+  }
+
   test("q_tpcds_yoy growth test is exact integer arithmetic " +
       "(every surviving customer really grew >20%)") {
     SparkEntry.queries("q_tpcds_yoy")(spark, TestSpark.sf)
