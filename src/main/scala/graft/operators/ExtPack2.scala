@@ -205,8 +205,7 @@ object ExtPack2 extends QueryPack {
     "q_lsh_recall" -> ((s, d) => {
       import s.implicits._
       val docsAll = T.documents(s, d)
-      val m = math.max(1L,
-        (docsAll.count() + LshRecallBudget - 1) / LshRecallBudget)
+      val m = graft.ext.SampleBudget.modulus(docsAll.count(), LshRecallBudget)
       val sampled = docsAll
         .filter(TextOps.tokenHash32(concat(lit("recall_"), $"doc_id"))
           % m === 0)

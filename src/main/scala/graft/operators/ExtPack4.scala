@@ -132,8 +132,7 @@ object ExtPack4 extends QueryPack {
     "q_semdedup_recall" -> ((s, d) => {
       import s.implicits._
       val emb = T.embeddings(s, d)
-      val m = math.max(1L,
-        (emb.count() + SemRecallBudget - 1) / SemRecallBudget)
+      val m = graft.ext.SampleBudget.modulus(emb.count(), SemRecallBudget)
       val se = emb
         .filter(TextOps.tokenHash32(concat(lit("semrec_"), $"vec_id"))
           % m === 0)

@@ -14,6 +14,23 @@ class ScaleSpec extends AnyFunSuite {
   import spark.implicits._
   implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("SampleBudget.modulus caps the expected recall-probe sample at " +
+      "the absolute budget for ANY corpus size") {
+    import graft.ext.SampleBudget.modulus
+    // expected sample = n / modulus; must never exceed the budget
+    for (n <- Seq(0L, 1L, 100L, 255L, 256L, 257L, 10000L, 1000000000L,
+        100000000000L)) {
+      val m = modulus(n, 256L)
+      assert(m >= 1, s"n=$n")
+      assert(n.toDouble / m <= 256.0, s"n=$n m=$m sample=${n.toDouble / m}")
+      // and it never over-shrinks: one step coarser would break budget
+      if (n > 256) assert(n.toDouble / (m - 1) > 256.0, s"n=$n m=$m")
+    }
+    // the sf0.01 fixtures reproduce the historical fractions exactly
+    assert(modulus(500L, 256L) == 2L) // semdedup_recall: the old 50%
+    assert(modulus(500L, 128L) == 4L) // lsh_recall: the old 25%
+  }
+
   test("bucketed tables co-locate: join plan has no shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
