@@ -164,6 +164,47 @@ object ExtPack4 extends QueryPack {
     // q_vocab_topk), so the pair explosion runs over |vocab| rows,
     // not |corpus| rows; pair counts then weight by word frequency.
     // Total order (count desc, pair) makes the LIMIT deterministic.
+    // Count-min-sketch heavy hitters (beyond the reference: hot-token /
+    // hot-key detection for 100 TB pipelines). The sketch is a FIXED
+    // d x w count matrix (d=4 hash rows, w=1024 cells, md5-derived row
+    // hashes): token instances fold into it with map-side partial
+    // aggregation, so the shuffle moves at most d*w cells regardless
+    // of corpus or vocabulary size — the communication shape that
+    // makes frequency estimation viable where an exact vocab groupBy
+    // would shuffle every distinct key. Estimates take min over rows;
+    // CMS never under-estimates, and the `admissible` column pins that
+    // invariant per hitter against the exact count. The hash family is
+    // the md5 token hash, so the DuckDB oracle rebuilds the identical
+    // sketch bit-for-bit.
+    "q_cms_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      val W = 1024L
+      val D = 4
+      val toks = T.documents(s, d)
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+      def cellOf(j: Int) =
+        TextOps.tokenHash32(concat(lit(s"cms${j}_"), $"tok")) % W
+      // one corpus pass: the d (row, cell) coordinates explode per
+      // token instance (a union of d selects would rescan d times)
+      val rows = toks.select(explode(array((0 until D).map(j =>
+          struct(lit(j.toLong).as("j"), cellOf(j).as("cell"))): _*))
+          .as("p"))
+        .select($"p.j".as("j"), $"p.cell".as("cell"))
+      val cms = rows.groupBy($"j", $"cell").agg(count(lit(1)).as("c"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
+      vocab.select($"tok", $"exact_count",
+          explode(array((0 until D).map(j =>
+            struct(lit(j.toLong).as("j"), cellOf(j).as("cell"))): _*))
+            .as("p"))
+        .select($"tok", $"exact_count", $"p.j".as("j"), $"p.cell".as("cell"))
+        .join(broadcast(cms), Seq("j", "cell"))
+        .groupBy($"tok", $"exact_count")
+        .agg(min($"c").as("est_count"))
+        .filter($"est_count" >= 100)
+        .select($"tok", $"exact_count", $"est_count",
+          ($"est_count" >= $"exact_count").as("admissible"))
+    }),
+
     "q_bpe_pairs" -> ((s, d) => {
       import s.implicits._
       val vocab = T.documents(s, d)
@@ -275,6 +316,27 @@ object ExtPack4 extends QueryPack {
           (a, b) -> a * 16 + b) AS BIGINT)"""
 
   def oracle: Map[String, String] = Map(
+    "q_cms_heavyhitters" ->
+      s"""WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         inst AS (
+           SELECT tok, j,
+                  ${h32sql("'cms' || j || '_' || tok")} % 1024 AS cell
+           FROM toks CROSS JOIN js),
+         cms AS (SELECT j, cell, count(*) AS c FROM inst GROUP BY j, cell),
+         vocab AS (
+           SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+         pr AS (
+           SELECT tok, exact_count, j,
+                  ${h32sql("'cms' || j || '_' || tok")} % 1024 AS cell
+           FROM vocab CROSS JOIN js),
+         est AS (
+           SELECT tok, exact_count, CAST(min(c) AS BIGINT) AS est_count
+           FROM pr JOIN cms USING (j, cell) GROUP BY tok, exact_count)
+         SELECT tok, exact_count, est_count,
+                est_count >= exact_count AS admissible
+         FROM est WHERE est_count >= 100""",
     "q_line_dedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

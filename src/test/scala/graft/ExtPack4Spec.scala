@@ -167,6 +167,24 @@ class ExtPack4Spec extends AnyFunSuite {
     assert(fdPlan.contains("BroadcastHashJoin"), fdPlan.take(2000))
   }
 
+  test("q_cms_heavyhitters: admissible everywhere, sketch rides a " +
+      "broadcast, corpus never scanned per hash row") {
+    val df = ExtPack4.queries("q_cms_heavyhitters")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // CMS never under-estimates — the sketch invariant must hold on
+    // every emitted heavy hitter
+    assert(rows.forall(_.getAs[Boolean]("admissible")))
+    val whole = df.queryExecution.executedPlan.toString
+    // an executed AQE plan prints Final AND Initial sections — count
+    // scans in the final plan only
+    val p = whole.split("== Initial Plan ==").head
+    // the d x w sketch (<= 4096 rows) must broadcast to the probe side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // sketch pass + exact-count pass: 2 scans, NOT one per hash row
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(2000))
+  }
+
   test("q_epoch_shard positions are the dense per-shard rank of the hash order") {
     val out = ExtPack4.queries("q_epoch_shard")(spark, sf)
     import spark.implicits._

@@ -91,6 +91,24 @@ class IterateSpec extends AnyFunSuite {
     } finally sp.conf.set(thrKey, saved)
   }
 
+  test("q_pagerank is bit-identical under the shuffle_hash regime " +
+      "(broadcast disabled): the size switch changes the plan, " +
+      "never the answer") {
+    val sp = spark
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = sp.conf.get(thrKey)
+    val broadcastRun = SparkEntry.queries("q_pagerank")(sp, TestSpark.sf)
+      .collect().map(_.toString).sorted
+    val shuffleRun = try {
+      sp.conf.set(thrKey, "-1")
+      SparkEntry.queries("q_pagerank")(sp, TestSpark.sf)
+        .collect().map(_.toString).sorted
+    } finally sp.conf.set(thrKey, saved)
+    assert(broadcastRun.length > 0)
+    assert(broadcastRun.toSeq == shuffleRun.toSeq,
+      "rank table differs between broadcast and shuffle_hash regimes")
+  }
+
   test("loopUntil reports converged=false when the bound cuts it off") {
     val sp = spark
     import sp.implicits._
