@@ -26,16 +26,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and floor-truncate to micros —
-    * identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so oracle
-    * comparisons on ts agree. Integer `div` (not `/`) — nanos-since-epoch
-    * exceeds 2^53 and would lose precision through a double. */
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (older
+    * generators; Spark's reader rejects it unless nanos are surfaced as
+    * long) or plain TIMESTAMP(MICROS). Adapt to what's on disk:
+    *  - LongType (nanos-as-long): floor-truncate to micros with integer
+    *    `div` (not `/` — nanos-since-epoch exceeds 2^53 and would lose
+    *    precision through a double), identical to DuckDB's
+    *    TIMESTAMP_NS -> TIMESTAMP cast.
+    *  - any timestamp flavor: normalize to timestamp_ntz so downstream
+    *    window/bucket arithmetic sees one type regardless of generator. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
