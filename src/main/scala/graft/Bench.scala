@@ -163,15 +163,22 @@ object Bench {
                   case c if c < ' ' => " "; case c => c.toString }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errJson = errors.toSeq
-      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+    def errMapJson(es: Seq[(String, String)], msgCap: Int): String = es
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v.take(msgCap)) + "\"" }
       .mkString("{", ",", "}")
+    // Inline errors are capped (3 entries x 60 chars): in round 6 a
+    // 26-error round pushed the stdout line past the driver's tail
+    // capture and the whole bench report came back "parsed": null —
+    // the error DETAIL lives in bench_out.json; the inline line only
+    // needs to say that, and how many, queries failed.
+    val errJson = errMapJson(errors.toSeq.take(3), 60)
+    val errFullJson = errMapJson(errors.toSeq, 200)
     val total = results.map(_._2).filter(_ >= 0).sum
     val maxSpread = if (spread.isEmpty) 1.0 else spread.map(_._2).max
     val qs = jsonMap(results.filter(r => headline(r._1)))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"order_spread_max":$maxSpread,"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"order_spread_max":$maxSpread,"error_count":${errors.size},"errors":$errJson,"sf":"$sfDir","full":"bench_out.json"}"""
     println(line)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"order_spread":${jsonMap(spread)},"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"order_spread":${jsonMap(spread)},"error_count":${errors.size},"errors":$errFullJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
