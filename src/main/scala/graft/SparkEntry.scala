@@ -21,6 +21,7 @@ object SparkEntry {
     ExtPack2,
     ExtPack3,
     ExtPack4,
+    ExtPack5,
     SourceSinkPack,
     TypesPack,
     TpchPack,

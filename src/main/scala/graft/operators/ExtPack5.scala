@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryPack, Tables => T}
+import graft.ext.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators, part 5: the published Gopher
+  * document-quality rule gate and a fastText-shaped hashed-linear
+  * quality classifier.
+  *
+  * Same verification design as ExtPack..ExtPack4: bit-reproducible in
+  * DuckDB. All pass/fail flags are derived from INTEGER
+  * cross-multiplication (e.g. `5*n_alpha >= 4*n_words` instead of
+  * `n_alpha/n_words >= 0.8`) so no float rounding can flip a flag
+  * between engines. All shapes are linear: per-row higher-order
+  * functions plus one explode+groupBy for the top-word share — the
+  * same 100 TB posture as q_quality_repetition.
+  */
+object ExtPack5 extends QueryPack {
+
+  /** Stopword list shared with q_text_stats. */
+  private val stops = Seq("the", "a", "of", "and", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher rules (Rae et al. 2021, §A1.1 "Quality filtering"),
+    // adapted to this corpus's single-space token stream (no lines, so
+    // the bullet/ellipsis line rules don't apply; the word-level gates
+    // do): word count bounds, mean word length bounds, stopword
+    // presence, alphabetic-word fraction, and the repetition gate on
+    // the most frequent word's share.
+    //   flag_wc    : 20 <= n_words <= 1000
+    //   flag_wlen  : 3 <= mean(word length) <= 10
+    //   flag_stop  : >= 2 stopwords present
+    //   flag_alpha : >= 80% of words contain an alphabetic char
+    //   flag_rep   : most frequent word <= 20% of all words
+    // Reference analog: the reference has no built-in quality gate;
+    // this is the pipeline operator a corpus-prep user would run as a
+    // Calc (fused project+filter) node
+    // (flink-table-planner .../batch/BatchExecCalc.java:43).
+    "q_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val base = T.documents(s, d)
+        .withColumn("ws", TextOps.tokens($"text"))
+      val nWords = size($"ws").cast("long")
+      val sumLen = aggregate(transform($"ws", t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val nStop = size(filter($"ws", t =>
+        array_contains(array(stops.map(lit): _*), t))).cast("long")
+      val nAlpha = size(filter($"ws", t => t.rlike("[a-z]"))).cast("long")
+      val perDoc = base.select(
+        $"doc_id", nWords.as("n_words"), sumLen.as("sum_len"),
+        nStop.as("n_stop"), nAlpha.as("n_alpha"))
+      val top = base.select($"doc_id", explode($"ws").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"))
+      perDoc.join(top, Seq("doc_id"))
+        .select(
+          $"doc_id", $"n_words", $"n_stop",
+          // mean word length in integer centi-chars: exact in both
+          // engines (BIGINT floor division; Scala `/` on Columns is
+          // double division, so use SQL `div`)
+          expr("sum_len * 100 div n_words").as("mean_wlen_x100"),
+          ($"n_words" >= 20L && $"n_words" <= 1000L).as("flag_wc"),
+          ($"sum_len" >= $"n_words" * 3L &&
+            $"sum_len" <= $"n_words" * 10L).as("flag_wlen"),
+          ($"n_stop" >= 2L).as("flag_stop"),
+          ($"n_alpha" * 5L >= $"n_words" * 4L).as("flag_alpha"),
+          ($"top_c" * 5L <= $"n_words").as("flag_rep"),
+          ($"n_words" >= 20L && $"n_words" <= 1000L &&
+            $"sum_len" >= $"n_words" * 3L &&
+            $"sum_len" <= $"n_words" * 10L &&
+            $"n_stop" >= 2L &&
+            $"n_alpha" * 5L >= $"n_words" * 4L &&
+            $"top_c" * 5L <= $"n_words").as("pass"))
+    }),
+
+    // fastText-shaped linear quality classifier (Joulin et al. 2016):
+    // score(doc) = sum over tokens of weight[h(token)] with a hashed
+    // feature table. The "trained" weights are a deterministic
+    // function of the feature hash so both engines reproduce them
+    // exactly: h(t) = (37*len(t) + ascii(t[0])) % 13, weight = h - 6
+    // (integer micro-logits in [-6, +6]). Real deployments swap the
+    // weight expression for a broadcast-joined learned table — the
+    // plan shape (per-row HOF sum, no shuffle) is identical, which is
+    // what matters at 100 TB.
+    "q_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val score = aggregate(
+        transform(TextOps.tokens($"text"),
+          t => ((length(t) * 37 + ascii(substring(t, 1, 1))) % 13 - 6)
+            .cast("long")),
+        lit(0L), (a, x) => a + x)
+      T.documents(s, d).select(
+        $"doc_id",
+        score.as("score"),
+        (score > 0L).as("label_keep"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         ), perdoc AS (
+           SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+                  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+           FROM base
+         ), top AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+             SELECT doc_id, w, count(*) AS c
+             FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+             GROUP BY doc_id, w)
+           GROUP BY doc_id
+         )
+         SELECT p.doc_id, p.n_words, p.n_stop,
+                CAST(p.sum_len * 100 // p.n_words AS BIGINT) AS mean_wlen_x100,
+                (p.n_words >= 20 AND p.n_words <= 1000) AS flag_wc,
+                (p.sum_len >= p.n_words * 3 AND p.sum_len <= p.n_words * 10) AS flag_wlen,
+                (p.n_stop >= 2) AS flag_stop,
+                (p.n_alpha * 5 >= p.n_words * 4) AS flag_alpha,
+                (t.top_c * 5 <= p.n_words) AS flag_rep,
+                (p.n_words >= 20 AND p.n_words <= 1000
+                 AND p.sum_len >= p.n_words * 3 AND p.sum_len <= p.n_words * 10
+                 AND p.n_stop >= 2
+                 AND p.n_alpha * 5 >= p.n_words * 4
+                 AND t.top_c * 5 <= p.n_words) AS pass
+         FROM perdoc p JOIN top t USING (doc_id)""",
+    "q_quality_classifier" ->
+      """SELECT doc_id,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> (length(t) * 37 + ascii(t[1])) % 13 - 6)) AS BIGINT) AS score,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> (length(t) * 37 + ascii(t[1])) % 13 - 6)) AS BIGINT) > 0 AS label_keep
+         FROM documents"""
+  )
+}
