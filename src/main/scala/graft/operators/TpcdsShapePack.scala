@@ -650,6 +650,67 @@ object TpcdsShapePack extends QueryPack {
         .select($"n_name", $"rev_cents",
           expr("((1000000 * rev_cents) + (tot div 2)) div tot")
             .as("share_ppm"))
+    }),
+
+    // q16/q69 shape: NOT IN (subquery) — customers with NO urgent
+    // order. Expressed as SQL so Catalyst plans the null-aware anti
+    // join (o_custkey is nullable by schema; a plain left_anti would
+    // silently change NULL semantics). Physical: broadcast null-aware
+    // anti join — single scan of the big side.
+    "q_tpcds_notin" -> ((s, d) => {
+      import s.implicits._
+      T.customer(s, d).createOrReplaceTempView("tpcds_notin_customer")
+      T.orders(s, d).createOrReplaceTempView("tpcds_notin_orders")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_quiet,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM tpcds_notin_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM tpcds_notin_orders
+          WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")
+    }),
+
+    // q14/q38-adjacent shape: MULTIPLE COUNT(DISTINCT ...) over
+    // different columns (and one composite) in a single aggregate —
+    // Catalyst's distinct-agg split rewrites this through one Expand,
+    // one shuffle per distinct group, not one scan per distinct.
+    "q_tpcds_multidistinct" -> ((s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy(year($"o_orderdate").cast("long").as("yr"))
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          countDistinct($"o_custkey", $"o_orderpriority").as("n_cust_prio"),
+          count(lit(1)).as("n_orders"),
+          sum(centsCol($"o_totalprice")).as("rev_cents"))
+    }),
+
+    // q80/q93 shape: sales LEFT JOIN per-line returns (the returned
+    // subset of the same fact re-keyed by (orderkey, linenumber)),
+    // netted and ROLLUP'd by nation. Refunds quantize to cents with
+    // the identical expression order in both engines, then net profit
+    // is BIGINT subtraction — exact under any aggregation order.
+    "q_tpcds_returns_profit" -> ((s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val ret = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("rk"), $"l_linenumber".as("rl"),
+          centsCol($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .as("refund_cents"))
+      li.join(ret,
+          $"l_orderkey" === $"rk" && $"l_linenumber" === $"rl", "left")
+        .join(T.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(T.nation(s, d), $"s_nationkey" === $"n_nationkey")
+        .rollup($"n_name")
+        .agg(
+          sum(centsCol($"l_extendedprice")).as("sales_cents"),
+          sum(coalesce($"refund_cents", lit(0L))).as("refund_cents_sum"),
+          (sum(centsCol($"l_extendedprice")) -
+            sum(coalesce($"refund_cents", lit(0L)))).as("net_cents"),
+          grouping($"n_name").cast("long").as("gid"))
     })
   )
 
@@ -1150,6 +1211,44 @@ object TpcdsShapePack extends QueryPack {
          SELECT n_name, rev_cents,
                 CAST(((1000000 * rev_cents) + (tot // 2)) // tot
                      AS BIGINT) AS share_ppm
-         FROM nat CROSS JOIN tot"""
+         FROM nat CROSS JOIN tot""",
+    "q_tpcds_notin" ->
+      """SELECT c_mktsegment, count(*) AS n_quiet,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS bal_cents
+         FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment""",
+    "q_tpcds_multidistinct" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+                CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
+                  AS n_cust_prio,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS rev_cents
+         FROM orders GROUP BY 1""",
+    "q_tpcds_returns_profit" ->
+      """WITH ret AS (
+           SELECT l_orderkey AS rk, l_linenumber AS rl,
+                  CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT) AS refund_cents
+           FROM lineitem WHERE l_returnflag = 'R')
+         SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sales_cents,
+                CAST(sum(coalesce(refund_cents, 0)) AS BIGINT)
+                  AS refund_cents_sum,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     - sum(coalesce(refund_cents, 0)) AS BIGINT) AS net_cents,
+                CAST(GROUPING(n_name) AS BIGINT) AS gid
+         FROM lineitem
+         LEFT JOIN ret ON l_orderkey = rk AND l_linenumber = rl
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name)"""
   )
 }

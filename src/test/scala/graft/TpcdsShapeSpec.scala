@@ -139,4 +139,29 @@ class TpcdsShapeSpec extends AnyFunSuite {
         assert(t95 > 0 && t96 * 10 > t95 * 12, r.toString)
       }
   }
+
+  test("q_tpcds_notin: NOT IN plans as a NULL-AWARE anti join " +
+      "(plain LeftAnti would silently change NULL semantics)") {
+    val p = SparkEntry.queries("q_tpcds_notin")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftAnti") &&
+      (p.contains("isnull") || p.contains("IsNull")),
+      s"expected null-aware anti join condition:\n$p")
+  }
+
+  test("q_tpcds_multidistinct: three COUNT(DISTINCT)s split through " +
+      "ONE Expand, one scan (not one scan per distinct)") {
+    val p = plan("q_tpcds_multidistinct")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_tpcds_returns_profit: per-line returns LEFT join + one " +
+      "Expand rollup, dims broadcast") {
+    val p = plan("q_tpcds_returns_profit")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
