@@ -111,6 +111,42 @@ object SourceSinkPack extends QueryPack {
           $"m.meta.source".as("source"), $"m.meta.n_chars".as("n_chars"))
     }),
 
+    // Debezium-JSON changelog format roundtrip (flink-formats/
+    // flink-json .../debezium/DebeziumJsonDeserializationSchema.java
+    // analog; see sources/DebeziumJson.scala). Synthesizes a
+    // deterministic CDC history over orders — every row inserted
+    // (op c, ts 1), keys %3==0 updated with +10 totalprice (op u,
+    // ts 2), keys %7==0 deleted (op d, ts 3) — encodes it as envelope
+    // JSON lines, then decodes and MATERIALIZES final state. The
+    // oracle recomputes that state from the same rules directly, so
+    // envelope encode -> decode -> +I/-U/+U/-D expansion ->
+    // keep-last-by-key must compose to exactly the final table.
+    "q_debezium_source" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.DebeziumJson
+      val dir = tmpDir("dbz_orders")
+      val o = T.orders(s, d)
+      val pay = struct(o.columns.map(col): _*)
+      val payUpd = struct(o.columns.map(c =>
+        if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)
+      val nullPay = lit(null).cast(o.schema)
+      val inserts = o.select(nullPay.as("before"), pay.as("after"),
+        lit("c").as("op"), lit(1L).as("ts_ms"))
+      val updates = o.filter($"o_orderkey" % 3 === 0)
+        .select(pay.as("before"), payUpd.as("after"),
+          lit("u").as("op"), lit(2L).as("ts_ms"))
+      val deletes = o.filter($"o_orderkey" % 7 === 0)
+        .select(pay.as("before"), nullPay.as("after"),
+          lit("d").as("op"), lit(3L).as("ts_ms"))
+      inserts.union(updates).union(deletes)
+        .select(to_json(struct($"before", $"after", $"op", $"ts_ms"))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      DebeziumJson.materialize(
+        DebeziumJson.decode(s.read.text(dir), o.schema),
+        Seq("o_orderkey"))
+    }),
+
     // SequenceFile format roundtrip (flink-formats/flink-sequence-file
     // .../SequenceFileWriterFactory.java analog): Hadoop key-value
     // SequenceFile written and re-read through the in-container Hadoop
@@ -216,6 +252,12 @@ object SourceSinkPack extends QueryPack {
       """SELECT * FROM nation""",
     "q_seqfile_source" ->
       """SELECT * FROM nation""",
+    "q_debezium_source" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0""",
     "q_proto_source" ->
       """SELECT doc_id, lang, n_chars - 300 AS score,
             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')

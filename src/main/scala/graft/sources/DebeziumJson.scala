@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium-JSON changelog format: decode CDC envelope lines into
+  * typed changelog rows, and materialize a changelog into final table
+  * state.
+  *
+  * Reference analog: flink-formats/flink-json/src/main/java/org/apache/
+  * flink/formats/json/debezium/DebeziumJsonDeserializationSchema.java
+  * (envelope {before, after, op, ts_ms}; op c/r -> +I, u -> -U then
+  * +U, d -> -D). Canal/Maxwell envelopes differ only in field naming
+  * ({old, data, type}) — the same decode shape applies.
+  *
+  * Spark-first design: the envelope is parsed with `from_json` against
+  * a typed payload schema (codegen'd, no UDF), the 1-or-2-row op
+  * expansion rides ONE generator (`explode` of a when-built array), and
+  * materialization is the standard keep-last-by-key window — all
+  * linear, partition-parallel, shuffle only on the primary key. At
+  * 100 TB of CDC history the shuffle is keyed by primary key, so state
+  * reconstruction parallelizes per key range exactly like the
+  * reference's upsert materialization (SinkUpsertMaterializer).
+  */
+object DebeziumJson {
+
+  /** Envelope schema for a given payload row schema. */
+  def envelopeSchema(payload: StructType): StructType = new StructType()
+    .add("before", payload)
+    .add("after", payload)
+    .add("op", StringType)
+    .add("ts_ms", LongType)
+
+  /** Decode raw JSON lines (one envelope per line, in `valueCol`) into
+    * changelog rows: `kind` (+I / -U / +U / -D), `ts_ms`, then the
+    * payload columns flattened. Unknown ops are dropped (the reference
+    * throws by default but offers ignore-parse-errors; dropping is the
+    * ignore mode).
+    */
+  def decode(raw: DataFrame, payload: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val env = from_json(col(valueCol), envelopeSchema(payload)).as("e")
+    def tagged(kind: String, row: Column): Column =
+      struct(lit(kind).as("kind"), row.as("row"))
+    val expanded = raw.select(env).select(
+      col("e.ts_ms").as("ts_ms"),
+      explode(
+        when(col("e.op").isin("c", "r"),
+          array(tagged("+I", col("e.after"))))
+        .when(col("e.op") === "u",
+          array(tagged("-U", col("e.before")), tagged("+U", col("e.after"))))
+        .when(col("e.op") === "d",
+          array(tagged("-D", col("e.before"))))
+        .otherwise(array().cast(ArrayType(new StructType()
+          .add("kind", StringType).add("row", payload))))).as("x"))
+    expanded.select(col("x.kind").as("kind"), col("ts_ms"), col("x.row.*"))
+  }
+
+  /** Reduce a decoded changelog to final table state: per key, keep
+    * the row of the highest (ts_ms, kind-phase) change; a key whose
+    * last change is a delete disappears. The kind-phase tiebreak makes
+    * the -U/+U pair of one update unambiguous (same ts_ms: +U wins).
+    */
+  def materialize(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // -U rows are the retraction half of an update — never final state
+    val phase = when(col("kind") === "+U", 2)
+      .when(col("kind") === "+I", 1).otherwise(0)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts_ms").desc, phase.desc)
+    changelog.filter(col("kind") =!= "-U")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("kind") =!= "-D")
+      .drop("__rn", "kind", "ts_ms")
+  }
+}
