@@ -147,6 +147,44 @@ object SourceSinkPack extends QueryPack {
         Seq("o_orderkey"))
     }),
 
+    // Canal-JSON changelog roundtrip (flink-formats/flink-json
+    // .../canal/CanalJsonDeserializationSchema.java analog; see
+    // sources/CanalJson.scala). Same synthesized CDC history as
+    // q_debezium_source but canal-encoded: batched `data` arrays,
+    // UPDATE's `old` carrying ONLY the changed field (o_totalprice) —
+    // the decode must merge the partial before-image from the new
+    // image. Materialization is shared with debezium, so both formats
+    // must reduce to the identical final state.
+    "q_canal_source" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{CanalJson, DebeziumJson}
+      val dir = tmpDir("canal_orders")
+      val o = T.orders(s, d)
+      val pay = struct(o.columns.map(col): _*)
+      val payUpd = struct(o.columns.map(c =>
+        if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)
+      // partial before-image: only the changed column is present
+      val payOldPartial = struct(o.schema.fields.map(f =>
+        if (f.name == "o_totalprice") col(f.name).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      val nullOld = lit(null)
+        .cast(org.apache.spark.sql.types.ArrayType(o.schema))
+      val inserts = o.select(array(pay).as("data"), nullOld.as("old"),
+        lit("INSERT").as("type"), lit(1L).as("ts"))
+      val updates = o.filter($"o_orderkey" % 3 === 0)
+        .select(array(payUpd).as("data"), array(payOldPartial).as("old"),
+          lit("UPDATE").as("type"), lit(2L).as("ts"))
+      val deletes = o.filter($"o_orderkey" % 7 === 0)
+        .select(array(pay).as("data"), nullOld.as("old"),
+          lit("DELETE").as("type"), lit(3L).as("ts"))
+      inserts.union(updates).union(deletes)
+        .select(to_json(struct($"data", $"old", $"type", $"ts")).as("value"))
+        .write.mode("overwrite").text(dir)
+      DebeziumJson.materialize(
+        CanalJson.decode(s.read.text(dir), o.schema),
+        Seq("o_orderkey"))
+    }),
+
     // SequenceFile format roundtrip (flink-formats/flink-sequence-file
     // .../SequenceFileWriterFactory.java analog): Hadoop key-value
     // SequenceFile written and re-read through the in-container Hadoop
@@ -253,6 +291,12 @@ object SourceSinkPack extends QueryPack {
     "q_seqfile_source" ->
       """SELECT * FROM nation""",
     "q_debezium_source" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0""",
+    "q_canal_source" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
                  ELSE o_totalprice END AS o_totalprice,
