@@ -147,6 +147,43 @@ object SourceSinkPack extends QueryPack {
         Seq("o_orderkey"))
     }),
 
+    // DataGen table source analog (flink-table-api-java-bridge
+    // .../datagen/table/DataGenTableSource.java): a generated table
+    // with a SEQUENCE column (start offset) and RANDOM columns
+    // (bounded int, fixed-length string). Spark-first: spark.range is
+    // the parallel, partitioned generator; "randomness" is md5-derived
+    // from the row id so both engines reproduce it exactly (the
+    // deterministic analog of datagen's seeded generators). Scale:
+    // range splits across executors; every derived column is a
+    // per-row projection — no shuffle at any size.
+    "q_datagen_source" -> ((s, d) => {
+      import s.implicits._
+      val h = md5(concat(lit("dg_"), $"id".cast("string")))
+      s.range(1000).select(
+        $"id",
+        ($"id" + 100L).as("seq_val"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % 100L)
+          .as("rand_int"),
+        substring(h, 5, 8).as("rand_str"))
+    }),
+
+    // Raw format roundtrip (flink-table-runtime .../formats/raw/
+    // RawFormatSerializationSchema.java): a single column's bytes ARE
+    // the payload — UTF-8 for strings, big-endian for integers (the
+    // reference's default). Serialize then deserialize must be the
+    // identity; the oracle reads the source columns directly.
+    "q_raw_source" -> ((s, d) => {
+      import s.implicits._
+      val enc = T.documents(s, d).select(
+        $"doc_id",
+        $"text".cast("binary").as("text_bytes"),
+        expr("unhex(lpad(hex(n_chars), 16, '0'))").as("n_bytes"))
+      enc.select(
+        $"doc_id",
+        $"text_bytes".cast("string").as("text"),
+        conv(hex($"n_bytes"), 16, 10).cast("long").as("n_chars"))
+    }),
+
     // Canal-JSON changelog roundtrip (flink-formats/flink-json
     // .../canal/CanalJsonDeserializationSchema.java analog; see
     // sources/CanalJson.scala). Same synthesized CDC history as
@@ -296,6 +333,15 @@ object SourceSinkPack extends QueryPack {
                  ELSE o_totalprice END AS o_totalprice,
             o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 7 <> 0""",
+    "q_datagen_source" ->
+      """SELECT r.range AS id,
+            r.range + 100 AS seq_val,
+            CAST(('0x' || substr(md5('dg_' || r.range), 1, 4)) AS BIGINT)
+              % 100 AS rand_int,
+            substr(md5('dg_' || r.range), 5, 8) AS rand_str
+         FROM range(0, 1000) r""",
+    "q_raw_source" ->
+      """SELECT doc_id, text, n_chars FROM documents""",
     "q_canal_source" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10

@@ -33,6 +33,24 @@ class DebeziumJsonSpec extends AnyFunSuite {
       ("-D", 2L, "b")), kinds.toString) // unknown op dropped
   }
 
+  test("decode rides a streaming source unchanged " +
+      "(the Kafka value-deserializer shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = DebeziumJson.decode(in.toDF(), payload)
+      .writeStream.format("memory").queryName("dbz_stream")
+      .outputMode("append").start()
+    in.addData(
+      """{"after":{"id":1,"v":"a"},"op":"c","ts_ms":1}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"op":"u","ts_ms":2}""")
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dbz_stream").select($"kind", $"id", $"v")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("+I", 1L, "a"), ("-U", 1L, "a"), ("+U", 1L, "b")),
+      got.toString)
+  }
+
   test("materialize: last change wins, deleted keys disappear, " +
       "arrival order irrelevant") {
     val decoded = DebeziumJson.decode(lines(
