@@ -17,6 +17,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
+    else if (name == "embeddings") embeddings(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
@@ -48,7 +49,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** embedding is pinned to array<float> regardless of the on-disk
+    * element width — the generator has changed physical types once
+    * already (events.ts); VectorOps encodes Array[Float]. A no-op cast
+    * when the file already stores float. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 
   /** Register every table as a temp view so spark.sql queries can refer to
     * them by bare name (same convention as the DuckDB oracle). */
