@@ -75,6 +75,31 @@ object ExtPack5 extends QueryPack {
             $"top_c" * 5L <= $"n_words").as("pass"))
     }),
 
+    // CCNet head/middle/tail selection (Wenzek et al. 2020 §4.4): per
+    // language, rank documents by LM perplexity into terciles and keep
+    // head+middle — the published pipeline's selection step on top of
+    // q_ngram_lm_ppl's scores (reused directly; micro-nat integers, so
+    // ordering is exact in both engines; ties broken by doc_id).
+    // Scale note: ntile is a per-language global sort — exact, and the
+    // oracle-comparable form. At 100 TB the production swap is fixed
+    // per-language CUTPOINTS (approx_percentile over a sample,
+    // broadcast, map-side filter — CCNet itself uses precomputed
+    // thresholds); the output contract is identical except at the
+    // tercile boundary rows.
+    "q_ccnet_buckets" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy($"avg_nll_micronat".asc, $"doc_id".asc)
+      ExtPack4.queries("q_ngram_lm_ppl")(s, d)
+        .join(T.documents(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(w).cast("long"))
+        .select($"doc_id", $"lang", $"avg_nll_micronat", $"tercile",
+          when($"tercile" === 1, "head").when($"tercile" === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          ($"tercile" < 3).as("keep"))
+    }),
+
     // fastText-shaped linear quality classifier (Joulin et al. 2016):
     // score(doc) = sum over tokens of weight[h(token)] with a hashed
     // feature table. The "trained" weights are a deterministic
@@ -129,6 +154,46 @@ object ExtPack5 extends QueryPack {
                  AND p.n_alpha * 5 >= p.n_words * 4
                  AND t.top_c * 5 <= p.n_words) AS pass
          FROM perdoc p JOIN top t USING (doc_id)""",
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         inst AS (
+           SELECT doc_id, u.w1 AS w1, u.bg AS bg
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS u
+                 FROM toks)),
+         train AS (SELECT * FROM inst WHERE doc_id % 4 = 0),
+         cb AS (SELECT bg, count(*) AS cb FROM train GROUP BY bg),
+         cu AS (SELECT w1, count(*) AS cu FROM train GROUP BY w1),
+         v AS (SELECT count(DISTINCT w1) AS v FROM train),
+         term AS (
+           SELECT bg,
+                  CAST(round(ln((coalesce(cb, 0) + 1.0)
+                    / (coalesce(cu, 0) + v + 1.0)) * 1000000) AS BIGINT)
+                    AS term_u
+           FROM (SELECT DISTINCT w1, bg FROM inst) ty
+           LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1) CROSS JOIN v),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams, -sum(term_u) AS nll
+           FROM inst JOIN term USING (bg) GROUP BY doc_id),
+         ppl AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                       ELSE nll // n_bigrams END AS BIGINT)
+                    AS avg_nll_micronat
+           FROM documents d LEFT JOIN per USING (doc_id)),
+         ranked AS (
+           SELECT doc_id, lang, avg_nll_micronat,
+                  CAST(ntile(3) OVER (PARTITION BY lang
+                    ORDER BY avg_nll_micronat ASC, doc_id ASC) AS BIGINT)
+                    AS tercile
+           FROM ppl)
+         SELECT doc_id, lang, avg_nll_micronat, tercile,
+                CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                (tercile < 3) AS keep
+         FROM ranked""",
     "q_quality_classifier" ->
       """SELECT doc_id,
                 CAST(list_sum(list_transform(string_split(text, ' '),
