@@ -37,9 +37,19 @@ object Sinks {
     * overwritten is CUT, so a lost block fails the batch loudly instead
     * of silently recomputing from a half-overwritten directory; set
     * `graft.checkpoint.reliable=true` for a fault-tolerant reliable
-    * checkpoint on real clusters. */
+    * checkpoint on real clusters.
+    *
+    * `tombstoneCol` (optional) names a boolean column marking DELETE
+    * rows: a key whose LATEST change is a tombstone is dropped from
+    * the snapshot — the retraction handling of the reference's
+    * SinkUpsertMaterializer (OP/sink/SinkUpsertMaterializer.java
+    * removes state on DELETE), which is what a CDC changelog
+    * (DebeziumJson/CanalJson decode) needs downstream. The tombstone
+    * must win its key's seqCol ordering to take effect, exactly like
+    * any other upsert. */
   def upsert(stream: DataFrame, keys: Seq[String], seqCol: String,
-      path: String, buckets: Int = 16): DataStreamWriter[Row] =
+      path: String, buckets: Int = 16,
+      tombstoneCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -65,15 +75,38 @@ object Sinks {
           }
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(seqCol).desc)
-        val snapshot = existing.map(_.unionByName(newRows)).getOrElse(newRows)
+        val latest = existing.map(_.unionByName(newRows)).getOrElse(newRows)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // CDC retraction: a key whose winning change is a tombstone
+        // leaves the snapshot entirely (state removal on DELETE)
+        val snapshot = tombstoneCol.fold(latest)(t => latest.filter(!col(t)))
           // materialize + cut lineage before the overwrite (reliable
           // checkpoint when graft.checkpoint.reliable=true)
           .transform(graft.ext.Materialize.pin)
         snapshot.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket").parquet(path)
+        // Dynamic overwrite only replaces partitions PRESENT in the
+        // new snapshot — a touched bucket whose every key was
+        // tombstoned writes nothing and would keep its stale file.
+        // Explicitly remove those bucket dirs (driver-side, bounded by
+        // `buckets`; production MERGE INTO ... WHEN MATCHED DELETE
+        // handles this transactionally).
+        tombstoneCol.foreach { _ =>
+          val surviving = snapshot.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val emptied = touched.filterNot(surviving)
+          if (emptied.nonEmpty) {
+            val root = new org.apache.hadoop.fs.Path(path)
+            val fs = root.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            emptied.foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"),
+                true)
+            }
+          }
+        }
         ()
     }
 
