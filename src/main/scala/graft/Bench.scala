@@ -54,7 +54,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           return Left((e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("")).take(200))
+            Option(e.getMessage).getOrElse("")).take(2000))
       }
       Right((System.nanoTime() - t0) / 1e9)
     }
@@ -172,7 +172,9 @@ object Bench {
     // the error DETAIL lives in bench_out.json; the inline line only
     // needs to say that, and how many, queries failed.
     val errJson = errMapJson(errors.toSeq.take(3), 60)
-    val errFullJson = errMapJson(errors.toSeq, 200)
+    // full detail (2000 chars is past any Spark exception's useful
+    // tail) — only the inline stdout line needs the hard 60-char cap
+    val errFullJson = errMapJson(errors.toSeq, 2000)
     val total = results.map(_._2).filter(_ >= 0).sum
     val maxSpread = if (spread.isEmpty) 1.0 else spread.map(_._2).max
     val qs = jsonMap(results.filter(r => headline(r._1)))

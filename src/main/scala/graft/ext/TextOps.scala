@@ -127,10 +127,16 @@ object TextOps {
       .distinct() // a pair agreeing on several bands counts once
   }
 
+  /** Canonical English stopword probe set — the single definition
+    * behind the lang-id "en" markers, q_text_stats' stop_ratio, and
+    * the Gopher gate (whose oracle SQL interpolates it, so Spark and
+    * DuckDB can never disagree on the list). */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is")
+
   /** Language-ID by marker-token overlap; deterministic priority order on
     * ties, "und" when nothing matches. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
+    "en" -> stopwordsEn,
     "es" -> Seq("el", "la", "de", "los", "es"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "est"),

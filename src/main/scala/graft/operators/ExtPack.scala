@@ -43,7 +43,7 @@ object ExtPack extends QueryPack {
         (size(dtoks) / nTok.cast("double")).as("ttr"),
         (sumLen / nTok.cast("double")).as("avg_tok_len"),
         (size(filter(toks, t => array_contains(
-          array(Seq("the", "a", "of", "and", "is").map(lit): _*), t)))
+          array(TextOps.stopwordsEn.map(lit): _*), t)))
           / nTok.cast("double")).as("stop_ratio"),
         ((length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", "")))
           / length($"text").cast("double")).as("punct_ratio"),

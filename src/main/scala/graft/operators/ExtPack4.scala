@@ -308,6 +308,35 @@ object ExtPack4 extends QueryPack {
     })
   )
 
+  /** Shared oracle CTE chain for the bigram-LM scores: the training
+    * slice, smoothed per-bigram-type micro-nat terms, and per-doc NLL
+    * sums. Consumed by q_ngram_lm_ppl here and q_ccnet_buckets
+    * (ExtPack5) — one definition so the two oracles can never drift
+    * apart on the same scores (the SemCtes precedent below). */
+  private[operators] val PplCtes =
+    """toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         inst AS (
+           SELECT doc_id, u.w1 AS w1, u.bg AS bg
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS u
+                 FROM toks)),
+         train AS (SELECT * FROM inst WHERE doc_id % 4 = 0),
+         cb AS (SELECT bg, count(*) AS cb FROM train GROUP BY bg),
+         cu AS (SELECT w1, count(*) AS cu FROM train GROUP BY w1),
+         v AS (SELECT count(DISTINCT w1) AS v FROM train),
+         term AS (
+           SELECT bg,
+                  CAST(round(ln((coalesce(cb, 0) + 1.0)
+                    / (coalesce(cu, 0) + v + 1.0)) * 1000000) AS BIGINT)
+                    AS term_u
+           FROM (SELECT DISTINCT w1, bg FROM inst) ty
+           LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1) CROSS JOIN v),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams, -sum(term_u) AS nll
+           FROM inst JOIN term USING (bg) GROUP BY doc_id)"""
+
   /** md5-first-8-hex-digits-as-int, the DuckDB twin of
     * [[TextOps.tokenHash32]] (same idiom as ExtPack2's q_hash_split). */
   private def h32sql(expr: String): String =
@@ -486,28 +515,7 @@ object ExtPack4 extends QueryPack {
                           // (SELECT count(*) FROM truth)
                      ELSE 1000000 END AS BIGINT) AS recall_ppm""",
     "q_ngram_lm_ppl" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         inst AS (
-           SELECT doc_id, u.w1 AS w1, u.bg AS bg
-           FROM (SELECT doc_id,
-                   unnest(list_transform(range(1, len(w)),
-                     i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS u
-                 FROM toks)),
-         train AS (SELECT * FROM inst WHERE doc_id % 4 = 0),
-         cb AS (SELECT bg, count(*) AS cb FROM train GROUP BY bg),
-         cu AS (SELECT w1, count(*) AS cu FROM train GROUP BY w1),
-         v AS (SELECT count(DISTINCT w1) AS v FROM train),
-         term AS (
-           SELECT bg,
-                  CAST(round(ln((coalesce(cb, 0) + 1.0)
-                    / (coalesce(cu, 0) + v + 1.0)) * 1000000) AS BIGINT)
-                    AS term_u
-           FROM (SELECT DISTINCT w1, bg FROM inst) ty
-           LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1) CROSS JOIN v),
-         per AS (
-           SELECT doc_id, count(*) AS n_bigrams, -sum(term_u) AS nll
-           FROM inst JOIN term USING (bg) GROUP BY doc_id)
+      s"""WITH $PplCtes
          SELECT d.doc_id,
                 coalesce(n_bigrams, 0) AS n_bigrams,
                 CAST(coalesce(nll, 0) AS BIGINT) AS nll_micronats,

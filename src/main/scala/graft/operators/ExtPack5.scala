@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object ExtPack5 extends QueryPack {
 
-  /** Stopword list shared with q_text_stats. */
-  private val stops = Seq("the", "a", "of", "and", "is")
+  /** The canonical stopword set ([[TextOps.stopwordsEn]]), also
+    * interpolated into the oracle SQL below. */
+  private val stops = TextOps.stopwordsEn
+  private val stopsSql = stops.map(w => s"'$w'").mkString(", ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher rules (Rae et al. 2021, §A1.1 "Quality filtering"),
@@ -125,13 +127,13 @@ object ExtPack5 extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "q_gopher_rules" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
          ), perdoc AS (
            SELECT doc_id,
                   CAST(len(ws) AS BIGINT) AS n_words,
                   CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
-                  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+                  CAST(len(list_filter(ws, w -> w IN ($stopsSql))) AS BIGINT) AS n_stop,
                   CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
            FROM base
          ), top AS (
@@ -154,29 +156,10 @@ object ExtPack5 extends QueryPack {
                  AND p.n_alpha * 5 >= p.n_words * 4
                  AND t.top_c * 5 <= p.n_words) AS pass
          FROM perdoc p JOIN top t USING (doc_id)""",
+    // LM score CTEs shared verbatim with q_ngram_lm_ppl's oracle
+    // (ExtPack4.PplCtes) so the two can never disagree on the scores
     "q_ccnet_buckets" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         inst AS (
-           SELECT doc_id, u.w1 AS w1, u.bg AS bg
-           FROM (SELECT doc_id,
-                   unnest(list_transform(range(1, len(w)),
-                     i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS u
-                 FROM toks)),
-         train AS (SELECT * FROM inst WHERE doc_id % 4 = 0),
-         cb AS (SELECT bg, count(*) AS cb FROM train GROUP BY bg),
-         cu AS (SELECT w1, count(*) AS cu FROM train GROUP BY w1),
-         v AS (SELECT count(DISTINCT w1) AS v FROM train),
-         term AS (
-           SELECT bg,
-                  CAST(round(ln((coalesce(cb, 0) + 1.0)
-                    / (coalesce(cu, 0) + v + 1.0)) * 1000000) AS BIGINT)
-                    AS term_u
-           FROM (SELECT DISTINCT w1, bg FROM inst) ty
-           LEFT JOIN cb USING (bg) LEFT JOIN cu USING (w1) CROSS JOIN v),
-         per AS (
-           SELECT doc_id, count(*) AS n_bigrams, -sum(term_u) AS nll
-           FROM inst JOIN term USING (bg) GROUP BY doc_id),
+      s"""WITH ${ExtPack4.PplCtes},
          ppl AS (
            SELECT d.doc_id, d.lang,
                   CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0

@@ -683,7 +683,13 @@ object TpcdsShapePack extends QueryPack {
         .agg(
           countDistinct($"o_custkey").as("n_cust"),
           countDistinct($"o_orderpriority").as("n_prio"),
-          countDistinct($"o_custkey", $"o_orderpriority").as("n_cust_prio"),
+          // distinct STRUCT, not multi-arg countDistinct: Spark's
+          // count(DISTINCT a, b) skips NULL-containing rows while
+          // DuckDB's count(DISTINCT (a,b)) counts them as tuples —
+          // the struct form matches tuple semantics if a NULL custkey
+          // ever appears in the data
+          countDistinct(struct($"o_custkey", $"o_orderpriority"))
+            .as("n_cust_prio"),
           count(lit(1)).as("n_orders"),
           sum(centsCol($"o_totalprice")).as("rev_cents"))
     }),

@@ -59,13 +59,20 @@ object DebeziumJson {
 
   /** Reduce a decoded changelog to final table state: per key, keep
     * the row of the highest (ts_ms, kind-phase) change; a key whose
-    * last change is a delete disappears. The kind-phase tiebreak makes
-    * the -U/+U pair of one update unambiguous (same ts_ms: +U wins).
-    */
+    * last change is a delete disappears.
+    *
+    * Same-ts_ms ties (ms granularity collides routinely in real CDC
+    * streams): the reference materializer processes in arrival order,
+    * which a batch reduction does not have, so the phase order is the
+    * conservative deterministic choice -D > +U > +I — an update and a
+    * delete in the same millisecond resolve to deleted. Streams that
+    * carry a finer sequence (LSN, binlog pos) should put it in ts_ms
+    * (e.g. ts_ms*2^20 + pos) and never hit the tiebreak. */
   def materialize(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // -U rows are the retraction half of an update — never final state
-    val phase = when(col("kind") === "+U", 2)
+    val phase = when(col("kind") === "-D", 3)
+      .when(col("kind") === "+U", 2)
       .when(col("kind") === "+I", 1).otherwise(0)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("ts_ms").desc, phase.desc)

@@ -93,10 +93,18 @@ object Sinks {
         // Explicitly remove those bucket dirs (driver-side, bounded by
         // `buckets`; production MERGE INTO ... WHEN MATCHED DELETE
         // handles this transactionally).
-        tombstoneCol.foreach { _ =>
-          val surviving = snapshot.select("__bucket").distinct()
+        tombstoneCol.foreach { t =>
+          // only buckets that actually received a tombstone THIS batch
+          // can have been emptied — gate the snapshot-side distinct
+          // job on them so insert/update-only batches pay nothing
+          val tombstoned = newRows.filter(col(t))
+            .select("__bucket").distinct()
             .collect().map(_.getInt(0)).toSet
-          val emptied = touched.filterNot(surviving)
+          val surviving = if (tombstoned.isEmpty) Set.empty[Int]
+            else snapshot.filter(col("__bucket").isin(tombstoned.toSeq: _*))
+              .select("__bucket").distinct()
+              .collect().map(_.getInt(0)).toSet
+          val emptied = tombstoned -- surviving
           if (emptied.nonEmpty) {
             val root = new org.apache.hadoop.fs.Path(path)
             val fs = root.getFileSystem(

@@ -51,6 +51,16 @@ class DebeziumJsonSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("materialize: same-ts_ms delete vs update resolves to deleted " +
+      "(conservative -D > +U > +I phase order)") {
+    val decoded = DebeziumJson.decode(lines(
+      """{"after":{"id":1,"v":"a"},"op":"c","ts_ms":1}""",
+      // ms-granularity collision: update and delete share ts_ms=2
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":2}""",
+      """{"before":{"id":1,"v":"a2"},"op":"d","ts_ms":2}"""), payload)
+    assert(DebeziumJson.materialize(decoded, Seq("id")).count() == 0)
+  }
+
   test("materialize: last change wins, deleted keys disappear, " +
       "arrival order irrelevant") {
     val decoded = DebeziumJson.decode(lines(
