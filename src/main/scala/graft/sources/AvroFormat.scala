@@ -89,7 +89,23 @@ object AvroFormat {
 
   /** Read Avro container files under `dir` back into a DataFrame with
     * the given Spark schema. */
-  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    readCore(spark, dir, schema, None)
+
+  /** Read with SCHEMA RESOLUTION (the flink-avro
+    * AvroDeserializationSchema reader-schema semantics,
+    * flink-formats/flink-avro/.../AvroDeserializationSchema.java):
+    * each file's writer schema resolves against `readerSchemaJson` —
+    * reader fields missing from the writer take their schema
+    * "default", writer fields absent from the reader are skipped,
+    * fields match by NAME not position. `schema` is the Spark shape
+    * of the reader schema. */
+  def readEvolved(spark: SparkSession, dir: String, schema: StructType,
+      readerSchemaJson: String): DataFrame =
+    readCore(spark, dir, schema, Some(readerSchemaJson))
+
+  private def readCore(spark: SparkSession, dir: String, schema: StructType,
+      readerSchemaJson: Option[String]): DataFrame = {
     val files = new File(dir).listFiles().filter(_.getName.endsWith(".avro"))
       .map(_.getAbsolutePath).sorted.toSeq
     val names = schema.fieldNames
@@ -97,8 +113,10 @@ object AvroFormat {
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { path =>
-        val rd = DataFileReader.openReader(
-          new File(path), new GenericDatumReader[GenericRecord]())
+        val datum = new GenericDatumReader[GenericRecord]()
+        readerSchemaJson.foreach(j =>
+          datum.setExpected(new Schema.Parser().parse(j)))
+        val rd = DataFileReader.openReader(new File(path), datum)
         rd.iterator().asScala.map { rec =>
           val vals = names.indices.map { i =>
             (rec.get(names(i)), dts(i)) match {

@@ -107,6 +107,28 @@ class OperatorSpec extends AnyFunSuite {
       (2, None, None, None, None, None)))
   }
 
+  test("AvroFormat schema resolution: added-default field filled, " +
+      "dropped field skipped, match by name not position") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_ev").toString
+    val src = Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "name", "extra")
+    AvroFormat.write(src, dir)
+    // reader schema: drops `extra`, REORDERS the survivors, and adds
+    // `score` with a default — classic consumer-side evolution
+    val readerJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "name", "type": ["null", "string"]},
+           {"name": "k", "type": "int"},
+           {"name": "score", "type": "long", "default": 7}]}"""
+    val readerSpark = new StructType()
+      .add("name", StringType).add("k", IntegerType, nullable = false)
+      .add("score", LongType, nullable = false)
+    val back = AvroFormat.readEvolved(spark, dir, readerSpark, readerJson)
+    assert(back.as[(String, Int, Long)].collect().toSet ==
+      Set(("a", 1, 7L), ("b", 2, 7L)))
+  }
+
   test("AvroFormat narrows Avro int back to Short/Byte columns on read") {
     import graft.sources.AvroFormat
     val dir = java.nio.file.Files.createTempDirectory("graft_avro_sb").toString
