@@ -694,6 +694,55 @@ object TpcdsShapePack extends QueryPack {
           sum(centsCol($"o_totalprice")).as("rev_cents"))
     }),
 
+    // LATERAL correlated subquery (TPC-DS q9/q44 family; Spark
+    // DecorrelateInnerQuery): for every nation, its top-2 suppliers by
+    // account balance via a correlated LATERAL ... ORDER BY ... LIMIT.
+    // Catalyst decorrelates the per-row subquery into one windowed
+    // pass — the plan a hand-written rank() would produce, from
+    // correlated SQL. SQL-expressed so the decorrelation path itself
+    // is exercised.
+    "q_tpcds_lateral" -> ((s, d) => {
+      import s.implicits._
+      T.nation(s, d).createOrReplaceTempView("tpcds_lat_nation")
+      T.supplier(s, d).createOrReplaceTempView("tpcds_lat_supplier")
+      s.sql("""
+        SELECT n_name, t.s_name, t.s_acctbal
+        FROM tpcds_lat_nation,
+        LATERAL (
+          SELECT s_name, s_acctbal FROM tpcds_lat_supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t""")
+    }),
+
+    // q49 shape: per-status return-RATIO ranking, worst first, with
+    // the amount-ratio and quantity-ratio leaderboards UNIONed. The
+    // ratio ranks in integer parts-per-million (half-up), so rank
+    // order can never flip between engines; ratio ties break by part.
+    "q_tpcds_returnratio" -> ((s, d) => {
+      import s.implicits._
+      val base = T.lineitem(s, d)
+        .groupBy($"l_linestatus", $"l_partkey")
+        .agg(
+          sum(centsCol($"l_extendedprice")).as("amt"),
+          sum(when($"l_returnflag" === "R",
+            centsCol($"l_extendedprice")).otherwise(0L)).as("ret_amt"),
+          sum($"l_quantity".cast("long")).as("qty"),
+          sum(when($"l_returnflag" === "R", $"l_quantity".cast("long"))
+            .otherwise(0L)).as("ret_qty"))
+        .filter($"amt" > 0 && $"qty" > 0)
+        .withColumn("amt_ppm",
+          expr("((1000000 * ret_amt) + (amt div 2)) div amt"))
+        .withColumn("qty_ppm",
+          expr("((1000000 * ret_qty) + (qty div 2)) div qty"))
+      def top(col_ : String, ch: String) = base
+        .withColumn("rk", rank().over(Window.partitionBy($"l_linestatus")
+          .orderBy(col(col_).desc, $"l_partkey".asc)))
+        .filter($"rk" <= 5)
+        .select(lit(ch).as("board"), $"l_linestatus", $"l_partkey",
+          col(col_).as("ret_ppm"), $"rk".cast("long").as("rk"))
+      top("amt_ppm", "amount").unionAll(top("qty_ppm", "quantity"))
+    }),
+
     // q80/q93 shape: sales LEFT JOIN per-line returns (the returned
     // subset of the same fact re-keyed by (orderkey, linenumber)),
     // netted and ROLLUP'd by nation. Refunds quantize to cents with
@@ -1237,6 +1286,46 @@ object TpcdsShapePack extends QueryPack {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS rev_cents
          FROM orders GROUP BY 1""",
+    "q_tpcds_lateral" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+         FROM nation,
+         LATERAL (
+           SELECT s_name, s_acctbal FROM supplier
+           WHERE s_nationkey = n_nationkey
+           ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2) t""",
+    "q_tpcds_returnratio" ->
+      """WITH base AS (
+           SELECT l_linestatus, l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS amt,
+                  CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_amt,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                  CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                    AS ret_qty
+           FROM lineitem GROUP BY 1, 2
+           HAVING amt > 0 AND qty > 0),
+         ppm AS (
+           SELECT *,
+                  CAST(((1000000 * ret_amt) + (amt // 2)) // amt AS BIGINT)
+                    AS amt_ppm,
+                  CAST(((1000000 * ret_qty) + (qty // 2)) // qty AS BIGINT)
+                    AS qty_ppm
+           FROM base),
+         amount AS (
+           SELECT 'amount' AS board, l_linestatus, l_partkey,
+                  amt_ppm AS ret_ppm, CAST(rk AS BIGINT) AS rk FROM (
+             SELECT *, rank() OVER (PARTITION BY l_linestatus
+               ORDER BY amt_ppm DESC, l_partkey ASC) AS rk FROM ppm)
+           WHERE rk <= 5),
+         quantity AS (
+           SELECT 'quantity' AS board, l_linestatus, l_partkey,
+                  qty_ppm AS ret_ppm, CAST(rk AS BIGINT) AS rk FROM (
+             SELECT *, rank() OVER (PARTITION BY l_linestatus
+               ORDER BY qty_ppm DESC, l_partkey ASC) AS rk FROM ppm)
+           WHERE rk <= 5)
+         SELECT * FROM amount UNION ALL SELECT * FROM quantity""",
     "q_tpcds_returns_profit" ->
       """WITH ret AS (
            SELECT l_orderkey AS rk, l_linenumber AS rl,

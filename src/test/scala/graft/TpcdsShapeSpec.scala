@@ -156,6 +156,24 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q_tpcds_lateral: correlated LATERAL LIMIT decorrelates to a " +
+      "windowed pass (no per-outer-row re-execution, no cartesian)") {
+    val p = plan("q_tpcds_lateral")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpcds_returnratio: both leaderboards rank integer ppm " +
+      "ratios (rank order can never flip between engines)") {
+    val rows = SparkEntry.queries("q_tpcds_returnratio")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("ret_ppm")
+      assert(ppm >= 0 && ppm <= 1000000, r.toString)
+    }
+  }
+
   test("q_tpcds_returns_profit: per-line returns LEFT join + one " +
       "Expand rollup, dims broadcast") {
     val p = plan("q_tpcds_returns_profit")
