@@ -76,6 +76,28 @@ object OverWindowPack extends QueryPack {
            RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS nearby_sum""")
     }),
 
+    // Time-interval RANGE frame (Flink's RANGE INTERVAL OVER,
+    // StreamExecOverAggregate's rowtime-range frames): rolling 28-day
+    // revenue per supplier keyed by ship DATE — the frame bound is an
+    // INTERVAL on the time axis, a different physical frame evaluator
+    // than the numeric-range q_over_range (dates spaced unevenly ⇒
+    // varying row counts per frame). Cents sum: exact BIGINT in both
+    // engines. Per-day pre-aggregation first, so the window input is
+    // |supplier × active days|, not |lineitem| — at 100 TB the sort is
+    // over the collapsed daily series.
+    "q_over_range_interval" -> ((s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_suppkey", date_trunc("day", $"l_shipdate").as("day"))
+        .agg(sum(round($"l_extendedprice" * 100).cast("long"))
+          .as("day_cents"))
+        .selectExpr(
+          "l_suppkey", "day", "day_cents",
+          """sum(day_cents) OVER (PARTITION BY l_suppkey ORDER BY day
+             RANGE BETWEEN INTERVAL '27' DAY PRECEDING AND CURRENT ROW)
+             AS rolling28_cents""")
+    }),
+
     // Sliding ROWS frame (RowSlidingOverFrame): 3-row moving average.
     "q_over_rows_sliding" -> ((s, d) => {
       import s.implicits._
@@ -136,6 +158,18 @@ object OverWindowPack extends QueryPack {
          sum(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
            RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS nearby_sum
          FROM supplier""",
+    "q_over_range_interval" ->
+      """WITH daily AS (
+           SELECT l_suppkey,
+                  CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS day_cents
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_suppkey, day, day_cents,
+                CAST(sum(day_cents) OVER (PARTITION BY l_suppkey
+                  ORDER BY day RANGE BETWEEN INTERVAL 27 DAYS PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS rolling28_cents
+         FROM daily""",
     "q_over_rows_sliding" ->
       """SELECT o_custkey, o_orderkey,
          avg(o_totalprice) OVER w AS mov_avg,
