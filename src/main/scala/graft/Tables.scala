@@ -52,7 +52,15 @@ object Tables {
   /** embedding is pinned to array<float> regardless of the on-disk
     * element width — the generator has changed physical types once
     * already (events.ts); VectorOps encodes Array[Float]. A no-op cast
-    * when the file already stores float. */
+    * when the file already stores float. CAVEAT: should the generator
+    * ever ship array<double>, this cast silently NARROWS while the
+    * DuckDB oracle keeps reading the on-disk doubles — float-sensitive
+    * embedding queries (cosine/IVF/SemDeDup) would then drift from the
+    * oracle instead of failing loudly. All such queries already
+    * quantize similarities to integer micro-units, which absorbs
+    * narrowing on the current fixtures; if a double-element file
+    * appears, re-verify the quantization margin or normalize the
+    * oracle side to float identically. */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     s.read.parquet(s"$d/embeddings.parquet")

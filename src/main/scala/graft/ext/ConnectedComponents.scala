@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,6 +31,11 @@ import org.apache.spark.storage.StorageLevel
   * silently-partial clusters.
   */
 object ConnectedComponents {
+
+  /** Rounds the most recent [[run]] took to converge — diagnostics
+    * only (lets the job-count spec assert "one job per round" without
+    * threading a metrics object through the API). */
+  @volatile var lastRunRounds: Int = 0
 
   /** `nodes`: one column `id`. `edges`: columns `a`, `b` (undirected,
     * need not be symmetric or deduplicated). Returns (`id`, `lbl`)
@@ -72,14 +77,23 @@ object ConnectedComponents {
         .select(col("id"), col("plbl").as("lbl"), lit(false).as("is_self"))
       // the node's own current label rides through the union tagged
       // is_self, so the SAME aggregation that computes the new label
-      // also yields the previous one — convergence is then a filter
-      // over the pinned result instead of an extra per-round join
+      // also yields the previous one. Convergence is observed DURING
+      // the pin job via Dataset.observe (CollectMetrics accumulates
+      // sum(lbl < prev) while the checkpoint action materializes the
+      // frame), so a round costs exactly ONE job — no second
+      // full-table convergence scan (the pre-r8 isEmpty probe doubled
+      // per-round job count and was ~13% of the whole bench sweep on
+      // q_dedup_clusters).
+      val obs = Observation(s"cc_round_$round")
       val nextPrev = Materialize.pin(
         viaEdge.union(viaParent)
           .union(labels.select(col("id"), col("lbl"), lit(true).as("is_self")))
           .groupBy("id").agg(min("lbl").as("lbl"),
-            min(when(col("is_self"), col("lbl"))).as("prev")))
-      converged = nextPrev.filter(col("lbl") < col("prev")).isEmpty
+            min(when(col("is_self"), col("lbl"))).as("prev"))
+          .observe(obs, coalesce(
+            sum(when(col("lbl") < col("prev"), 1L).otherwise(0L)),
+            lit(0L)).as("changed")))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       // the superseded round's blocks go NOW — GC-driven reaping lets
       // dead rounds pile up and degrade every query sharing the session
       Materialize.release(curPin)
@@ -88,6 +102,7 @@ object ConnectedComponents {
       round += 1
     }
     sym.unpersist()
+    lastRunRounds = round
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")

@@ -178,7 +178,15 @@ object ExtPack3 extends QueryPack {
         .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
       val base = fps.filter($"doc_id" % 4 =!= 0)
       val delta = fps.filter($"doc_id" % 4 === 0)
-      val bloom = base.stat.bloomFilter("fp", 100000L, 0.01)
+      // Capacity is DERIVED from the base corpus, never hard-coded: a
+      // fixed expectedNumItems saturates once the corpus outgrows it
+      // (fpp -> ~1, every delta row becomes a "candidate", and the
+      // prefilter silently degrades to a no-op — output stays exact,
+      // but the optimization evaporates exactly at the scale it was
+      // built for). One cheap count job sizes the filter so fpp holds
+      // at ANY SF (~1.2 GB for 10^9 docs at 1% — still broadcastable).
+      val nBase = math.max(base.count(), 1000L)
+      val bloom = base.stat.bloomFilter("fp", nBase, 0.01)
       val mightContain = udf((fp: String) => fp != null && bloom.mightContain(fp))
       val candidates = delta.filter(mightContain($"fp"))
       val misses = delta.filter(!mightContain($"fp"))

@@ -81,6 +81,35 @@ object SourceSinkPack extends QueryPack {
       graft.sources.AvroFormat.read(s, dir, src.schema)
     }),
 
+    // Avro FULL type mapping roundtrip (flink-formats/flink-avro
+    // .../typeutils/AvroSchemaConverter.java analog): nested record,
+    // array of decimals (bytes + decimal logical type), string-keyed
+    // map, timestamp-micros — written and re-read through the
+    // GenericRecord bridge, then flattened so the DuckDB oracle can
+    // recompute the identical projection straight from orders. The
+    // encode+decode across every composite type must be the identity.
+    "q_avro_nested" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmpDir("avro_nested_orders")
+      val o = T.orders(s, d)
+      val src = o.select(
+        $"o_orderkey", $"o_custkey",
+        struct($"o_orderstatus".as("status"),
+          $"o_orderpriority".as("prio")).as("meta"),
+        array($"o_totalprice".cast("decimal(18,2)"),
+          $"o_totalprice".cast("decimal(18,2)")).as("amounts"),
+        map(lit("seg"), $"o_orderstatus").as("tags"),
+        $"o_orderdate".as("od"))
+      graft.sources.AvroFormat.write(src, dir)
+      val back = graft.sources.AvroFormat.read(s, dir, src.schema)
+      back.select(
+        $"o_orderkey", $"o_custkey",
+        $"meta.status".as("status"), $"meta.prio".as("prio"),
+        element_at($"amounts", 1).as("price_dec"),
+        element_at($"tags", "seg").as("seg"),
+        $"od")
+    }),
+
     // Protobuf format roundtrip (flink-formats/flink-protobuf analog;
     // see sources/ProtoFormat.scala — native wire-format codec, no
     // protobuf runtime needed). Exercises varint, zigzag (score can be
@@ -222,6 +251,43 @@ object SourceSinkPack extends QueryPack {
         Seq("o_orderkey"))
     }),
 
+    // Maxwell-JSON changelog roundtrip (flink-formats/flink-json
+    // .../maxwell/MaxwellJsonDeserializationSchema.java analog; see
+    // sources/MaxwellJson.scala). Same synthesized CDC history as
+    // q_debezium_source/q_canal_source, maxwell-encoded: single-row
+    // `data` images, lowercase types, ts in epoch SECONDS, UPDATE's
+    // `old` carrying only the changed field. All three envelopes share
+    // one materialization, so all three must reduce to the identical
+    // final state — the oracle is byte-identical to canal's.
+    "q_maxwell_source" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{DebeziumJson, MaxwellJson}
+      val dir = tmpDir("maxwell_orders")
+      val o = T.orders(s, d)
+      val pay = struct(o.columns.map(col): _*)
+      val payUpd = struct(o.columns.map(c =>
+        if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)
+      // partial before-image: only the changed column is present
+      val payOldPartial = struct(o.schema.fields.map(f =>
+        if (f.name == "o_totalprice") col(f.name).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      val nullOld = lit(null).cast(o.schema)
+      val inserts = o.select(pay.as("data"), nullOld.as("old"),
+        lit("insert").as("type"), lit(1L).as("ts"))
+      val updates = o.filter($"o_orderkey" % 3 === 0)
+        .select(payUpd.as("data"), payOldPartial.as("old"),
+          lit("update").as("type"), lit(2L).as("ts"))
+      val deletes = o.filter($"o_orderkey" % 7 === 0)
+        .select(pay.as("data"), nullOld.as("old"),
+          lit("delete").as("type"), lit(3L).as("ts"))
+      inserts.union(updates).union(deletes)
+        .select(to_json(struct($"data", $"old", $"type", $"ts")).as("value"))
+        .write.mode("overwrite").text(dir)
+      DebeziumJson.materialize(
+        MaxwellJson.decode(s.read.text(dir), o.schema),
+        Seq("o_orderkey"))
+    }),
+
     // SequenceFile format roundtrip (flink-formats/flink-sequence-file
     // .../SequenceFileWriterFactory.java analog): Hadoop key-value
     // SequenceFile written and re-read through the in-container Hadoop
@@ -348,6 +414,12 @@ object SourceSinkPack extends QueryPack {
                  ELSE o_totalprice END AS o_totalprice,
             o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 7 <> 0""",
+    "q_maxwell_source" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0""",
     "q_proto_source" ->
       """SELECT doc_id, lang, n_chars - 300 AS score,
             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
@@ -356,6 +428,12 @@ object SourceSinkPack extends QueryPack {
          FROM documents""",
     "q_avro_source" ->
       """SELECT * FROM supplier""",
+    "q_avro_nested" ->
+      """SELECT o_orderkey, o_custkey,
+            o_orderstatus AS status, o_orderpriority AS prio,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+            o_orderstatus AS seg, o_orderdate AS od
+         FROM orders""",
     "q_window_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
             make_timestamp(CAST(floor(epoch(p.ts)/3600)*3600 AS BIGINT)*1000000) AS window_start

@@ -7,13 +7,17 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 import java.io.File
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.time.Instant
 import scala.jdk.CollectionConverters._
 
 /** Avro container-file format bridge (SURVEY.md §2.1 formats row;
   * reference flink-formats/flink-avro
   * .../avro/AvroRowDataSerializationSchema.java and
-  * AvroRowDataDeserializationSchema.java — Flink maps RowData <-> Avro
-  * GenericRecord; we map Spark Row <-> GenericRecord the same way).
+  * .../typeutils/AvroSchemaConverter.java — Flink maps RowData <->
+  * Avro GenericRecord including nested rows, arrays, maps and the
+  * decimal / timestamp / date logical types; we map Spark Row <->
+  * GenericRecord over the same public Avro spec).
   *
   * The container image ships Avro core (avro-1.12.1.jar) but not the
   * spark-avro datasource, so this bridge goes straight to the public
@@ -24,9 +28,20 @@ import scala.jdk.CollectionConverters._
   *  - read: parallelize the file list, stream-decode each container
   *    file on an executor
   *
-  * Supported Spark types: the Avro-primitive subset (boolean, int,
-  * long, float, double, string, binary), nullable via union(null, T) —
-  * the same mapping AvroSchemaConverter uses for these types.
+  * Type mapping (AvroSchemaConverter's, restated for Spark types):
+  *  - primitives: boolean/int/long/float/double/string/binary
+  *    (short/byte widen to Avro int and narrow back on read)
+  *  - StructType -> nested Avro record (record names derived from the
+  *    field path — Avro requires unique names per schema)
+  *  - ArrayType -> Avro array (element nullability = union item)
+  *  - MapType (string keys — the only key type Avro maps have) ->
+  *    Avro map
+  *  - DecimalType(p,s) -> bytes + logicalType decimal (two's-complement
+  *    unscaled big-endian, the Avro spec encoding)
+  *  - TimestampType -> long + logicalType timestamp-micros;
+  *    TimestampNTZType -> long + local-timestamp-micros
+  *  - DateType -> int + logicalType date (days since epoch)
+  *  - nullable field/element -> union("null", T)
   *
   * Scale posture: files are written where the executor runs; on a real
   * cluster the dir would be on a shared filesystem (HDFS/object store
@@ -35,9 +50,10 @@ import scala.jdk.CollectionConverters._
   */
 object AvroFormat {
 
-  /** Spark StructType -> Avro record schema JSON (nullable = union). */
+  /** Spark StructType -> Avro record schema JSON (nullable = union).
+    * `recordName` seeds the path-derived names of nested records. */
   def avroSchemaJson(schema: StructType, recordName: String = "row"): String = {
-    def prim(dt: DataType): String = dt match {
+    def typeJson(dt: DataType, path: String): String = dt match {
       case BooleanType => "\"boolean\""
       case IntegerType | ShortType | ByteType => "\"int\""
       case LongType => "\"long\""
@@ -45,42 +61,131 @@ object AvroFormat {
       case DoubleType => "\"double\""
       case StringType => "\"string\""
       case BinaryType => "\"bytes\""
+      case dec: DecimalType =>
+        s"""{"type": "bytes", "logicalType": "decimal", """ +
+          s""""precision": ${dec.precision}, "scale": ${dec.scale}}"""
+      case TimestampType =>
+        """{"type": "long", "logicalType": "timestamp-micros"}"""
+      case TimestampNTZType =>
+        """{"type": "long", "logicalType": "local-timestamp-micros"}"""
+      case DateType => """{"type": "int", "logicalType": "date"}"""
+      case st: StructType => recordJson(st, path)
+      case ArrayType(et, containsNull) =>
+        val item = typeJson(et, s"${path}_item")
+        val itemT = if (containsNull) s"""["null", $item]""" else item
+        s"""{"type": "array", "items": $itemT}"""
+      case MapType(StringType, vt, valueContainsNull) =>
+        val v = typeJson(vt, s"${path}_value")
+        val vT = if (valueContainsNull) s"""["null", $v]""" else v
+        s"""{"type": "map", "values": $vT}"""
+      case MapType(kt, _, _) => throw new IllegalArgumentException(
+        s"Avro maps have string keys only, got key type $kt")
       case other => throw new IllegalArgumentException(
-        s"AvroFormat supports primitive columns only, got $other")
+        s"AvroFormat cannot map $other to an Avro type")
     }
-    val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null", ${prim(f.dataType)}]""" else prim(f.dataType)
-      s"""{"name": "${f.name}", "type": $t}"""
-    }.mkString(", ")
-    s"""{"type": "record", "name": "$recordName", "fields": [$fields]}"""
+    def recordJson(st: StructType, path: String): String = {
+      val fields = st.fields.map { f =>
+        val t = typeJson(f.dataType, s"${path}_${f.name}")
+        val tJson = if (f.nullable) s"""["null", $t]""" else t
+        s"""{"name": "${f.name}", "type": $tJson}"""
+      }.mkString(", ")
+      s"""{"type": "record", "name": "$path", "fields": [$fields]}"""
+    }
+    recordJson(schema, recordName)
   }
+
+  /** Strip the null branch off a union schema (nullable encoding). */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** Spark external value -> Avro datum, following the declared Spark
+    * type (the write side of AvroRowDataSerializationSchema's
+    * conversion tree). */
+  private def toAvro(v: Any, dt: DataType, fieldSchema: Schema): Any =
+    if (v == null) null else (v, dt) match {
+      case (r: Row, st: StructType) =>
+        val sch = nonNull(fieldSchema)
+        val rec = new GenericData.Record(sch)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name, toAvro(r.get(i), f.dataType,
+            sch.getField(f.name).schema()))
+        }
+        rec
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        val itemSchema = nonNull(fieldSchema).getElementType
+        seq.map(x => toAvro(x, et, itemSchema)).asJava
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        val valueSchema = nonNull(fieldSchema).getValueType
+        val out = new java.util.HashMap[String, Any]()
+        m.foreach { case (k, x) => out.put(k.toString, toAvro(x, vt, valueSchema)) }
+        out
+      case (d: JBigDecimal, dec: DecimalType) =>
+        java.nio.ByteBuffer.wrap(
+          d.setScale(dec.scale).unscaledValue().toByteArray)
+      case (t: java.sql.Timestamp, TimestampType) =>
+        val inst = t.toInstant
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case (t: java.time.LocalDateTime, TimestampNTZType) =>
+        val inst = t.toInstant(java.time.ZoneOffset.UTC)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+      case (b: Array[Byte], _) => java.nio.ByteBuffer.wrap(b)
+      case (s: Short, _) => s.toInt
+      case (b: Byte, _) => b.toInt
+      case (x, _) => x
+    }
+
+  /** Avro datum -> Spark external value for the declared Spark type
+    * (by NAME for records, so reader-schema evolution composes). */
+  private def fromAvro(v: Any, dt: DataType): Any =
+    if (v == null) null else (v, dt) match {
+      case (rec: GenericRecord, st: StructType) =>
+        Row.fromSeq(st.fields.toIndexedSeq.map(f =>
+          fromAvro(rec.get(f.name), f.dataType)))
+      case (c: java.util.Collection[_], ArrayType(et, _)) =>
+        c.asScala.map(fromAvro(_, et)).toSeq
+      case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+        m.asScala.map { case (k, x) => k.toString -> fromAvro(x, vt) }.toMap
+      case (bb: java.nio.ByteBuffer, dec: DecimalType) =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        new JBigDecimal(new BigInteger(a), dec.scale)
+      case (micros: java.lang.Long, TimestampType) =>
+        val sec = Math.floorDiv(micros.longValue(), 1000000L)
+        val nano = Math.floorMod(micros.longValue(), 1000000L) * 1000L
+        java.sql.Timestamp.from(Instant.ofEpochSecond(sec, nano))
+      case (micros: java.lang.Long, TimestampNTZType) =>
+        val sec = Math.floorDiv(micros.longValue(), 1000000L)
+        val nano = Math.floorMod(micros.longValue(), 1000000L) * 1000L
+        java.time.LocalDateTime.ofEpochSecond(sec, nano.toInt,
+          java.time.ZoneOffset.UTC)
+      case (days: Integer, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
+      case (s, StringType) => s.toString
+      case (bb: java.nio.ByteBuffer, BinaryType) =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      // write() widens Short/Byte to Avro int; narrow back so the
+      // value matches the declared Spark type
+      case (i: Integer, ShortType) => i.shortValue()
+      case (i: Integer, ByteType) => i.byteValue()
+      case (x, _) => x
+    }
 
   /** Write `df` as Avro container files under `dir` (one per partition). */
   def write(df: DataFrame, dir: String): Unit = {
     val d = new File(dir)
     if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
     val schemaJson = avroSchemaJson(df.schema)
-    val names = df.schema.fieldNames
+    val sparkSchema = df.schema
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val sch = new Schema.Parser().parse(schemaJson)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
       w.create(sch, new File(s"$dir/part-$pid.avro"))
       var n = 0L
       rows.foreach { r =>
-        val rec = new GenericData.Record(sch)
-        var i = 0
-        while (i < names.length) {
-          val v = r.get(i) match {
-            case null => null
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case s: Short => s.toInt
-            case b: Byte => b.toInt
-            case x => x
-          }
-          rec.put(names(i), v)
-          i += 1
-        }
-        w.append(rec); n += 1
+        w.append(toAvro(r, sparkSchema, sch).asInstanceOf[GenericRecord])
+        n += 1
       }
       w.close()
       Iterator(n)
@@ -98,8 +203,8 @@ object AvroFormat {
     * each file's writer schema resolves against `readerSchemaJson` —
     * reader fields missing from the writer take their schema
     * "default", writer fields absent from the reader are skipped,
-    * fields match by NAME not position. `schema` is the Spark shape
-    * of the reader schema. */
+    * fields match by NAME not position (at any nesting depth).
+    * `schema` is the Spark shape of the reader schema. */
   def readEvolved(spark: SparkSession, dir: String, schema: StructType,
       readerSchemaJson: String): DataFrame =
     readCore(spark, dir, schema, Some(readerSchemaJson))
@@ -108,8 +213,6 @@ object AvroFormat {
       readerSchemaJson: Option[String]): DataFrame = {
     val files = new File(dir).listFiles().filter(_.getName.endsWith(".avro"))
       .map(_.getAbsolutePath).sorted.toSeq
-    val names = schema.fieldNames
-    val dts = schema.fields.map(_.dataType)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { path =>
@@ -117,22 +220,8 @@ object AvroFormat {
         readerSchemaJson.foreach(j =>
           datum.setExpected(new Schema.Parser().parse(j)))
         val rd = DataFileReader.openReader(new File(path), datum)
-        rd.iterator().asScala.map { rec =>
-          val vals = names.indices.map { i =>
-            (rec.get(names(i)), dts(i)) match {
-              case (null, _) => null
-              case (v, StringType) => v.toString
-              case (v: java.nio.ByteBuffer, BinaryType) =>
-                val a = new Array[Byte](v.remaining()); v.get(a); a
-              // write() widens Short/Byte to Avro int; narrow back so the
-              // value matches the declared Spark type
-              case (v: Integer, ShortType) => v.shortValue()
-              case (v: Integer, ByteType) => v.byteValue()
-              case (v, _) => v
-            }
-          }
-          Row.fromSeq(vals)
-        }
+        rd.iterator().asScala.map(rec =>
+          fromAvro(rec, schema).asInstanceOf[Row])
       }
     spark.createDataFrame(rows, schema)
   }

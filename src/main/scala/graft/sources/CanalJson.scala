@@ -16,6 +16,19 @@ import org.apache.spark.sql.types._
   *    `data[i]` (the reference does the same merge). The -U row is
   *    therefore field-wise coalesce(old[i], data[i]).
   *
+  * Known limitation (differs from the reference): the coalesce merge
+  * cannot distinguish a CHANGED field whose before-value was
+  * explicitly null from an ABSENT (unchanged) field — the reference's
+  * CanalJsonDeserializationSchema probes JSON field PRESENCE
+  * (findValue) and preserves explicit nulls, so a null->x update there
+  * emits a -U carrying null where this decode emits x. Final-state
+  * consumers are unaffected ([[DebeziumJson.materialize]] drops -U
+  * rows), but a changelog consumer that inspects retraction images
+  * sees the new value in that corner. Fixing it here would need a
+  * per-field presence probe (e.g. a second from_json to
+  * map<string,string> per old[i]) — cost not justified while no
+  * downstream graft consumer reads -U images field-wise.
+  *
   * Same Spark-first shape as [[DebeziumJson]]: typed `from_json`, one
   * posexplode over the batch array, one generator for the 1-or-2-row
   * kind expansion; materialization reuses

@@ -92,7 +92,13 @@ object Sinks {
         // tombstoned writes nothing and would keep its stale file.
         // Explicitly remove those bucket dirs (driver-side, bounded by
         // `buckets`; production MERGE INTO ... WHEN MATCHED DELETE
-        // handles this transactionally).
+        // handles this transactionally). CRASH WINDOW: this delete is
+        // a separate non-atomic step after the overwrite — a crash
+        // between the two leaves a stale bucket whose deleted keys
+        // reappear in the snapshot until foreachBatch replays the
+        // micro-batch from the streaming checkpoint (at-least-once
+        // replay re-runs the cleanup, so it self-heals; only a reader
+        // in the crash-to-replay window can observe resurrected keys).
         tombstoneCol.foreach { t =>
           // only buckets that actually received a tombstone THIS batch
           // can have been emptied — gate the snapshot-side distinct

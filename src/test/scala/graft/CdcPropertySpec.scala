@@ -1,15 +1,16 @@
 package graft
 
-import graft.sources.{CanalJson, DebeziumJson}
+import graft.sources.{CanalJson, DebeziumJson, MaxwellJson}
 import org.apache.spark.sql.types._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property test for the CDC decode+materialize path: ANY generated
-  * insert/update/delete history, replayed through the debezium AND
-  * canal envelopes, must equal a plain in-memory map fold of the same
-  * history — the definitional semantics of changelog materialization.
+  * insert/update/delete history, replayed through the debezium, canal
+  * AND maxwell envelopes, must equal a plain in-memory map fold of the
+  * same history — the definitional semantics of changelog
+  * materialization.
   * Histories are key-consistent (an update/delete only follows an
   * existing key) with strictly increasing ts, like a real CDC log. */
 class CdcPropertySpec extends AnyFunSuite {
@@ -81,13 +82,22 @@ class CdcPropertySpec extends AnyFunSuite {
       s"""{"data":[${pay(id, v)}],"type":"DELETE","ts":$ts}"""
   }
 
+  private def maxwellLine(op: Op, ts: Int): String = op match {
+    case Ins(id, v) =>
+      s"""{"data":${pay(id, v)},"type":"insert","ts":$ts}"""
+    case Upd(id, f, t) => // maxwell: old carries ONLY the changed field
+      s"""{"data":${pay(id, t)},"old":{"v":${q(f)}},"type":"update","ts":$ts}"""
+    case Del(id, v) =>
+      s"""{"data":${pay(id, v)},"type":"delete","ts":$ts}"""
+  }
+
   private def materializedSet(lines: Seq[String],
       decode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
     DebeziumJson.materialize(decode(lines.toDF("value")), Seq("id"))
       .as[(Long, String)].collect().toSet
 
-  test("debezium and canal materialization equal the map-fold replay " +
-      "for arbitrary key-consistent histories") {
+  test("debezium, canal and maxwell materialization equal the map-fold " +
+      "replay for arbitrary key-consistent histories") {
     // deterministic seeds, no scalatestplus bridge in the deps
     (1 to 30).foreach { i =>
       val h = histories.apply(Gen.Parameters.default, Seed(i.toLong))
@@ -101,8 +111,13 @@ class CdcPropertySpec extends AnyFunSuite {
         val viaCanal = materializedSet(
           h.zip(ts).map { case (op, t) => canalLine(op, t) },
           CanalJson.decode(_, payload))
+        val viaMaxwell = materializedSet(
+          h.zip(ts).map { case (op, t) => maxwellLine(op, t) },
+          MaxwellJson.decode(_, payload))
         assert(viaDbz == expected, s"seed $i debezium: $viaDbz vs $expected\n$h")
         assert(viaCanal == expected, s"seed $i canal: $viaCanal vs $expected\n$h")
+        assert(viaMaxwell == expected,
+          s"seed $i maxwell: $viaMaxwell vs $expected\n$h")
       }
     }
   }

@@ -107,6 +107,57 @@ class OperatorSpec extends AnyFunSuite {
       (2, None, None, None, None, None)))
   }
 
+  test("AvroFormat round-trips nested records, arrays, maps, decimal, " +
+      "timestamp and date (incl. null composites)") {
+    import graft.sources.AvroFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_nest").toString
+    val src = Seq((1L, "s1", 5), (2L, "s2", 7)).toDF("id", "name", "qty")
+      .select($"id",
+        when($"id" === 1L,
+          struct($"name", $"qty", struct($"name".as("inner_n")).as("deep")))
+          .as("meta"), // null struct for id=2
+        when($"id" === 1L, array($"qty", $"qty" + 1)).as("arr"),
+        map($"name", $"qty".cast("double")).as("m"),
+        ($"qty" * lit(1.5)).cast("decimal(10,2)").as("dec"),
+        lit(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")).as("ts"),
+        lit(java.sql.Date.valueOf("2024-03-04")).as("dt"))
+    AvroFormat.write(src, dir)
+    val back = AvroFormat.read(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.collect().toSet == src.collect().toSet)
+    // micros precision survived (no ms truncation through the bridge)
+    assert(back.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].collect().toSet == Set("2024-01-02 03:04:05.123456"))
+  }
+
+  test("AvroFormat schema resolution on a NESTED record: added-default " +
+      "nested field filled, dropped nested field skipped") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_nev").toString
+    val src = Seq((1, "x", 10), (2, "y", 20)).toDF("k", "a", "b")
+      .select($"k", struct($"a", $"b").as("meta"))
+    AvroFormat.write(src, dir)
+    // reader: inside the nested record, drop `a`, keep `b`, add `c`
+    // with a default — record names must match the writer's
+    // path-derived names (row / row_meta) for Avro resolution
+    val readerJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "k", "type": "int"},
+           {"name": "meta", "type": ["null",
+             {"type": "record", "name": "row_meta", "fields": [
+               {"name": "b", "type": ["null", "int"]},
+               {"name": "c", "type": "long", "default": 9}]}]}]}"""
+    val readerSpark = new StructType()
+      .add("k", IntegerType, nullable = false)
+      .add("meta", new StructType()
+        .add("b", IntegerType).add("c", LongType, nullable = false))
+    val back = AvroFormat.readEvolved(spark, dir, readerSpark, readerJson)
+    assert(back.select($"k", $"meta.b", $"meta.c")
+      .as[(Int, Int, Long)].collect().toSet ==
+      Set((1, 10, 9L), (2, 20, 9L)))
+  }
+
   test("AvroFormat schema resolution: added-default field filled, " +
       "dropped field skipped, match by name not position") {
     import graft.sources.AvroFormat
