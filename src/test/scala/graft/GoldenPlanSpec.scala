@@ -69,7 +69,13 @@ class GoldenPlanSpec extends AnyFunSuite {
     // order, which varies with JVM/suite state, so its — correct —
     // plan has no stable text form. Its single-Expand property is
     // asserted structurally in TpcdsShapeSpec instead.)
-    "q_tpcds_notin", "q_tpcds_returns_profit")
+    "q_tpcds_notin", "q_tpcds_returns_profit",
+    // r8: the CDC decode+materialize path — the operator most likely
+    // to run at true 100-TB history scale. Must stay: typed from_json
+    // + ONE Generate (the 1-or-2-row op expansion) + one keyed window
+    // (keep-last materialization) with a single exchange on the
+    // primary key — no second shuffle, no generator duplication
+    "q_debezium_source")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
