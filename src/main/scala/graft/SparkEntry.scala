@@ -27,6 +27,7 @@ object SparkEntry {
     TpchPack,
     TpchPack2,
     TpcdsShapePack,
+    TpcdsShapePack2,
     IteratePack
   )
 

@@ -60,11 +60,22 @@ object Tables {
     * quantize similarities to integer micro-units, which absorbs
     * narrowing on the current fixtures; if a double-element file
     * appears, re-verify the quantization margin or normalize the
-    * oracle side to float identically. */
+    * oracle side to float identically. The narrowing is WARNED loudly
+    * (stderr, once per load) so a generator drift shows up in the
+    * verify log instead of only as downstream hash mismatches. */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    s.read.parquet(s"$d/embeddings.parquet")
-      .withColumn("embedding", col("embedding").cast("array<float>"))
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = s.read.parquet(s"$d/embeddings.parquet")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw // on-disk float: cast is a no-op
+      case other =>
+        System.err.println(s"[graft.Tables] WARNING: embeddings.embedding " +
+          s"is $other on disk, NARROWING to array<float> — the DuckDB " +
+          "oracle reads the on-disk width; re-verify the micro-unit " +
+          "quantization margin of cosine/IVF/SemDeDup queries")
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
   }
 
   /** Register every table as a temp view so spark.sql queries can refer to

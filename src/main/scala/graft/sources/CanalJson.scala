@@ -16,18 +16,17 @@ import org.apache.spark.sql.types._
   *    `data[i]` (the reference does the same merge). The -U row is
   *    therefore field-wise coalesce(old[i], data[i]).
   *
-  * Known limitation (differs from the reference): the coalesce merge
-  * cannot distinguish a CHANGED field whose before-value was
-  * explicitly null from an ABSENT (unchanged) field — the reference's
+  * A CHANGED field whose before-value was explicitly null must be
+  * distinguished from an ABSENT (unchanged) field — the reference's
   * CanalJsonDeserializationSchema probes JSON field PRESENCE
-  * (findValue) and preserves explicit nulls, so a null->x update there
-  * emits a -U carrying null where this decode emits x. Final-state
-  * consumers are unaffected ([[DebeziumJson.materialize]] drops -U
-  * rows), but a changelog consumer that inspects retraction images
-  * sees the new value in that corner. Fixing it here would need a
-  * per-field presence probe (e.g. a second from_json to
-  * map<string,string> per old[i]) — cost not justified while no
-  * downstream graft consumer reads -U images field-wise.
+  * (findValue) so a null->x update emits a -U carrying null, not x.
+  * A bare coalesce(old[i].f, data[i].f) cannot see that difference,
+  * so the merge here keys off a SECOND parse of `old` as
+  * array<map<string,string>>: `map_contains_key` answers "was the
+  * field present in old[i]" regardless of its value, and the typed
+  * value (null included) then comes from the typed parse. Both
+  * parses are codegen'd Jackson runs over the same string — no extra
+  * shuffle, no UDF.
   *
   * Same Spark-first shape as [[DebeziumJson]]: typed `from_json`, one
   * posexplode over the batch array, one generator for the 1-or-2-row
@@ -51,24 +50,33 @@ object CanalJson {
       valueCol: String = "value"): DataFrame = {
     def tagged(kind: String, row: Column): Column =
       struct(lit(kind).as("kind"), row.as("row"))
-    // before-image of row i: changed fields from old[i], the rest
-    // from the new image data[i]
-    def mergedBefore(old: Column, idx: Column, newRow: Column): Column = {
+    // before-image of row i: fields PRESENT in old[i] (the presence
+    // probe - explicit nulls included) from old[i], the rest from the
+    // new image data[i]
+    def mergedBefore(old: Column, oldMaps: Column, idx: Column,
+        newRow: Column): Column = {
       val o = element_at(old, idx + 1)
+      val om = element_at(oldMaps, idx + 1)
       struct(payload.fields.map(f =>
-        coalesce(o.getField(f.name), newRow.getField(f.name))
+        when(map_contains_key(om, f.name), o.getField(f.name))
+          .otherwise(newRow.getField(f.name))
           .as(f.name)): _*)
     }
+    val probeSchema = new StructType()
+      .add("old", ArrayType(MapType(StringType, StringType)))
     val parsed = raw
-      .select(from_json(col(valueCol), envelopeSchema(payload)).as("e"))
+      .select(from_json(col(valueCol), envelopeSchema(payload)).as("e"),
+        from_json(col(valueCol), probeSchema).getField("old").as("om"))
       .select(col("e.ts").as("ts_ms"), col("e.type").as("t"),
-        col("e.old").as("o"), posexplode(col("e.data")).as(Seq("i", "row")))
+        col("e.old").as("o"), col("om"),
+        posexplode(col("e.data")).as(Seq("i", "row")))
     parsed.select(
       col("ts_ms"),
       explode(
         when(col("t") === "INSERT", array(tagged("+I", col("row"))))
         .when(col("t") === "UPDATE",
-          array(tagged("-U", mergedBefore(col("o"), col("i"), col("row"))),
+          array(tagged("-U",
+            mergedBefore(col("o"), col("om"), col("i"), col("row"))),
             tagged("+U", col("row"))))
         .when(col("t") === "DELETE", array(tagged("-D", col("row"))))
         .otherwise(array().cast(ArrayType(new StructType()

@@ -33,6 +33,23 @@ class CanalJsonSpec extends AnyFunSuite {
       ("-D", 2L, "b", 20L)), got.toString)
   }
 
+  test("UPDATE with an explicitly-null changed before-value keeps the " +
+      "null in the -U image (presence probe, not coalesce — " +
+      "CanalJsonDeserializationSchema findValue semantics)") {
+    val decoded = CanalJson.decode(lines(
+      """{"data":[{"id":1,"v":"set","n":10}],"type":"INSERT","ts":1}""",
+      // v changed null -> "set2": old carries v PRESENT with value null.
+      // A coalesce merge would wrongly emit the NEW value in the -U row.
+      """{"data":[{"id":1,"v":"set2","n":10}],"old":[{"v":null}],"type":"UPDATE","ts":2}"""),
+      payload)
+    val got = decoded.select($"kind", $"id", $"v", $"n")
+      .as[(String, Long, Option[String], Long)].collect().toSet
+    assert(got == Set(
+      ("+I", 1L, Some("set"), 10L),
+      ("-U", 1L, None, 10L), // explicit null preserved
+      ("+U", 1L, Some("set2"), 10L)), got.toString)
+  }
+
   test("canal changelog materializes to the same final state as debezium") {
     val canal = CanalJson.decode(lines(
       """{"data":[{"id":1,"v":"a","n":1},{"id":2,"v":"b","n":2}],"type":"INSERT","ts":1}""",
