@@ -75,7 +75,15 @@ class GoldenPlanSpec extends AnyFunSuite {
     // + ONE Generate (the 1-or-2-row op expansion) + one keyed window
     // (keep-last materialization) with a single exchange on the
     // primary key — no second shuffle, no generator duplication
-    "q_debezium_source")
+    "q_debezium_source",
+    // r8 second-wave TPC-DS shapes: the derived-channel rollup must
+    // stay ONE Expand over ONE fact pass (not a per-channel rescan);
+    // the 3-frame union rollup must keep its per-channel partial aggs
+    // BELOW the union and one Expand above it; the order profile must
+    // keep the distinct-split aggregate + ONE window (no fact
+    // self-join for the qualifying-order count)
+    "q_tpcds_channel_rollup", "q_tpcds_union_rollup",
+    "q_tpcds_order_profile")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
