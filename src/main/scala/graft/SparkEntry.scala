@@ -28,6 +28,8 @@ object SparkEntry {
     TpchPack2,
     TpcdsShapePack,
     TpcdsShapePack2,
+    TpcdsShapePack3,
+    TpcdsShapePack4,
     IteratePack
   )
 
