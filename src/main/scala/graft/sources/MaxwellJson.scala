@@ -22,11 +22,11 @@ import org.apache.spark.sql.types._
   * `ts_ms` = ts * 1000 — Maxwell's seconds normalized to the common
   * millisecond axis.
   *
-  * Shares [[CanalJson]]'s before-image limitation: the -U merge is
-  * field-wise coalesce(old.f, data.f), which reads a changed field
-  * whose before-value was explicitly null as "unchanged" (the
-  * reference probes JSON field presence). Final-state consumers are
-  * unaffected — materialize drops -U rows.
+  * Before-image merge follows [[CanalJson]]: a second parse of `old`
+  * as map<string,string> answers field PRESENCE, so a changed field
+  * whose before-value was explicitly null keeps the null in the -U
+  * image (the reference's MaxwellJsonDeserializationSchema probes
+  * JSON field presence the same way).
   */
 object MaxwellJson {
 
@@ -46,21 +46,26 @@ object MaxwellJson {
       valueCol: String = "value"): DataFrame = {
     def tagged(kind: String, row: Column): Column =
       struct(lit(kind).as("kind"), row.as("row"))
-    // before-image: changed fields from `old`, the rest from `data`
-    def mergedBefore(old: Column, newRow: Column): Column =
+    // before-image: fields PRESENT in `old` (explicit nulls included,
+    // via the presence probe) from `old`, the rest from `data`
+    def mergedBefore(old: Column, oldMap: Column, newRow: Column): Column =
       struct(payload.fields.map(f =>
-        coalesce(old.getField(f.name), newRow.getField(f.name))
+        when(map_contains_key(oldMap, f.name), old.getField(f.name))
+          .otherwise(newRow.getField(f.name))
           .as(f.name)): _*)
+    val probeSchema = new StructType()
+      .add("old", MapType(StringType, StringType))
     val parsed = raw
-      .select(from_json(col(valueCol), envelopeSchema(payload)).as("e"))
+      .select(from_json(col(valueCol), envelopeSchema(payload)).as("e"),
+        from_json(col(valueCol), probeSchema).getField("old").as("om"))
       .select((col("e.ts") * 1000L).as("ts_ms"), col("e.type").as("t"),
-        col("e.old").as("o"), col("e.data").as("row"))
+        col("e.old").as("o"), col("om"), col("e.data").as("row"))
     parsed.select(
       col("ts_ms"),
       explode(
         when(col("t") === "insert", array(tagged("+I", col("row"))))
         .when(col("t") === "update",
-          array(tagged("-U", mergedBefore(col("o"), col("row"))),
+          array(tagged("-U", mergedBefore(col("o"), col("om"), col("row"))),
             tagged("+U", col("row"))))
         .when(col("t") === "delete", array(tagged("-D", col("row"))))
         .otherwise(array().cast(ArrayType(new StructType()

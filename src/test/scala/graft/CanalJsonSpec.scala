@@ -50,6 +50,21 @@ class CanalJsonSpec extends AnyFunSuite {
       ("+U", 1L, Some("set2"), 10L)), got.toString)
   }
 
+  test("maxwell UPDATE with an explicitly-null changed before-value " +
+      "keeps the null in the -U image (same presence-probe semantics)") {
+    import graft.sources.MaxwellJson
+    val decoded = MaxwellJson.decode(lines(
+      """{"data":{"id":1,"v":"set","n":10},"type":"insert","ts":1}""",
+      """{"data":{"id":1,"v":"set2","n":10},"old":{"v":null},"type":"update","ts":2}"""),
+      payload)
+    val got = decoded.select($"kind", $"id", $"v", $"n")
+      .as[(String, Long, Option[String], Long)].collect().toSet
+    assert(got == Set(
+      ("+I", 1L, Some("set"), 10L),
+      ("-U", 1L, None, 10L),
+      ("+U", 1L, Some("set2"), 10L)), got.toString)
+  }
+
   test("canal changelog materializes to the same final state as debezium") {
     val canal = CanalJson.decode(lines(
       """{"data":[{"id":1,"v":"a","n":1},{"id":2,"v":"b","n":2}],"type":"INSERT","ts":1}""",

@@ -83,7 +83,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     // keep the distinct-split aggregate + ONE window (no fact
     // self-join for the qualifying-order count)
     "q_tpcds_channel_rollup", "q_tpcds_union_rollup",
-    "q_tpcds_order_profile")
+    "q_tpcds_order_profile",
+    // r8 waves 3-4: the OR-of-memberships must stay an ExistenceJoin
+    // (a rewrite to union-of-scans or a nested loop would rescan the
+    // fact); the date-offset inequality must stay a post-condition on
+    // the orderkey equi join
+    "q_tpcds_hybridfilter", "q_tpcds_shortage")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
