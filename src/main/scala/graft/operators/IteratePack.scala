@@ -99,7 +99,10 @@ object IteratePack extends QueryPack {
 
     // BFS hop levels from the minimum node id, run to CONVERGENCE via
     // loopUntil (the DataSet-iteration convergence-criterion path):
-    // a round that improves no distance ends the loop.
+    // a round that improves no distance ends the loop. Convergence is
+    // observed DURING the round's pin job via Dataset.observe — the
+    // same one-action-per-round contract as ConnectedComponents (the
+    // pre-r8 prev-vs-next join scan doubled per-round job count).
     "q_bfs_levels" -> ((s, d) => {
       val e = edges(s, d)
       val nodes = e.select(col("src").as("id")).distinct()
@@ -109,17 +112,23 @@ object IteratePack extends QueryPack {
         .join(broadcast(seed), nodes("id") === seed("seed_id"), "left")
         .select(col("id"),
           when(col("seed_id").isNotNull, 0L).cast("long").as("dist"))
-      val (out, _, converged) = Iterate.loopUntil(init, MaxHops) { (cur, _) =>
+      var obs: org.apache.spark.sql.Observation = null
+      val (out, _, converged) = Iterate.loopUntil(init, MaxHops) { (cur, r) =>
         val prop = Iterate
           .smallSide(cur.filter(col("dist").isNotNull), nNodes)
           .join(e, cur("id") === e("src"))
           .select(e("dst").as("id"), (col("dist") + 1L).as("nd"))
           .groupBy("id").agg(min("nd").as("nd"))
+        obs = org.apache.spark.sql.Observation(s"bfs_round_$r")
         cur.join(prop, Seq("id"), "left")
-          .select(col("id"), least(col("dist"), col("nd")).as("dist"))
-      } { (prev, next) =>
-        next.as("n").join(prev.as("p"), "id")
-          .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+          .select(col("id"), col("dist").as("prev_dist"),
+            least(col("dist"), col("nd")).as("dist"))
+          .observe(obs, coalesce(
+            sum(when(!(col("dist") <=> col("prev_dist")), 1L)
+              .otherwise(0L)), lit(0L)).as("improved"))
+          .select(col("id"), col("dist"))
+      } { (_, _) =>
+        obs.get("improved").asInstanceOf[Long] == 0L
       }
       require(converged, "BFS did not converge within the round bound")
       Materialize.release(e)

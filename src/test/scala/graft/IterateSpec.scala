@@ -26,6 +26,34 @@ class IterateSpec extends AnyFunSuite {
       Seq(78L, 78L))
   }
 
+  test("q_bfs_levels: no per-round convergence scan — convergence is " +
+      "read off the pin job's Observation (one action per round, the " +
+      "ConnectedComponents contract)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val extraActions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new QueryExecutionListener {
+      // the pre-r8 BFS ran an isEmpty join scan per round; any isEmpty
+      // (or stray collect) during the query is the regression
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "isEmpty" || funcName == "collect")
+          extraActions.incrementAndGet(): Unit
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = SparkEntry.queries("q_bfs_levels")(spark, TestSpark.sf).count()
+      assert(n > 0)
+      var prev = -1; var cur = extraActions.get()
+      while (cur != prev) { prev = cur; Thread.sleep(200); cur = extraActions.get() }
+      assert(cur == 0,
+        s"BFS ran $cur isEmpty/collect actions — per-round convergence " +
+          "scans crept back in")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("loop with 0 rounds returns the (pinned) init unchanged") {
     val sp = spark
     import sp.implicits._
