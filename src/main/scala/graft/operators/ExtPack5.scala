@@ -122,10 +122,61 @@ object ExtPack5 extends QueryPack {
         $"doc_id",
         score.as("score"),
         (score > 0L).as("label_keep"))
+    }),
+
+    // Z-order (Morton) clustering key (ext/ZOrder.scala): the
+    // multi-dimensional data-layout sort key that makes parquet
+    // min/max pruning work for conjunctive (partkey, suppkey) filters
+    // at 100 TB. Pure shiftleft/mask BIGINT arithmetic — whole-stage
+    // codegen in Spark, bit-identical `<<`/`&`/`|` in the DuckDB
+    // oracle. The locality property itself (contiguous z-ranges are
+    // small rectangles) is pinned in ZOrderSpec.
+    "q_zorder" -> ((s, d) => {
+      import s.implicits._
+      import graft.ext.ZOrder
+      val li = T.lineitem(s, d)
+      val bounds = li.agg(
+        min($"l_partkey").as("amin"), max($"l_partkey").as("amax"),
+        min($"l_suppkey").as("bmin"), max($"l_suppkey").as("bmax"))
+      li.crossJoin(broadcast(bounds))
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          ZOrder.interleave16(
+            ZOrder.quantize($"l_partkey", $"amin", $"amax"),
+            ZOrder.quantize($"l_suppkey", $"bmin", $"bmax")).as("zval"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      """WITH b AS (
+           SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+                  min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+           FROM lineitem),
+         q AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  CASE WHEN amax <= amin THEN 0
+                       ELSE ((l_partkey - amin) * 65535) // (amax - amin)
+                  END AS qa,
+                  CASE WHEN bmax <= bmin THEN 0
+                       ELSE ((l_suppkey - bmin) * 65535) // (bmax - bmin)
+                  END AS qb
+           FROM lineitem, b),
+         s AS (
+           SELECT l_orderkey, l_linenumber,
+                  (qa & 65535) AS a0,
+                  ((a0 | (a0 << 8)) & 16711935) AS a1,
+                  ((a1 | (a1 << 4)) & 252645135) AS a2,
+                  ((a2 | (a2 << 2)) & 858993459) AS a3,
+                  ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                  (qb & 65535) AS b0,
+                  ((b0 | (b0 << 8)) & 16711935) AS b1,
+                  ((b1 | (b1 << 4)) & 252645135) AS b2,
+                  ((b2 | (b2 << 2)) & 858993459) AS b3,
+                  ((b3 | (b3 << 1)) & 1431655765) AS b4
+           FROM q)
+         SELECT l_orderkey, l_linenumber,
+                CAST(a4 | (b4 << 1) AS BIGINT) AS zval
+         FROM s""",
     "q_gopher_rules" ->
       s"""WITH base AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
