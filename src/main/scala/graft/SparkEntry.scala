@@ -22,6 +22,7 @@ object SparkEntry {
     ExtPack3,
     ExtPack4,
     ExtPack5,
+    ExtPack6,
     SourceSinkPack,
     TypesPack,
     TpchPack,
@@ -30,6 +31,7 @@ object SparkEntry {
     TpcdsShapePack2,
     TpcdsShapePack3,
     TpcdsShapePack4,
+    TpcdsShapePack5,
     IteratePack
   )
 
