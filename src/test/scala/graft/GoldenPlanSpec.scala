@@ -88,7 +88,19 @@ class GoldenPlanSpec extends AnyFunSuite {
     // (a rewrite to union-of-scans or a nested loop would rescan the
     // fact); the date-offset inequality must stay a post-condition on
     // the orderkey equi join
-    "q_tpcds_hybridfilter", "q_tpcds_shortage")
+    "q_tpcds_hybridfilter", "q_tpcds_shortage",
+    // r8 wave 5: the dim chain must stay ALL-broadcast hops (one
+    // BroadcastHashJoin per dim + a semi join, zero exchanges on the
+    // customer side); the CTE-vs-own-scalar must keep ONE aggregate
+    // subtree feeding both scalar subqueries (ReusedExchange/subquery,
+    // not three scans); the dim self-EXISTS must stay a semi join of
+    // part against itself, not a rescan-per-row
+    "q_tpcds_dimchain", "q_tpcds_cte_scalar", "q_tpcds_dimself",
+    // r8 pipeline ops: token-budget selection must keep the budget
+    // table broadcast + ONE window over the doc stream; the BPE apply
+    // must stay a broadcast vocab join + one keyed partial/final agg
+    // (the merge patterns are literals — no collects in the plan)
+    "q_token_budget", "q_bpe_apply")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
