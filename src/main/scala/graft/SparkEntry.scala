@@ -32,6 +32,7 @@ object SparkEntry {
     TpcdsShapePack3,
     TpcdsShapePack4,
     TpcdsShapePack5,
+    TpcdsShapePack6,
     IteratePack
   )
 

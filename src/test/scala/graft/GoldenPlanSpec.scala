@@ -100,7 +100,18 @@ class GoldenPlanSpec extends AnyFunSuite {
     // table broadcast + ONE window over the doc stream; the BPE apply
     // must stay a broadcast vocab join + one keyed partial/final agg
     // (the merge patterns are literals — no collects in the plan)
-    "q_token_budget", "q_bpe_apply")
+    "q_token_budget", "q_bpe_apply",
+    // r8 wave 6: the below-average gate must stay ONE fact scan — one
+    // grouped pass + a per-supplier WINDOW (the oracle's twin-subquery
+    // form would rescan the fact; Catalyst can't ReusedExchange the
+    // two subtrees since their pushed filters differ); the cross-year
+    // pair must stay one grouped pass + a LEAD window (not the
+    // oracle's aggregate self-join — two scans + an extra shuffle);
+    // the latency matrix must keep the composite-key fact-fact join
+    // as ONE equi join on all three key columns (no partial-key join
+    // + post-filter blowup)
+    "q_tpcds_below_avg", "q_tpcds_crossyear_pair",
+    "q_tpcds_latency_matrix")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
