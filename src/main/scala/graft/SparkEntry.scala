@@ -23,6 +23,7 @@ object SparkEntry {
     ExtPack4,
     ExtPack5,
     ExtPack6,
+    ExtPack7,
     SourceSinkPack,
     TypesPack,
     TpchPack,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization (ext/ProductQuantization.scala): structural
+  * invariants + the self-coding and monotone-refinement properties a
+  * driver-side re-derivation can pin without an oracle. The end-to-end
+  * value parity (codes, ADC ranking, recall) is oracle-checked by
+  * q_pq_topk / q_pq_recall in ExtPack7.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ext.{ProductQuantization => PQ}
+
+  private val M = 16
+  private val K = 32 // smaller codebook at sf0.001 (fewer vectors)
+  private val Dim = 64
+
+  private lazy val q = PQ.quantize(Tables.embeddings(spark, TestSpark.sf))
+  private lazy val cents = PQ.codebook(q, M, K, Dim)
+  private lazy val vb = PQ.blockize(q, M, Dim)
+  private lazy val codes = PQ.encode(vb, cents)
+
+  test("codebook has exactly m x k block-centroids of dim/m elements") {
+    val rows = cents.collect()
+    assert(rows.length == M * K)
+    assert(rows.forall(_.getSeq[Long](2).length == Dim / M))
+    val perBlock = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(perBlock.values.forall(_ == K) && perBlock.size == M)
+  }
+
+  test("every vector gets exactly m codes, each in [0, k)") {
+    val n = q.count()
+    assert(codes.count() == n * M)
+    val bad = codes.filter(col("code") < 0 || col("code") >= K).count()
+    assert(bad == 0)
+  }
+
+  test("a seed vector codes to ITSELF in every block (d2 = 0 self-coding)") {
+    // the codebook rows carry the seed vectors' own blocks, so encoding
+    // a seed must pick its own centroid id in every block (distance 0;
+    // any tie at 0 breaks to the lowest cid, which can only be another
+    // identical block — either way d2 of the chosen centroid is 0)
+    val seedCodes = codes.join(
+        vb, Seq("vec_id", "b"))
+      .join(cents.withColumnRenamed("cid", "code"), Seq("b", "code"))
+      .withColumn("d2", PQ.l2sq(col("xvec"), col("cvec")))
+    // restrict to vectors that ARE seeds: their min-distance is 0
+    val seeds = cents.select(col("cvec")).distinct()
+    val zeroForSeeds = seedCodes
+      .join(seedCodes.groupBy("vec_id").agg(max("d2").as("worst")),
+        "vec_id")
+      .filter(col("worst") === 0)
+    assert(zeroForSeeds.select("vec_id").distinct().count() >= K / 2,
+      "at least the undisputed seed vectors must self-code at distance 0")
+  }
+
+  test("ADC distance of a query to a SEED vector equals the code-table " +
+      "sum (lookup consistency)") {
+    val lut = PQ.lut(vb.filter(col("vec_id") < 5), cents)
+    val top = PQ.search(codes, lut, 1000000).cache()
+    // ADC(q, x) must equal sum over blocks of lut[q][b][code(x, b)] —
+    // re-derive one side independently via a fresh join
+    val rederived = codes.join(lut,
+        codes("b") === lut("b") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd2").as("expected"))
+    val joined = top.join(rederived, Seq("q_id", "vec_id"))
+    assert(joined.filter(col("adist") =!= col("expected")).count() == 0)
+    top.unpersist()
+  }
+
+  test("finer codebooks never worsen quantization error (monotone in k)") {
+    def totalErr(k: Int): Long = {
+      val cb = PQ.codebook(q, M, k, Dim)
+      vb.join(broadcast(cb), "b")
+        .withColumn("d2", PQ.l2sq(col("xvec"), col("cvec")))
+        .groupBy("vec_id", "b").agg(min("d2").as("best"))
+        .agg(sum("best")).collect()(0).getLong(0)
+    }
+    val coarse = totalErr(8)
+    val fine = totalErr(32)
+    // the 32-seed codebook contains the 8-seed one (same hash order),
+    // so per-block best distance can only shrink
+    assert(fine <= coarse, s"fine=$fine coarse=$coarse")
+  }
+}
