@@ -34,6 +34,7 @@ object SparkEntry {
     TpcdsShapePack4,
     TpcdsShapePack5,
     TpcdsShapePack6,
+    TpcdsShapePack7,
     IteratePack
   )
 
