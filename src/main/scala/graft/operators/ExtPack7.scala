@@ -34,8 +34,8 @@ object ExtPack7 extends QueryPack {
     val q = PQ.quantize(T.embeddings(s, d))
     val cents = PQ.codebook(q, M, K, Dim)
     val vb = PQ.blockize(q, M, Dim)
-    val codes = PQ.encode(vb, cents)
-    val lut = PQ.lut(vb.filter(col("vec_id") < 10), cents)
+    val codes = PQ.encode(vb, cents, Dim / M)
+    val lut = PQ.lut(vb.filter(col("vec_id") < 10), cents, Dim / M)
     PQ.search(codes, lut, TopK)
   }
 
@@ -51,7 +51,7 @@ object ExtPack7 extends QueryPack {
       val probes = q.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"eq".as("qe"))
       val brute = q.join(broadcast(probes), $"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id", PQ.l2sq($"eq", $"qe").as("d2"))
+        .select($"q_id", $"vec_id", PQ.l2sqFixed($"eq", $"qe", Dim).as("d2"))
       val truth = TopN(brute, Seq($"q_id"),
         Seq($"d2".asc, $"vec_id".asc), TopK).select($"q_id", $"vec_id")
       val approx = pqTop(s, d).select($"q_id", $"vec_id")

@@ -20,7 +20,7 @@ class PqSpec extends AnyFunSuite {
   private lazy val q = PQ.quantize(Tables.embeddings(spark, TestSpark.sf))
   private lazy val cents = PQ.codebook(q, M, K, Dim)
   private lazy val vb = PQ.blockize(q, M, Dim)
-  private lazy val codes = PQ.encode(vb, cents)
+  private lazy val codes = PQ.encode(vb, cents, Dim / M)
 
   test("codebook has exactly m x k block-centroids of dim/m elements") {
     val rows = cents.collect()
@@ -45,7 +45,7 @@ class PqSpec extends AnyFunSuite {
     val seedCodes = codes.join(
         vb, Seq("vec_id", "b"))
       .join(cents.withColumnRenamed("cid", "code"), Seq("b", "code"))
-      .withColumn("d2", PQ.l2sq(col("xvec"), col("cvec")))
+      .withColumn("d2", PQ.l2sqFixed(col("xvec"), col("cvec"), Dim / M))
     // restrict to vectors that ARE seeds: their min-distance is 0
     val seeds = cents.select(col("cvec")).distinct()
     val zeroForSeeds = seedCodes
@@ -58,7 +58,7 @@ class PqSpec extends AnyFunSuite {
 
   test("ADC distance of a query to a SEED vector equals the code-table " +
       "sum (lookup consistency)") {
-    val lut = PQ.lut(vb.filter(col("vec_id") < 5), cents)
+    val lut = PQ.lut(vb.filter(col("vec_id") < 5), cents, Dim / M)
     val top = PQ.search(codes, lut, 1000000).cache()
     // ADC(q, x) must equal sum over blocks of lut[q][b][code(x, b)] —
     // re-derive one side independently via a fresh join
@@ -75,7 +75,7 @@ class PqSpec extends AnyFunSuite {
     def totalErr(k: Int): Long = {
       val cb = PQ.codebook(q, M, k, Dim)
       vb.join(broadcast(cb), "b")
-        .withColumn("d2", PQ.l2sq(col("xvec"), col("cvec")))
+        .withColumn("d2", PQ.l2sqFixed(col("xvec"), col("cvec"), Dim / M))
         .groupBy("vec_id", "b").agg(min("d2").as("best"))
         .agg(sum("best")).collect()(0).getLong(0)
     }
