@@ -111,7 +111,11 @@ class GoldenPlanSpec extends AnyFunSuite {
     // as ONE equi join on all three key columns (no partial-key join
     // + post-filter blowup)
     "q_tpcds_below_avg", "q_tpcds_crossyear_pair",
-    "q_tpcds_latency_matrix")
+    "q_tpcds_latency_matrix",
+    // r8 PQ search: encode must stay broadcast(centroids) -> one
+    // argmin fold; ADC must stay broadcast(lut) -> one (q, vec) sum —
+    // no sort-merge join, no cartesian, anywhere in the path
+    "q_pq_topk")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
