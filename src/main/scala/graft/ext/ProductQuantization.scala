@@ -123,4 +123,23 @@ object ProductQuantization {
     graft.operators.TopN(adc, Seq(col("q_id")),
       Seq(col("adist").asc, col("vec_id").asc), k)
   }
+
+  /** IVF x PQ — the classic composition: score with ADC only the
+    * (q_id, vec_id) CANDIDATE pairs an IVF router produced (e.g.
+    * `VectorOps.ivfCandidatesMulti`), instead of the whole corpus.
+    * At 100 TB this is the full deployment: cells prune the scan to
+    * nProbe posting lists, codes shrink what the scan reads to m
+    * bytes/vector. Same determinism contract as [[search]]. */
+  def searchCandidates(candPairs: DataFrame, codes: DataFrame,
+      lutDf: DataFrame, k: Int): DataFrame = {
+    val adc = candPairs.select(col("q_id"), col("vec_id"))
+      .join(codes, "vec_id")
+      .withColumnRenamed("code", "cid")
+      .join(broadcast(lutDf), Seq("q_id", "b", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adist"))
+    graft.operators.TopN(adc, Seq(col("q_id")),
+      Seq(col("adist").asc, col("vec_id").asc), k)
+  }
 }

@@ -85,4 +85,47 @@ class PqSpec extends AnyFunSuite {
     // so per-block best distance can only shrink
     assert(fine <= coarse, s"fine=$fine coarse=$coarse")
   }
+
+  test("IVF x PQ composition: ADC over IVF candidates prunes the scan " +
+      "and stays consistent with full-corpus PQ on the candidate set") {
+    import graft.ext.{VectorOps => V}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .withColumn("cell", V.lshBucket(col("embedding"), planes = 6, dims = 64))
+    val probes = emb.filter(col("vec_id") < 10)
+    val cand = V.ivfCandidatesMulti(emb, probes, "cell",
+      rounds = 1, a = 3, nProbe = 5).select("q_id", "vec_id").cache()
+    val n = q.count()
+    val nCand = cand.count()
+    // the router must actually prune: candidates well below Q x (N-1)
+    assert(nCand < 10 * (n - 1) * 7 / 10,
+      s"IVF candidates $nCand vs full ${10 * (n - 1)} - no pruning?")
+    val lut = PQ.lut(vb.filter(col("vec_id") < 10), cents, Dim / M)
+    val ivfpq = PQ.searchCandidates(cand, codes, lut, 5)
+    // consistency: restricting full-corpus ADC to the candidate set and
+    // re-ranking must reproduce the composed result exactly
+    val fullAdc = codes.join(broadcast(lut),
+        codes("b") === lut("b") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd2").as("adist"))
+      .join(cand, Seq("q_id", "vec_id"), "left_semi")
+    val expected = graft.operators.TopN(fullAdc, Seq(col("q_id")),
+      Seq(col("adist").asc, col("vec_id").asc), 5)
+    assert(ivfpq.select("q_id", "vec_id", "adist").except(
+        expected.select("q_id", "vec_id", "adist")).count() == 0 &&
+      expected.select("q_id", "vec_id", "adist").except(
+        ivfpq.select("q_id", "vec_id", "adist")).count() == 0)
+    // and the composed path must still find true neighbors: recall@5
+    // vs exact integer L2 at or above the measured floor
+    val pr = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("eq").as("qe"))
+    val brute = q.join(broadcast(pr), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        PQ.l2sqFixed(col("eq"), col("qe"), Dim).as("d2"))
+    val truth = graft.operators.TopN(brute, Seq(col("q_id")),
+      Seq(col("d2").asc, col("vec_id").asc), 5).select("q_id", "vec_id")
+    val hits = truth.join(ivfpq.select("q_id", "vec_id"),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    cand.unpersist()
+    assert(hits >= 10, s"IVF x PQ recall@5 collapsed: $hits/50 hits")
+  }
 }
