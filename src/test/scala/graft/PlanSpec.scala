@@ -52,4 +52,31 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark whole-stage-codegen'd spans
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
   }
+
+  test("parquet aggregate pushdown: bare count/min/max resolve from " +
+      "footer metadata, no row scan") {
+    // the 100-TB lever for stats queries: with aggregatePushDown on,
+    // COUNT(*)/MIN/MAX over an unfiltered parquet table read row-group
+    // footers only (PushedAggregation in the scan). Needs the DSv2
+    // parquet reader, so run in an ISOLATED newSession (own SQLConf —
+    // flipping useV1SourceList on the shared session would change scan
+    // nodes under concurrently-running suites). Values must agree with
+    // the shared session's row-scan path bit-for-bit.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    def stats(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_quantity").as("qmin"),
+          org.apache.spark.sql.functions.max("l_quantity").as("qmax"))
+    val df = stats(s2)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedAggregation"), p)
+    val pushed = df.collect()(0)
+    val scanned = stats(spark).collect()(0)
+    assert(pushed == scanned, s"footer stats $pushed vs scan $scanned")
+  }
 }
