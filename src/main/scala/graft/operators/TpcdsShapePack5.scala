@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *   - q24a/b: a grouped CTE whose HAVING threshold is a SCALAR
   *     aggregate over the SAME CTE (sum > 0.05 * avg(sum) over all
   *     groups) — the aggregate subtree is consumed twice, once rowwise
-  *     and once collapsed to a scalar, and the comparison must not
-  *     re-shuffle the grouped side.
+  *     and once collapsed to a scalar; expressed over ONE pinned
+  *     grouped frame so the fact star is scanned once.
   *   - q41: a correlated EXISTS against the SAME dimension table the
   *     outer query scans (item i1 WHERE EXISTS item i2 with matching
   *     manufacturer and a different attribute profile) — a dimension
@@ -55,28 +55,32 @@ object TpcdsShapePack5 extends QueryPack {
     // high-spender list on this generator's flatter distribution).
     // The avg comparison is cross-multiplied into BIGINT
     // (sales * n_groups > 3 * total) so no float division can flip a
-    // boundary row. SQL-expressed so Catalyst actually plans the two
-    // consumers of the aggregate.
+    // boundary row. The SQL CTE form (the oracle keeps it) plans the
+    // grouped subtree THREE times — Catalyst merges the two scalar
+    // gates into one mergedValue subquery but neither ReusedSubquery
+    // nor ReusedExchange fires physically (the rowwise consumer prunes
+    // different columns), so the fact star is scanned 3x. The
+    // Spark-first form pins the grouped frame once
+    // (Materialize.pin — the same multiply-consumed-frame tool the
+    // iterative ops use) and derives both the rowwise side and the
+    // 1-row stats from the pin: ONE fact pass at any scale, plus a
+    // cheap pass over the grouped rows. The pin's blocks are
+    // reclaimed by session cache clearing (bench isolates per query).
     "q_tpcds_cte_scalar" -> ((s, d) => {
       import s.implicits._
-      T.lineitem(s, d).createOrReplaceTempView("t5_lineitem")
-      T.orders(s, d).createOrReplaceTempView("t5_orders")
-      T.customer(s, d).createOrReplaceTempView("t5_customer")
-      T.part(s, d).createOrReplaceTempView("t5_part")
-      s.sql("""
-        WITH s AS (
-          SELECT c_custkey, p_brand,
-                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                   AS BIGINT) AS sales_cents
-          FROM t5_lineitem
-          JOIN t5_orders   ON l_orderkey = o_orderkey
-          JOIN t5_customer ON o_custkey = c_custkey
-          JOIN t5_part     ON l_partkey = p_partkey
-          GROUP BY c_custkey, p_brand)
-        SELECT c_custkey, p_brand, sales_cents
-        FROM s
-        WHERE sales_cents * (SELECT count(*) FROM s)
-              > 3 * (SELECT CAST(sum(sales_cents) AS BIGINT) FROM s)""")
+      val grouped = T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(T.part(s, d), $"l_partkey" === $"p_partkey")
+        .groupBy($"c_custkey", $"p_brand")
+        .agg(sum(round($"l_extendedprice" * 100).cast("long"))
+          .as("sales_cents"))
+      val sPinned = graft.ext.Materialize.pin(grouped)
+      val stats = sPinned.agg(count(lit(1)).as("n_groups"),
+        sum($"sales_cents").cast("long").as("tot"))
+      sPinned.crossJoin(broadcast(stats))
+        .filter($"sales_cents" * $"n_groups" > lit(3) * $"tot")
+        .select($"c_custkey", $"p_brand", $"sales_cents")
     }),
 
     // q41 shape: dimension self semi join — brands whose catalog holds

@@ -91,10 +91,13 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_tpcds_hybridfilter", "q_tpcds_shortage",
     // r8 wave 5: the dim chain must stay ALL-broadcast hops (one
     // BroadcastHashJoin per dim + a semi join, zero exchanges on the
-    // customer side); the CTE-vs-own-scalar must keep ONE aggregate
-    // subtree feeding both scalar subqueries (ReusedExchange/subquery,
-    // not three scans); the dim self-EXISTS must stay a semi join of
-    // part against itself, not a rescan-per-row
+    // customer side); the CTE-vs-own-scalar must keep the PINNED
+    // grouped frame consumed twice (one LogicalRDD feeding both the
+    // rowwise side and the broadcast 1-row stats — ONE fact pass; the
+    // SQL CTE form scanned the star three times since neither
+    // ReusedSubquery nor ReusedExchange fires physically); the dim
+    // self-EXISTS must stay a semi join of part against itself, not a
+    // rescan-per-row
     "q_tpcds_dimchain", "q_tpcds_cte_scalar", "q_tpcds_dimself",
     // r8 pipeline ops: token-budget selection must keep the budget
     // table broadcast + ONE window over the doc stream; the BPE apply
