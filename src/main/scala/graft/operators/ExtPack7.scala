@@ -45,6 +45,37 @@ object ExtPack7 extends QueryPack {
       pqTop(s, d).select($"q_id", $"vec_id", $"adist", $"rank_no")
     }),
 
+    // Robust outlier gate: MAD (median absolute deviation) over doc
+    // lengths per source — the standard heavy-tail-safe length filter
+    // (mean/stddev gates are dragged by the very outliers they should
+    // catch; median/MAD are not). Integer-exact across engines via the
+    // 2x trick: med2 = percentile(2*len, .5) is an exact INTEGER
+    // (interpolating two ints of the same parity), dev2 = |2*len -
+    // med2| likewise, mad4 = percentile(2*dev2, .5) likewise; the
+    // gate dev > k * mad cross-multiplies to integer terms with no
+    // float anywhere — k = 1.5 here (4*dev2 > 3*mad4): the synthetic
+    // corpus draws lengths from one tight distribution, so the
+    // classic 3.5 never fires; production corpora use 3-3.5. Three narrow column-pruned passes over
+    // (source, n_chars) — MAD is inherently two sequential medians.
+    "q_mad_outliers" -> ((s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"source", $"n_chars")
+      val med = docs.groupBy($"source")
+        .agg(expr("CAST(percentile(2 * n_chars, 0.5) AS BIGINT)")
+          .as("med2"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dev2", abs(lit(2) * $"n_chars" - $"med2"))
+      val mad = dev.groupBy($"source")
+        .agg(expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)")
+          .as("mad4"))
+      dev.join(broadcast(mad), "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(lit(4) * $"dev2" > lit(3) * $"mad4", 1L).otherwise(0L))
+            .as("n_outliers"),
+          min($"med2").as("med2"), min($"mad4").as("mad4"))
+    }),
+
     "q_pq_recall" -> ((s, d) => {
       import s.implicits._
       val q = PQ.quantize(T.embeddings(s, d))
@@ -117,6 +148,26 @@ object ExtPack7 extends QueryPack {
            FROM adc) WHERE rank_no <= 5)"""
 
   def oracle: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+         med AS (
+           SELECT source,
+                  CAST(quantile_cont(2 * n_chars, 0.5) AS BIGINT) AS med2
+           FROM d GROUP BY source),
+         dev AS (
+           SELECT d.source AS source, n_chars,
+                  abs(2 * n_chars - med2) AS dev2, med2
+           FROM d JOIN med ON d.source = med.source),
+         mad AS (
+           SELECT source,
+                  CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+           FROM dev GROUP BY source)
+         SELECT dev.source AS source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN 4 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+                min(med2) AS med2, min(mad4) AS mad4
+         FROM dev JOIN mad ON dev.source = mad.source
+         GROUP BY dev.source""",
     "q_pq_topk" -> (pqCommon +
       """
        SELECT q_id, vec_id, adist, rank_no FROM pq_top"""),
