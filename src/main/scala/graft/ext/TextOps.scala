@@ -210,4 +210,34 @@ object TextOps {
          RETURNS STRING RETURN
          CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END""")
   }
+
+  /** Content-defined chunking (CDC): chunk boundaries fall where a
+    * token's hash lands in a fixed residue class (tokenHash32 % mod ==
+    * 0, average chunk length ~mod tokens), so an INSERTION only
+    * redraws the one chunk it lands in — every later boundary
+    * re-synchronizes on the same content — where fixed-size chunking
+    * (q_chunking) shifts every subsequent chunk. The shift-resistant
+    * chunk hash is THE dedup key for near-identical documents that
+    * differ by a prefix/infix edit (boilerplate headers, injected
+    * ads). Rolling-hash CDC (Rabin) applies the same idea at byte
+    * level; token granularity keeps the hash replayable in the
+    * oracle. One shuffle by doc (window) + one keyed aggregation.
+    * Returns (doc_id, chunk_no, n_tokens, chunk_hash). */
+  def cdcChunks(docs: DataFrame, mod: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("bnd",
+        when(tokenHash32(col("tok")) % mod === 0, 1L).otherwise(0L))
+      .withColumn("chunk_no",
+        coalesce(sum(col("bnd")).over(before), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_hash"))
+  }
 }

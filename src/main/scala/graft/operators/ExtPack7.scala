@@ -76,6 +76,16 @@ object ExtPack7 extends QueryPack {
           min($"med2").as("med2"), min($"mad4").as("mad4"))
     }),
 
+    // Content-defined chunking (ext/TextOps.cdcChunks): hash-residue
+    // boundaries instead of fixed strides, so the chunk hashes of a
+    // doc survive a prefix/infix edit — the dedup key for
+    // boilerplate-shifted near-copies that q_chunking's fixed windows
+    // can never align. Shift-resistance itself is pinned in
+    // ExtPack7Spec; this row oracle-checks the chunk decomposition.
+    "q_cdc_chunks" -> ((s, d) =>
+      graft.ext.TextOps.cdcChunks(
+        T.documents(s, d).select(col("doc_id"), col("text")), mod = 8)),
+
     "q_pq_recall" -> ((s, d) => {
       import s.implicits._
       val q = PQ.quantize(T.embeddings(s, d))
@@ -148,6 +158,32 @@ object ExtPack7 extends QueryPack {
            FROM adc) WHERE rank_no <= 5)"""
 
   def oracle: Map[String, String] = Map(
+    "q_cdc_chunks" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         t AS (
+           SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM base),
+         tok AS (
+           SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  ws[CAST(pos + 1 AS INT)] AS tok
+           FROM t),
+         fl AS (
+           SELECT doc_id, pos, tok,
+                  CASE WHEN list_reduce(list_transform(range(1, 9),
+                         i -> strpos('0123456789abcdef',
+                                     substr(md5(tok), i, 1)) - 1),
+                         (a, b) -> a * 16 + b) % 8 = 0
+                       THEN 1 ELSE 0 END AS bnd
+           FROM tok),
+         ch AS (
+           SELECT doc_id, pos, tok,
+                  COALESCE(CAST(sum(bnd) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS chunk_no
+           FROM fl)
+         SELECT doc_id, chunk_no, count(*) AS n_tokens,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         FROM ch GROUP BY doc_id, chunk_no""",
     "q_mad_outliers" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
          med AS (

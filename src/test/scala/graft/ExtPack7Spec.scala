@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExtPack7's non-oracle properties: CDC chunking shift-resistance and
+  * the MAD gate's robustness claim (PQ invariants live in PqSpec).
+  */
+class ExtPack7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunkHashes(rows: Seq[(Long, String)]): Map[Long, Set[String]] =
+    graft.ext.TextOps.cdcChunks(rows.toDF("doc_id", "text"), mod = 8)
+      .select($"doc_id", $"chunk_hash").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("CDC chunking is shift-resistant: a prefix edit redraws at most " +
+      "the first chunk; fixed-size chunking shares almost nothing") {
+    val toks = (0 until 120).map(i => s"w${i * 37 % 211}")
+    val base = toks.mkString(" ")
+    val shifted = "injected boilerplate header " + base
+    val h = chunkHashes(Seq((1L, base), (2L, shifted)))
+    val shared = h(1L).intersect(h(2L)).size
+    // every boundary after the edit re-synchronizes on content, so all
+    // chunks except the one containing the insertion point survive
+    assert(shared >= h(1L).size - 1,
+      s"expected all but one chunk to survive the prefix edit: " +
+        s"shared $shared of ${h(1L).size}")
+    // contrast: fixed 8-token windows of the shifted doc share NO
+    // window with the base (every window is offset by 4 tokens)
+    val fixedBase = toks.grouped(8).map(_.mkString(" ")).toSet
+    val fixedShifted = ("injected boilerplate header".split(" ") ++ toks)
+      .grouped(8).map(_.mkString(" ")).toSet
+    assert(fixedBase.intersect(fixedShifted).isEmpty,
+      "fixed-size chunks should all shift (this is the failure mode " +
+        "CDC exists to avoid)")
+  }
+
+  test("CDC chunk decomposition reassembles the document exactly") {
+    val text = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val chunks = graft.ext.TextOps.cdcChunks(
+        Seq((7L, text)).toDF("doc_id", "text"), mod = 8)
+      .orderBy($"chunk_no")
+    val total = chunks.agg(sum($"n_tokens")).collect()(0).getLong(0)
+    assert(total == 60, s"chunk token counts must cover the doc: $total")
+  }
+
+  test("MAD gate flags an injected extreme length but the median pair " +
+      "is unmoved by it (robustness vs mean/stddev)") {
+    val lens = Seq.fill(49)(500L) :+ 100000L // one absurd outlier
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "srcX", n) }
+      .toDF("doc_id", "source", "n_chars")
+    val med = docs.groupBy($"source")
+      .agg(expr("CAST(percentile(2 * n_chars, 0.5) AS BIGINT)").as("med2"))
+      .collect()(0).getLong(1)
+    assert(med == 1000L, s"median must ignore the outlier, got $med")
+    // mean is dragged to ~2490 by the single outlier — the gate the
+    // MAD row replaces would misclassify half the corpus
+    val mean = docs.agg(avg($"n_chars")).collect()(0).getDouble(0)
+    assert(mean > 2000.0)
+  }
+}
