@@ -76,6 +76,31 @@ object ExtPack7 extends QueryPack {
           min($"med2").as("med2"), min($"mad4").as("mad4"))
     }),
 
+    // Temperature-weighted language mixing (Conneau et al. 2020 §3.1
+    // style): sampling weight per language ∝ n^(1/τ) with τ = 2, so
+    // low-resource languages are upweighted relative to their raw
+    // token share. Exact across engines: IEEE-754 requires sqrt to be
+    // CORRECTLY ROUNDED (unlike exp/log/pow, which vary per libm), so
+    // CAST(floor(sqrt(n)) AS BIGINT) is deterministic everywhere; the
+    // per-language allocation is then integer B * w div Σw
+    // (truncating — the ≤(#langs-1) remainder tokens are the
+    // documented slack). One groupBy + a broadcast 1-row total.
+    "q_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val budget = 1000000L
+      val perLang = T.documents(s, d)
+        .groupBy($"lang")
+        .agg(sum(size(graft.ext.TextOps.tokens($"text")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      val tot = perLang.agg(sum($"w").cast("long").as("w_tot"))
+      perLang.crossJoin(broadcast(tot))
+        .select($"lang", $"n_tokens", $"w",
+          expr(s"CAST(($budget * w) div w_tot AS BIGINT)")
+            .as("alloc_tokens"))
+    }),
+
     // Content-defined chunking (ext/TextOps.cdcChunks): hash-residue
     // boundaries instead of fixed strides, so the chunk hashes of a
     // doc survive a prefix/infix edit — the dedup key for
@@ -158,6 +183,21 @@ object ExtPack7 extends QueryPack {
            FROM adc) WHERE rank_no <= 5)"""
 
   def oracle: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      """WITH per AS (
+           SELECT lang,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT lang, n_tokens,
+                  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    AS w
+           FROM per),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w)
+         SELECT lang, n_tokens, w,
+                CAST((1000000 * w) // w_tot AS BIGINT) AS alloc_tokens
+         FROM w, tot""",
     "q_cdc_chunks" ->
       """WITH base AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
