@@ -118,7 +118,17 @@ class GoldenPlanSpec extends AnyFunSuite {
     // r8 PQ search: encode must stay broadcast(centroids) -> one
     // argmin fold; ADC must stay broadcast(lut) -> one (q, vec) sum —
     // no sort-merge join, no cartesian, anywhere in the path
-    "q_pq_topk")
+    "q_pq_topk",
+    // r8 late additions: the dual-dim disjunction must keep the
+    // cross-dim equality as a POST-JOIN filter on the equi joins (a
+    // lowering that hoists it into the join key set would change
+    // semantics; one that drops the equi keys would go nested-loop);
+    // the detail-output return query must keep the grouped CTE
+    // consumed twice (rowwise + per-nation collapse) over ONE scan
+    // tree each with the customer/nation joins above, not below, the
+    // gate; CDC chunking must stay one window + one keyed aggregation
+    "q_tpcds_dualdim_disjunct", "q_tpcds_state_ret_detail",
+    "q_cdc_chunks")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

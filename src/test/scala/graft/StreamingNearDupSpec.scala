@@ -108,6 +108,37 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(v(5L) == (false, 5L), s"got $v")
   }
 
+  test("state holds exactly one row per OCCUPIED bucket (the bounded-" +
+      "state claim: n_docs x bands, never pairs, never texts)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndst_ck").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ndst_in").toString
+    val docs = Seq(NearDupDoc(1L, "web", base),
+      NearDupDoc(2L, "web", nearDup), NearDupDoc(3L, "web", fresh),
+      NearDupDoc(4L, "books", base))
+    spark.createDataset(docs).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    var stateRows = -1L
+    val q = StreamingNearDup.bandVerdicts(spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING").parquet(inDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+        StreamingNearDup.BandVerdict], _: Long) => { b.count(); () })
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    import org.apache.spark.sql.functions._
+    val buckets = spark.createDataset(docs).toDF()
+      .select($"source", posexplode(graft.ext.TextOps.bandKeys(
+        graft.ext.TextOps.minhashSignature($"text", 16), 4, 4))
+        .as(Seq("band", "bkey")))
+      .select(concat_ws("\u0001", $"source", $"band", $"bkey"))
+      .distinct().count()
+    assert(stateRows == buckets,
+      s"state rows $stateRows must equal occupied buckets $buckets")
+  }
+
   test("verdicts agree with the batch MinHash banding on the same corpus") {
     // batch parity: stream the sf0.001 documents through in one batch;
     // a doc the BATCH banding buckets with a smaller doc_id must be
