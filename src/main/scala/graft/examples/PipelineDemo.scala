@@ -36,6 +36,15 @@ object PipelineDemo {
       "doc_id")
     println(s"[pipeline] after dedup: ${deduped.count()} docs")
 
+    // 1b. length sanity: MAD robust outlier gate (r8) — drop docs whose
+    // length deviates from the per-source median by > k*MAD (the
+    // heavy-tail-safe version of a stddev gate)
+    val madStats = graft.SparkEntry.queries("q_mad_outliers")(spark, sfDir)
+    println("[pipeline] MAD outliers per source (sample):")
+    madStats.orderBy("source").limit(3).collect().foreach(r =>
+      println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(2)} outliers " +
+        s"of ${r.getLong(1)}"))
+
     // 2. quality gate: Gopher-style integer rule flags (keep = all pass)
     val gated = graft.SparkEntry.queries("q_gopher_rules")(spark, sfDir)
       .filter($"pass").select($"doc_id")
@@ -55,6 +64,22 @@ object PipelineDemo {
     println("[pipeline] mix per source:")
     perSource.collect().foreach(r =>
       println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)} docs"))
+
+    // 4b. temperature mixing (r8): sqrt-weighted language allocation
+    val mix = graft.SparkEntry.queries("q_temperature_mix")(spark, sfDir)
+    println("[pipeline] temperature-weighted language allocation:")
+    mix.orderBy("lang").collect().foreach(r =>
+      println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(3)} of 1M " +
+        s"budget (raw ${r.getLong(1)} tokens)"))
+
+    // 4c. shift-resistant chunking (r8): CDC chunk inventory of the
+    // survivors — the chunk hashes are the dedup keys a later
+    // incremental crawl checks against
+    val chunks = graft.ext.TextOps.cdcChunks(
+      docs.join(clean.select("doc_id"), "doc_id")
+        .select($"doc_id", $"text"))
+    println(s"[pipeline] CDC chunks: ${chunks.count()} " +
+      s"(${chunks.select("chunk_hash").distinct().count()} distinct)")
 
     // 5. tokenizer: learn the first merges on what survived
     val merges = graft.SparkEntry.queries("q_bpe_train")(spark, sfDir)
