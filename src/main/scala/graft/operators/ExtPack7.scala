@@ -5,23 +5,27 @@ import graft.ext.{ProductQuantization => PQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data pipeline ops, seventh pack: product-quantized ANN
-  * (ext/ProductQuantization.scala — Jégou et al. 2011). Two oracle
-  * rows:
+/** Training-data pipeline ops, seventh pack:
   *
-  *   - q_pq_topk: PQ-compressed top-5 per probe — milli-unit integer
-  *     vectors, hash-seeded 256-centroid codebook over 16 blocks of
-  *     4 dims, asymmetric-distance scoring via a broadcast lookup
-  *     table. 16 bytes per vector vs 256 raw: the 16x memory lever
-  *     that makes a 100-TB corpus scannable from RAM.
+  *   - q_pq_topk: product-quantized ANN
+  *     (ext/ProductQuantization.scala — Jégou et al. 2011): top-5 per
+  *     probe over milli-unit integer vectors, hash-seeded 256-centroid
+  *     codebook over 16 blocks of 4 dims, asymmetric-distance scoring
+  *     via a broadcast lookup table. 16 bytes per vector vs 256 raw:
+  *     the 16x memory lever that makes a 100-TB corpus scannable from
+  *     RAM. Replays bit-for-bit in DuckDB: codebook seeds come from
+  *     the shared md5-derived hash, every distance is integer
+  *     L2-squared, every argmin ties to the lowest centroid id.
   *   - q_pq_recall: recall@5 of the PQ ranking vs exact integer-L2
   *     brute force over the same probes (half-up ppm — measured
   *     0.60 on this corpus's random-gaussian embeddings, the regime
   *     PQ is WORST at; clustered real embeddings quantize better).
-  *
-  * Both replay bit-for-bit in DuckDB: the codebook seeds come from
-  * the shared md5-derived hash, every distance is integer L2-squared,
-  * every argmin ties to the lowest centroid id.
+  *   - q_mad_outliers: median-absolute-deviation length gate (robust
+  *     to the very outliers a mean/stddev gate is dragged by).
+  *   - q_cdc_chunks: content-defined chunking — shift-resistant chunk
+  *     hashes as dedup keys (ext/TextOps.cdcChunks).
+  *   - q_temperature_mix: sqrt-weighted (temperature-2) language
+  *     allocation for multilingual mixing.
   */
 object ExtPack7 extends QueryPack {
 
