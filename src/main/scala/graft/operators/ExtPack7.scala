@@ -80,6 +80,42 @@ object ExtPack7 extends QueryPack {
           min($"med2").as("med2"), min($"mad4").as("mad4"))
     }),
 
+    // LSH candidate PRECISION — q_lsh_recall's complement, on the SAME
+    // 'recall_'-hashed budget sample: what fraction of the band
+    // candidates are true Jaccard>=0.7 pairs. Recall tunes
+    // bands/rowsPerBand against missed duplicates; precision prices
+    // the verification work each candidate costs downstream — the two
+    // together are the full operating point of the banding.
+    "q_lsh_precision" -> ((s, d) => {
+      import s.implicits._
+      import graft.ext.TextOps
+      val docsAll = T.documents(s, d)
+      val m = graft.ext.SampleBudget.modulus(docsAll.count(), 128L)
+      val sampled = docsAll
+        .filter(TextOps.tokenHash32(concat(lit("recall_"), $"doc_id"))
+          % m === 0)
+      val docs = sampled.select($"doc_id", $"source",
+        TextOps.distinctTokens($"text").as("grams"))
+      val truth = graft.ext.JaccardJoin
+        .selfJoin(docs, "doc_id", "source", "grams", 0.7)
+        .select($"id1", $"id2")
+      val banded = sampled.select($"doc_id", $"source",
+        posexplode(TextOps.bandKeys(
+          TextOps.minhashSignature($"text", 16), 4, 4))
+          .as(Seq("band", "bkey")))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.source" === $"b.source" && $"a.band" === $"b.band" &&
+            $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2")).distinct()
+      val hits = cand.join(truth, Seq("id1", "id2"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand")).crossJoin(
+          hits.agg(count(lit(1)).as("n_hits")))
+        .select($"n_cand", $"n_hits",
+          when($"n_cand" > 0,
+            expr("((1000000 * n_hits) + (n_cand div 2)) div n_cand"))
+            .otherwise(lit(1000000L)).as("precision_ppm"))
+    }),
+
     // Temperature-weighted language mixing (Conneau et al. 2020 §3.1
     // style): sampling weight per language ∝ n^(1/τ) with τ = 2, so
     // low-resource languages are upweighted relative to their raw
@@ -187,6 +223,67 @@ object ExtPack7 extends QueryPack {
            FROM adc) WHERE rank_no <= 5)"""
 
   def oracle: Map[String, String] = Map(
+    "q_lsh_precision" ->
+      """WITH sampled AS (
+           SELECT * FROM documents
+           WHERE list_reduce(list_transform(range(1, 9),
+                   i -> strpos('0123456789abcdef',
+                               substr(md5('recall_' || doc_id), i, 1)) - 1),
+                   (a, b) -> a * 16 + b)
+                 % (SELECT greatest(1, (count(*) + 127) // 128)
+                    FROM documents) = 0),
+         tk AS (
+           SELECT DISTINCT doc_id, source,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM sampled),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM tk a JOIN tk b
+             ON a.source = b.source AND a.tok = b.tok
+              AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON s1.doc_id = id1
+           JOIN sizes s2 ON s2.doc_id = id2
+           WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.7),
+         th AS (
+           SELECT doc_id, tok,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5(tok), i, 1)) - 1),
+                    (a, b) -> a * 16 + b) AS h
+           FROM tk),
+         mh AS (
+           SELECT doc_id, j,
+                  min((h * (2*j + 1) + j * 12345 + 7) % 1000000007) AS m
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+           GROUP BY doc_id, j),
+         bands AS (
+           SELECT doc_id, j // 4 AS band,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS bkey
+           FROM mh GROUP BY doc_id, j // 4),
+         src AS (SELECT doc_id, source FROM sampled),
+         cand AS (
+           SELECT DISTINCT da.doc_id AS id1, db.doc_id AS id2
+           FROM bands da JOIN bands db
+             ON da.band = db.band AND da.bkey = db.bkey
+               AND da.doc_id < db.doc_id
+           JOIN src s1 ON s1.doc_id = da.doc_id
+           JOIN src s2 ON s2.doc_id = db.doc_id
+           WHERE s1.source = s2.source),
+         hits AS (
+           SELECT c.id1, c.id2 FROM cand c
+           WHERE EXISTS (SELECT 1 FROM truth t
+                         WHERE t.id1 = c.id1 AND t.id2 = c.id2))
+         SELECT (SELECT count(*) FROM cand) AS n_cand,
+                (SELECT count(*) FROM hits) AS n_hits,
+                CAST(CASE WHEN (SELECT count(*) FROM cand) > 0
+                     THEN ((1000000 * (SELECT count(*) FROM hits))
+                           + ((SELECT count(*) FROM cand) // 2))
+                          // (SELECT count(*) FROM cand)
+                     ELSE 1000000 END AS BIGINT) AS precision_ppm""",
     "q_temperature_mix" ->
       """WITH per AS (
            SELECT lang,
