@@ -88,6 +88,11 @@ object SourceSinkPack extends QueryPack {
     // GenericRecord bridge, then flattened so the DuckDB oracle can
     // recompute the identical projection straight from orders. The
     // encode+decode across every composite type must be the identity.
+    // The hashed surface emits integer cents (BIGINT) rather than the
+    // DECIMAL(18,2) itself: per repo rule, no hashed output is ever a
+    // double→decimal rendering (driver-side decimal canonicalization
+    // differs from DuckDB's); the decimal logical-type roundtrip stays
+    // bit-exact-pinned in AvroFormatSpec.
     "q_avro_nested" -> ((s, d) => {
       import s.implicits._
       val dir = tmpDir("avro_nested_orders")
@@ -105,9 +110,48 @@ object SourceSinkPack extends QueryPack {
       back.select(
         $"o_orderkey", $"o_custkey",
         $"meta.status".as("status"), $"meta.prio".as("prio"),
-        element_at($"amounts", 1).as("price_dec"),
+        round(element_at($"amounts", 1) * 100).cast("long").as("price_cents"),
         element_at($"tags", "seg").as("seg"),
         $"od")
+    }),
+
+    // Avro ENUM + FIXED + multi-branch UNION roundtrip (the remaining
+    // AvroSchemaConverter.java mappings — flink-formats/flink-avro
+    // .../typeutils/AvroSchemaConverter.java maps ENUM->string,
+    // FIXED->bytes, general unions->row of members): the writer schema
+    // is hand-declared (Spark can't express these), the read side
+    // derives the Spark schema FROM the container file (readAny), and
+    // the flattened projection is recomputed by the oracle straight
+    // from orders, so enum symbol, fixed bytes and union branch routing
+    // must all survive the roundtrip exactly.
+    "q_avro_complex" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmpDir("avro_complex_orders")
+      val o = T.orders(s, d)
+      val src = o.select(
+        $"o_orderkey",
+        $"o_orderstatus".as("status"), // -> enum {O,F,P}
+        unhex(lpad(hex($"o_orderkey"), 16, "0")).as("okey_fx"), // -> fixed(8)
+        when($"o_orderkey" % 2 === 0,
+          struct($"o_custkey".as("member0"),
+            lit(null).cast("string").as("member1")))
+          .otherwise(struct(lit(null).cast("long").as("member0"),
+            $"o_orderpriority".as("member1")))
+          .as("uval")) // -> union(null, long, string)
+      val schemaJson =
+        """{"type": "record", "name": "row", "fields": [
+          |  {"name": "o_orderkey", "type": ["null", "long"]},
+          |  {"name": "status", "type": ["null",
+          |     {"type": "enum", "name": "st", "symbols": ["O", "F", "P"]}]},
+          |  {"name": "okey_fx", "type": ["null",
+          |     {"type": "fixed", "name": "fx8", "size": 8}]},
+          |  {"name": "uval", "type": ["null", "long", "string"]}
+          |]}""".stripMargin
+      graft.sources.AvroFormat.writeWithSchema(src, dir, schemaJson)
+      val back = graft.sources.AvroFormat.readAny(s, dir)
+      back.select($"o_orderkey", $"status",
+        hex($"okey_fx").as("okey_hex"),
+        coalesce($"uval.member0".cast("string"), $"uval.member1").as("uval"))
     }),
 
     // Protobuf format roundtrip (flink-formats/flink-protobuf analog;
@@ -431,8 +475,14 @@ object SourceSinkPack extends QueryPack {
     "q_avro_nested" ->
       """SELECT o_orderkey, o_custkey,
             o_orderstatus AS status, o_orderpriority AS prio,
-            CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
             o_orderstatus AS seg, o_orderdate AS od
+         FROM orders""",
+    "q_avro_complex" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+            upper(lpad(to_hex(o_orderkey), 16, '0')) AS okey_hex,
+            CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS VARCHAR)
+                 ELSE o_orderpriority END AS uval
          FROM orders""",
     "q_window_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,

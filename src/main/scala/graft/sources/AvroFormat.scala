@@ -42,6 +42,14 @@ import scala.jdk.CollectionConverters._
   *    TimestampNTZType -> long + local-timestamp-micros
   *  - DateType -> int + logicalType date (days since epoch)
   *  - nullable field/element -> union("null", T)
+  *  - Avro ENUM <-> StringType, FIXED <-> BinaryType (or DecimalType
+  *    when the decimal logical type is attached), and MULTI-BRANCH
+  *    unions <-> a struct of nullable `member0..memberN-1` fields (one
+  *    per non-null branch, exactly one set) — the same convention the
+  *    reference's AvroSchemaConverter uses for non-nullable unions.
+  *    These three exist only on the Avro side of the bridge, so they
+  *    flow through `writeWithSchema` (caller-supplied Avro schema) and
+  *    `readAny`/`sparkTypeOf` (schema derived from the container file).
   *
   * Scale posture: files are written where the executor runs; on a real
   * cluster the dir would be on a shared filesystem (HDFS/object store
@@ -100,11 +108,93 @@ object AvroFormat {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
 
+  /** The union's non-null branches ([s] when not a union). */
+  private def nonNullBranches(s: Schema): Seq[Schema] =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+    else Seq(s)
+
+  /** A union with >1 non-null branches (beyond the nullable encoding). */
+  private def isMultiUnion(s: Schema): Boolean = nonNullBranches(s).size > 1
+
+  /** Spark shape of a multi-branch union: struct(member0..memberN-1),
+    * all nullable, exactly one set per value. */
+  private def isMemberStruct(st: StructType): Boolean =
+    st.fields.nonEmpty && st.fields.zipWithIndex.forall {
+      case (f, i) => f.name == s"member$i"
+    }
+
+  /** Avro schema -> Spark type (the read-side AvroSchemaConverter
+    * mapping): ENUM -> string, FIXED -> binary (or decimal when the
+    * logical type says so), nullable unions -> nullable inner type,
+    * multi-branch unions -> struct of member_i. Timestamps are mapped
+    * micros-only (the write side's encoding). */
+  def sparkTypeOf(s: Schema): DataType = {
+    val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branches = nonNullBranches(s)
+        if (branches.size == 1) sparkTypeOf(branches.head)
+        else StructType(branches.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", sparkTypeOf(b), nullable = true)
+        })
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (lt == "date") DateType else IntegerType
+      case Schema.Type.LONG => lt match {
+        case "timestamp-micros" => TimestampType
+        case "local-timestamp-micros" => TimestampNTZType
+        case _ => LongType
+      }
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED =>
+        if (lt == "decimal") {
+          val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+          DecimalType(d.getPrecision, d.getScale)
+        } else BinaryType
+      case Schema.Type.RECORD =>
+        StructType(s.getFields.asScala.map { f =>
+          StructField(f.name, sparkTypeOf(f.schema()),
+            nullable = f.schema().getType == Schema.Type.UNION &&
+              f.schema().getTypes.asScala.exists(_.getType == Schema.Type.NULL))
+        }.toArray)
+      case Schema.Type.ARRAY =>
+        val es = s.getElementType
+        ArrayType(sparkTypeOf(es), containsNull =
+          es.getType == Schema.Type.UNION &&
+            es.getTypes.asScala.exists(_.getType == Schema.Type.NULL))
+      case Schema.Type.MAP =>
+        val vs = s.getValueType
+        MapType(StringType, sparkTypeOf(vs), valueContainsNull =
+          vs.getType == Schema.Type.UNION &&
+            vs.getTypes.asScala.exists(_.getType == Schema.Type.NULL))
+      case other => throw new IllegalArgumentException(
+        s"AvroFormat cannot map Avro $other to a Spark type")
+    }
+  }
+
   /** Spark external value -> Avro datum, following the declared Spark
     * type (the write side of AvroRowDataSerializationSchema's
     * conversion tree). */
   private def toAvro(v: Any, dt: DataType, fieldSchema: Schema): Any =
     if (v == null) null else (v, dt) match {
+      // multi-branch union: the member-struct carries exactly one
+      // non-null field; encode that branch's value against its schema
+      case (r: Row, st: StructType)
+          if isMultiUnion(fieldSchema) && isMemberStruct(st) =>
+        val branches = nonNullBranches(fieldSchema)
+        val i = st.fields.indices.find(j => !r.isNullAt(j)).getOrElse(
+          throw new IllegalArgumentException(
+            "multi-branch union value must set exactly one member"))
+        toAvro(r.get(i), st.fields(i).dataType, branches(i))
+      case (s: String, StringType)
+          if nonNull(fieldSchema).getType == Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(nonNull(fieldSchema), s)
+      case (b: Array[Byte], BinaryType)
+          if nonNull(fieldSchema).getType == Schema.Type.FIXED =>
+        new GenericData.Fixed(nonNull(fieldSchema), b)
       case (r: Row, st: StructType) =>
         val sch = nonNull(fieldSchema)
         val rec = new GenericData.Record(sch)
@@ -141,6 +231,14 @@ object AvroFormat {
     * (by NAME for records, so reader-schema evolution composes). */
   private def fromAvro(v: Any, dt: DataType): Any =
     if (v == null) null else (v, dt) match {
+      // multi-branch union target: resolve which member the datum is by
+      // its runtime Avro type (checked BEFORE the record case — a union
+      // may carry record branches). First matching member wins, in the
+      // union's declared branch order.
+      case (v, st: StructType) if isMemberStruct(st) =>
+        val i = unionBranch(v, st)
+        Row.fromSeq(st.fields.indices.map(j =>
+          if (j == i) fromAvro(v, st.fields(j).dataType) else null))
       case (rec: GenericRecord, st: StructType) =>
         Row.fromSeq(st.fields.toIndexedSeq.map(f =>
           fromAvro(rec.get(f.name), f.dataType)))
@@ -151,6 +249,9 @@ object AvroFormat {
       case (bb: java.nio.ByteBuffer, dec: DecimalType) =>
         val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
         new JBigDecimal(new BigInteger(a), dec.scale)
+      case (f: GenericData.Fixed, dec: DecimalType) =>
+        new JBigDecimal(new BigInteger(f.bytes()), dec.scale)
+      case (f: GenericData.Fixed, BinaryType) => f.bytes()
       case (micros: java.lang.Long, TimestampType) =>
         val sec = Math.floorDiv(micros.longValue(), 1000000L)
         val nano = Math.floorMod(micros.longValue(), 1000000L) * 1000L
@@ -172,11 +273,46 @@ object AvroFormat {
       case (x, _) => x
     }
 
+  /** Which member of the member-struct the Avro datum belongs to, by
+    * runtime Avro type (the only signal available once the writer has
+    * erased the union). Record branches match by field-name set. */
+  private def unionBranch(v: Any, st: StructType): Int = {
+    def matches(dt: DataType): Boolean = (v, dt) match {
+      case (_: java.lang.Integer, IntegerType | ShortType | ByteType | DateType) => true
+      case (_: java.lang.Long, LongType | TimestampType | TimestampNTZType) => true
+      case (_: java.lang.Float, FloatType) => true
+      case (_: java.lang.Double, DoubleType) => true
+      case (_: java.lang.Boolean, BooleanType) => true
+      case (_: GenericData.EnumSymbol, StringType) => true
+      case (_: CharSequence, StringType) => true
+      case (_: GenericData.Fixed, BinaryType | _: DecimalType) => true
+      case (_: java.nio.ByteBuffer, BinaryType | _: DecimalType) => true
+      case (r: GenericRecord, s2: StructType) =>
+        s2.fieldNames.toSet ==
+          r.getSchema.getFields.asScala.map(_.name).toSet
+      case (_: java.util.Collection[_], _: ArrayType) => true
+      case (_: java.util.Map[_, _], _: MapType) => true
+      case _ => false
+    }
+    val i = st.fields.indexWhere(f => matches(f.dataType))
+    if (i < 0) throw new IllegalArgumentException(
+      s"no union member of $st matches datum type ${v.getClass.getName}")
+    i
+  }
+
   /** Write `df` as Avro container files under `dir` (one per partition). */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String): Unit =
+    writeWithSchema(df, dir, avroSchemaJson(df.schema))
+
+  /** Write `df` against a CALLER-SUPPLIED Avro schema — the path that
+    * reaches enum (from string columns), fixed (from binary columns)
+    * and multi-branch unions (from member-struct columns), none of
+    * which Spark's type system can express natively. The schema must be
+    * field-compatible with `df.schema` under the mapping in the
+    * scaladoc above. */
+  def writeWithSchema(df: DataFrame, dir: String, schemaJson: String): Unit = {
     val d = new File(dir)
     if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
-    val schemaJson = avroSchemaJson(df.schema)
     val sparkSchema = df.schema
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val sch = new Schema.Parser().parse(schemaJson)
@@ -196,6 +332,21 @@ object AvroFormat {
     * the given Spark schema. */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     readCore(spark, dir, schema, None)
+
+  /** Read third-party Avro under `dir` with NO declared Spark schema:
+    * the first container file's writer schema is converted via
+    * [[sparkTypeOf]] (enum -> string, fixed -> binary, multi-branch
+    * union -> member struct). */
+  def readAny(spark: SparkSession, dir: String): DataFrame = {
+    val first = new File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted.head
+    val rd = DataFileReader.openReader(
+      new File(first), new GenericDatumReader[GenericRecord]())
+    val writerSchema = rd.getSchema
+    rd.close()
+    readCore(spark, dir,
+      sparkTypeOf(writerSchema).asInstanceOf[StructType], None)
+  }
 
   /** Read with SCHEMA RESOLUTION (the flink-avro
     * AvroDeserializationSchema reader-schema semantics,

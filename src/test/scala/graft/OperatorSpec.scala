@@ -180,6 +180,92 @@ class OperatorSpec extends AnyFunSuite {
       Set(("a", 1, 7L), ("b", 2, 7L)))
   }
 
+  test("AvroFormat roundtrips ENUM, FIXED and multi-branch UNION through " +
+      "writeWithSchema/readAny (the remaining AvroSchemaConverter mappings)") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_efu").toString
+    val src = Seq(
+      (1L, "RED", Array[Byte](0, 0, 0, 1), Option(10L), Option.empty[String]),
+      (2L, "BLUE", Array[Byte](0, 0, 0, 2), Option.empty[Long], Option("hi")))
+      .toDF("id", "color", "fx", "member0", "member1")
+      .select($"id", $"color", $"fx",
+        struct($"member0", $"member1").as("u"))
+    val schemaJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "color", "type":
+             {"type": "enum", "name": "c", "symbols": ["RED", "BLUE"]}},
+           {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+           {"name": "u", "type": ["null", "long", "string"]}]}"""
+    AvroFormat.writeWithSchema(src, dir, schemaJson)
+    val back = AvroFormat.readAny(spark, dir)
+    // readAny derives the Spark schema FROM the writer schema
+    assert(back.schema("color").dataType == StringType)
+    assert(back.schema("fx").dataType == BinaryType)
+    assert(back.schema("u").dataType == new StructType()
+      .add("member0", LongType).add("member1", StringType))
+    val got = back.select($"id", $"color", hex($"fx").as("fxh"),
+        $"u.member0", $"u.member1")
+      .as[(Long, String, String, Option[Long], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "RED", "00000001", Some(10L), None),
+      (2L, "BLUE", "00000002", None, Some("hi"))))
+  }
+
+  test("AvroFormat union with a RECORD branch resolves by field-name set") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_urec").toString
+    val src = Seq(
+      (1L, Option(5L), Option.empty[(String, Int)]),
+      (2L, Option.empty[Long], Option(("x", 9))))
+      .toDF("id", "member0", "m1")
+      .select($"id", struct($"member0",
+        when($"m1".isNotNull,
+          struct($"m1._1".as("tag"), $"m1._2".as("n"))).as("member1")).as("u"))
+    val schemaJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "u", "type": ["null", "long",
+             {"type": "record", "name": "inner", "fields": [
+               {"name": "tag", "type": ["null", "string"]},
+               {"name": "n", "type": "int"}]}]}]}"""
+    AvroFormat.writeWithSchema(src, dir, schemaJson)
+    val back = AvroFormat.readAny(spark, dir)
+    val got = back.select($"id", $"u.member0",
+        $"u.member1.tag", $"u.member1.n")
+      .as[(Long, Option[Long], Option[String], Option[Int])].collect().toSet
+    assert(got == Set((1L, Some(5L), None, None), (2L, None, Some("x"), Some(9))))
+  }
+
+  test("AvroFormat reader-schema evolution over an ENUM: added symbol " +
+      "resolves, values read as strings") {
+    import graft.sources.AvroFormat
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_enev").toString
+    val src = Seq((1L, "O"), (2L, "F")).toDF("id", "st")
+    val writerJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "st", "type":
+             {"type": "enum", "name": "status", "symbols": ["O", "F"]}}]}"""
+    AvroFormat.writeWithSchema(src, dir, writerJson)
+    // reader adds a symbol (forward-compatible enum evolution)
+    val readerJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "st", "type":
+             {"type": "enum", "name": "status", "symbols": ["O", "F", "P"]}}]}"""
+    val readerSpark = new StructType()
+      .add("id", LongType, nullable = false)
+      .add("st", StringType, nullable = false)
+    val back = AvroFormat.readEvolved(spark, dir, readerSpark, readerJson)
+    assert(back.as[(Long, String)].collect().toSet ==
+      Set((1L, "O"), (2L, "F")))
+  }
+
   test("AvroFormat narrows Avro int back to Short/Byte columns on read") {
     import graft.sources.AvroFormat
     val dir = java.nio.file.Files.createTempDirectory("graft_avro_sb").toString
