@@ -371,11 +371,20 @@ object TpcdsShapePack extends QueryPack {
     // BRAND's average price, then per-nation counts with HAVING. The
     // correlated per-row avg decorrelates to one per-brand aggregate
     // broadcast onto the fact; nations keep the q6 `HAVING count >= 10`.
+    // The fact⋈part frame is consumed TWICE (per-brand aggregate and
+    // rowwise gate) — left lazy, Catalyst plans the fact scan twice (no
+    // ReusedExchange: the two consumers prune differently), which at
+    // 100 TB is a second full fact pass. So the shared frame is pruned
+    // to the three columns both consumers need (cents, brand, suppkey)
+    // and pinned ONCE (Materialize.pin, the 00a059d pattern): one fact
+    // scan, one narrow materialization, and both consumers read the pin.
     "q_tpcds_scalar_sub" -> ((s, d) => {
       import s.implicits._
-      val withBrand = T.lineitem(s, d)
-        .withColumn("cents", centsCol($"l_extendedprice"))
-        .join(T.part(s, d), $"l_partkey" === $"p_partkey")
+      val withBrand = graft.ext.Materialize.pin(
+        T.lineitem(s, d)
+          .withColumn("cents", centsCol($"l_extendedprice"))
+          .join(T.part(s, d), $"l_partkey" === $"p_partkey")
+          .select($"cents", $"p_brand", $"l_suppkey"))
       val bavg = withBrand.groupBy($"p_brand")
         .agg(sum($"cents").as("bsum"), count(lit(1)).as("bcnt"))
       withBrand.join(broadcast(bavg), Seq("p_brand"))

@@ -63,4 +63,90 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(shuffles == 0, s"$name should be shuffle-free:\n$plan")
     }
   }
+
+  // Fact-scan budget: no query may scan the lineitem fact more times
+  // than declared — a CTE consumed twice that Catalyst cannot reuse
+  // silently becomes a second full fact pass at 100 TB (the
+  // q_tpcds_scalar_sub regression class). Two tiers:
+  //   planned  — lineitem subtrees in the pre-execution plan (cheap,
+  //              checked for every query; Catalyst duplicates shared
+  //              subtrees at planning time, so multi-consumer queries
+  //              legitimately exceed 1 here)
+  //   physical — lineitem scan nodes in the AQE FINAL plan after
+  //              executing at test SF (exchange reuse applied) — the
+  //              number that is real I/O at 100 TB. Only checked when
+  //              planned > 1.
+  // Default budget is (1, 1); every exception states why. Queries that
+  // PIN the shared frame (Materialize.pin) show 0 lineitem scans — the
+  // pin job owns the single scan — so their budget is 0 and a
+  // reappearing lineitem scan means the pin was dropped. Scalar
+  // subqueries execute as separate jobs whose scans don't surface in
+  // the main final plan (q_tpch_q2/q11), hence physical < planned there.
+  private val disjoint = "branch filters differ: each scan reads its " +
+    "own pruned slice, together ~one full pass"
+  private val selfJoin = "fact-to-fact self-join: two genuinely " +
+    "different row sets"
+  private val reused = "planned twice but AQE ReusedExchange collapses " +
+    "to one physical scan"
+  private val prunedTwin = "second consumer reads a 2-3 column pruned " +
+    "projection of the fact (column-pruned twin pass)"
+  private val lineitemScanBudget: Map[String, (Int, Int, String)] = Map(
+    "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
+    "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
+    "q_tpcds_salesgap" -> (2, 2, disjoint),
+    "q_tpcds_yoy" -> (2, 2, disjoint),
+    "q_incremental_dedup" -> (2, 2, "delta vs base: disjoint row sets"),
+    "q_tpcds_3chan_yoy" -> (6, 6, s"3 channels x 2 years; $disjoint"),
+    "q_tpcds_antireturn" -> (2, 2, disjoint),
+    "q_tpcds_bestworst" -> (2, 1, reused),
+    "q_tpcds_channels" -> (3, 3, disjoint),
+    "q_tpcds_cov" -> (2, 1, reused),
+    "q_tpcds_crosschannel" -> (4, 4, disjoint),
+    "q_tpcds_cte_reuse" -> (3, 2, s"one reuse fires; rest: $disjoint"),
+    "q_tpcds_cumwin" -> (2, 2, prunedTwin),
+    "q_tpcds_exists_chain" -> (3, 3, disjoint),
+    "q_tpcds_freq_cte" -> (2, 2, prunedTwin),
+    "q_tpcds_freq_max_gate" -> (10, 2, reused),
+    "q_tpcds_growth" -> (2, 2, disjoint),
+    "q_tpcds_latency_matrix" -> (2, 2, selfJoin),
+    "q_tpcds_rankgate" -> (2, 2, prunedTwin),
+    "q_tpcds_rebuy" -> (3, 3, selfJoin),
+    "q_tpcds_ret_above_avg" -> (2, 1, reused),
+    "q_tpcds_returnratio" -> (2, 2, disjoint),
+    "q_tpcds_returns_profit" -> (2, 2, disjoint),
+    "q_tpcds_share" -> (2, 1, reused),
+    "q_tpcds_sharegrowth" -> (2, 2, disjoint),
+    "q_tpcds_state_ret_detail" -> (2, 1, reused),
+    "q_tpcds_threeway" -> (3, 3, disjoint),
+    "q_tpcds_triunion" -> (3, 3, disjoint),
+    "q_tpcds_union_rollup" -> (3, 3, disjoint),
+    "q_tpcds_weekpivot" -> (2, 2, disjoint),
+    "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
+    "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
+    "q_tpch_q17" -> (2, 2, prunedTwin),
+    "q_tpch_q2" -> (2, 1, "scalar-subquery side runs as its own job"),
+    "q_zorder" -> (2, 2, prunedTwin)
+  )
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name stays within its lineitem fact-scan budget") {
+      val df = fn(spark, TestSpark.sf)
+      val planned = "lineitem\\.parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+      val (plannedBudget, physicalBudget, why) =
+        lineitemScanBudget.getOrElse(name, (1, 1, "default: one fact pass"))
+      assert(planned <= plannedBudget,
+        s"$name plans $planned lineitem subtrees, budget $plannedBudget " +
+          s"($why)")
+      if (planned > 1) {
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val physical = "lineitem\\.parquet".r.findAllIn(finalPlan).length
+        assert(physical <= physicalBudget,
+          s"$name executes $physical lineitem scans post-AQE, budget " +
+            s"$physicalBudget ($why):\n$finalPlan")
+      }
+    }
+  }
 }
