@@ -35,6 +35,7 @@ object SparkEntry {
     TpcdsShapePack5,
     TpcdsShapePack6,
     TpcdsShapePack7,
+    DsRealPack,
     IteratePack
   )
 

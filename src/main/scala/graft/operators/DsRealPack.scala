@@ -1,0 +1,638 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.dsreal.{DsOracle, DsTables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL-schema TPC-DS queries (SURVEY.md §5): the reference validates
+  * 103 TPC-DS queries against golden answer sets
+  * (flink-end-to-end-tests/flink-tpcds-test/TpcdsTestProgram.java:137,
+  * tpcds-tool/query sql texts + answer_set/), and the shape battery
+  * (TpcdsShapePack*) covers every one as a same-shape analog on the
+  * TPC-H star. This pack closes the remaining daylight: the actual
+  * query semantics of the HARDEST of those queries — q23a/b, q14a,
+  * q75, q78, q67, q36 — run on the real TPC-DS schema
+  * (store/catalog/web sales + returns, item, date_dim, customer,
+  * store), derived deterministically from the driver's parquet by
+  * [[graft.dsreal.DsTables]] and rebuilt identically inside each
+  * DuckDB oracle by [[graft.dsreal.DsOracle]]. Adaptations from the
+  * reference texts, all parameter-level: money in integer cents,
+  * year/month params shifted into this generator's 1995-2001 range,
+  * avg/ratio gates cross-multiplied into exact BIGINT, ORDER BY made
+  * total (tiebreak columns appended) wherever LIMIT binds, and q23's
+  * frequency granularity is per item-YEAR (per item-DAY is always 1
+  * at these row counts).
+  *
+  * Scale notes: the emulation maps all six TPC-DS fact/return tables
+  * onto ONE lineitem parquet (channel = l_orderkey % 3), so a plan
+  * that scans "three fact tables once each" shows three lineitem
+  * scans here — on the real schema those are three separate tables
+  * read once each, the optimal shape. Multiply-consumed CTE frames
+  * (q23's frequent-items/best-customers, q14's cross-items/avg-sales,
+  * q75's all_sales) are pinned once (Materialize.pin) and broadcast —
+  * the same fix the analog battery uses — so no CTE is re-scanned per
+  * consumer at 100 TB.
+  */
+object DsRealPack extends QueryPack {
+
+  private def pin(df: DataFrame) = graft.ext.Materialize.pin(df)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // query23a.sql: frequent store items x best store customers, then
+    // catalog+web sales of that intersection in one month.
+    "q_dsreal_q23a" -> ((s, d) => {
+      import s.implicits._
+      val (freq, best) = q23Ctes(s, d)
+      val dFeb = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy" === 2).select($"d_date_sk")
+      val cs = DsTables.catalogSales(s, d)
+      val ws = DsTables.webSales(s, d)
+      def branch(f: DataFrame, dc: String, ic: String, cc: String,
+          qty: Column, lp: Column) =
+        f.join(broadcast(dFeb), col(dc) === $"d_date_sk")
+          .join(broadcast(freq), col(ic) === $"item_sk", "left_semi")
+          .join(broadcast(best), col(cc) === $"c_customer_sk", "left_semi")
+          .select((qty * lp).as("sales"))
+      branch(cs, "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk",
+          $"cs_quantity", $"cs_list_price_cents")
+        .union(branch(ws, "ws_sold_date_sk", "ws_item_sk",
+          "ws_bill_customer_sk", $"ws_quantity", $"ws_list_price_cents"))
+        .agg(sum($"sales").as("total_sales"))
+    }),
+
+    // query23b.sql: same CTEs, but grouped per best-customer name.
+    "q_dsreal_q23b" -> ((s, d) => {
+      import s.implicits._
+      val (freq, best) = q23Ctes(s, d)
+      val cust = DsTables.customerDim(s, d)
+      val dFeb = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy" === 2).select($"d_date_sk")
+      val cs = DsTables.catalogSales(s, d)
+      val ws = DsTables.webSales(s, d)
+      def branch(f: DataFrame, dc: String, ic: String, cc: String,
+          qty: Column, lp: Column) =
+        f.join(broadcast(dFeb), col(dc) === $"d_date_sk")
+          .join(broadcast(freq), col(ic) === $"item_sk", "left_semi")
+          .join(broadcast(best), col(cc) === $"c_customer_sk", "left_semi")
+          .join(broadcast(cust), col(cc) === $"c_customer_sk")
+          .groupBy($"c_last_name", $"c_first_name")
+          .agg(sum(qty * lp).as("sales"))
+      branch(cs, "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk",
+          $"cs_quantity", $"cs_list_price_cents")
+        .union(branch(ws, "ws_sold_date_sk", "ws_item_sk",
+          "ws_bill_customer_sk", $"ws_quantity", $"ws_list_price_cents"))
+        .orderBy($"c_last_name", $"c_first_name", $"sales")
+        .limit(100)
+    }),
+
+    // query14a.sql: items sold through ALL channels (triple INTERSECT
+    // on brand/class/category), channel aggregates gated by the
+    // cross-channel average, ROLLUP over channel x item hierarchy.
+    "q_dsreal_q14a" -> ((s, d) => {
+      import s.implicits._
+      val it = DsTables.item(s, d)
+      val dd3 = DsTables.dateDim(s).filter($"d_year".between(1998, 2000))
+        .select($"d_date_sk")
+      val ddNov = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy" === 11).select($"d_date_sk")
+      val ss = DsTables.storeSales(s, d)
+      val cs = DsTables.catalogSales(s, d)
+      val ws = DsTables.webSales(s, d)
+      def triples(f: DataFrame, dc: String, ic: String) =
+        f.join(broadcast(dd3), col(dc) === $"d_date_sk")
+          .join(broadcast(it), col(ic) === $"i_item_sk")
+          .select($"i_brand_id", $"i_class_id", $"i_category_id")
+      val crossItems = pin(it.join(
+          triples(ss, "ss_sold_date_sk", "ss_item_sk")
+            .intersect(triples(cs, "cs_sold_date_sk", "cs_item_sk"))
+            .intersect(triples(ws, "ws_sold_date_sk", "ws_item_sk")),
+          Seq("i_brand_id", "i_class_id", "i_category_id"))
+        .select($"i_item_sk".as("cross_item_sk")))
+      def prices(f: DataFrame, dc: String, qty: Column, lp: Column) =
+        f.join(broadcast(dd3), col(dc) === $"d_date_sk")
+          .select((qty * lp).as("qlp"))
+      val avgSales = pin(
+        prices(ss, "ss_sold_date_sk", $"ss_quantity", $"ss_list_price_cents")
+          .union(prices(cs, "cs_sold_date_sk", $"cs_quantity",
+            $"cs_list_price_cents"))
+          .union(prices(ws, "ws_sold_date_sk", $"ws_quantity",
+            $"ws_list_price_cents"))
+          .agg(sum($"qlp").as("s_all"), count(lit(1)).as("n_all")))
+      def gate(f: DataFrame, dc: String, ic: String, qty: Column,
+          lp: Column, label: String) =
+        f.join(broadcast(ddNov), col(dc) === $"d_date_sk")
+          .join(broadcast(crossItems), col(ic) === $"cross_item_sk",
+            "left_semi")
+          .join(broadcast(it), col(ic) === $"i_item_sk")
+          .groupBy($"i_brand_id", $"i_class_id", $"i_category_id")
+          .agg(sum(qty * lp).as("sales"), count(lit(1)).as("number_sales"))
+          .crossJoin(broadcast(avgSales))
+          .filter($"sales" * $"n_all" > $"s_all")
+          .select(lit(label).as("channel"), $"i_brand_id", $"i_class_id",
+            $"i_category_id", $"sales", $"number_sales")
+      gate(ss, "ss_sold_date_sk", "ss_item_sk", $"ss_quantity",
+          $"ss_list_price_cents", "store")
+        .union(gate(cs, "cs_sold_date_sk", "cs_item_sk", $"cs_quantity",
+          $"cs_list_price_cents", "catalog"))
+        .union(gate(ws, "ws_sold_date_sk", "ws_item_sk", $"ws_quantity",
+          $"ws_list_price_cents", "web"))
+        .rollup($"channel", $"i_brand_id", $"i_class_id", $"i_category_id")
+        .agg(sum($"sales").as("sum_sales"),
+          sum($"number_sales").as("sum_number_sales"))
+        .orderBy($"channel", $"i_brand_id", $"i_class_id", $"i_category_id")
+        .limit(100)
+    }),
+
+    // query75.sql: per-item-hierarchy net sales (sales minus returns)
+    // per year across all three channels (UNION-distinct detail), then
+    // the year-over-year self-join keeping lines that shrank >10%.
+    "q_dsreal_q75" -> ((s, d) => {
+      import s.implicits._
+      val it = DsTables.item(s, d).filter($"i_category" === "ECONOMY")
+      val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      def detail(f: DataFrame, ic: String, dc: String, oc: String,
+          qty: Column, ext: Column, ret: DataFrame, ric: String,
+          roc: String, rq: String, ra: String) =
+        f.join(broadcast(it), col(ic) === $"i_item_sk")
+          .join(broadcast(dd), col(dc) === $"d_date_sk")
+          .join(ret, col(oc) === col(roc) && col(ic) === col(ric), "left")
+          .select($"d_year", $"i_brand_id", $"i_class_id", $"i_category_id",
+            $"i_manufact_id",
+            (qty - coalesce(col(rq), lit(0L))).as("sales_cnt"),
+            (ext - coalesce(col(ra), lit(0L))).as("sales_amt"))
+      val allSales = pin(
+        detail(DsTables.catalogSales(s, d), "cs_item_sk", "cs_sold_date_sk",
+            "cs_order_number", $"cs_quantity", $"cs_ext_sales_price_cents",
+            DsTables.catalogReturns(s, d), "cr_item_sk", "cr_order_number",
+            "cr_return_quantity", "cr_return_amt_cents")
+          .union(detail(DsTables.storeSales(s, d), "ss_item_sk",
+            "ss_sold_date_sk", "ss_ticket_number", $"ss_quantity",
+            $"ss_ext_sales_price_cents", DsTables.storeReturns(s, d),
+            "sr_item_sk", "sr_ticket_number", "sr_return_quantity",
+            "sr_return_amt_cents"))
+          .union(detail(DsTables.webSales(s, d), "ws_item_sk",
+            "ws_sold_date_sk", "ws_order_number", $"ws_quantity",
+            $"ws_ext_sales_price_cents", DsTables.webReturns(s, d),
+            "wr_item_sk", "wr_order_number", "wr_return_quantity",
+            "wr_return_amt_cents"))
+          .distinct() // the text's UNION (set) semantics
+          .groupBy($"d_year", $"i_brand_id", $"i_class_id",
+            $"i_category_id", $"i_manufact_id")
+          .agg(sum($"sales_cnt").as("sales_cnt"),
+            sum($"sales_amt").as("sales_amt")))
+      val curr = allSales.filter($"d_year" === 2000)
+        .select($"d_year".as("curr_year"), $"i_brand_id", $"i_class_id",
+          $"i_category_id", $"i_manufact_id",
+          $"sales_cnt".as("curr_yr_cnt"), $"sales_amt".as("curr_amt"))
+      val prev = allSales.filter($"d_year" === 1999)
+        .select($"d_year".as("prev_year"), $"i_brand_id".as("pb"),
+          $"i_class_id".as("pc"), $"i_category_id".as("pg"),
+          $"i_manufact_id".as("pm"),
+          $"sales_cnt".as("prev_yr_cnt"), $"sales_amt".as("prev_amt"))
+      curr.join(prev, $"i_brand_id" === $"pb" && $"i_class_id" === $"pc" &&
+          $"i_category_id" === $"pg" && $"i_manufact_id" === $"pm")
+        // shrank >10%: curr/prev < 0.9, cross-multiplied exact
+        .filter($"curr_yr_cnt" * 10 < $"prev_yr_cnt" * 9)
+        .select($"prev_year", $"curr_year", $"i_brand_id", $"i_class_id",
+          $"i_category_id", $"i_manufact_id", $"prev_yr_cnt",
+          $"curr_yr_cnt",
+          ($"curr_yr_cnt" - $"prev_yr_cnt").as("sales_cnt_diff"),
+          ($"curr_amt" - $"prev_amt").as("sales_amt_diff"))
+        .orderBy($"sales_cnt_diff", $"sales_amt_diff", $"i_brand_id",
+          $"i_class_id", $"i_category_id", $"i_manufact_id")
+        .limit(100)
+    }),
+
+    // query78.sql: UNRETURNED sales per (year, item, customer) in each
+    // channel (left-anti via null-rejecting left join on returns), the
+    // store channel against the other two.
+    "q_dsreal_q78" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      def chan(f: DataFrame, ret: DataFrame, ic: String, oc: String,
+          cc: String, ric: String, roc: String, dc: String, qty: String,
+          wc: String, sp: String, p: String) =
+        f.join(ret, col(oc) === col(roc) && col(ic) === col(ric), "left")
+          .filter(col(roc).isNull)
+          .join(broadcast(dd), col(dc) === $"d_date_sk")
+          .groupBy($"d_year".as(s"${p}_sold_year"), col(ic), col(cc))
+          .agg(sum(col(qty)).as(s"${p}_qty"), sum(col(wc)).as(s"${p}_wc"),
+            sum(col(sp)).as(s"${p}_sp"))
+      val ssA = chan(DsTables.storeSales(s, d), DsTables.storeReturns(s, d),
+        "ss_item_sk", "ss_ticket_number", "ss_customer_sk", "sr_item_sk",
+        "sr_ticket_number", "ss_sold_date_sk", "ss_quantity",
+        "ss_wholesale_cost_cents", "ss_sales_price_cents", "ss")
+      val wsA = chan(DsTables.webSales(s, d), DsTables.webReturns(s, d),
+        "ws_item_sk", "ws_order_number", "ws_bill_customer_sk",
+        "wr_item_sk", "wr_order_number", "ws_sold_date_sk", "ws_quantity",
+        "ws_wholesale_cost_cents", "ws_sales_price_cents", "ws")
+      val csA = chan(DsTables.catalogSales(s, d),
+        DsTables.catalogReturns(s, d), "cs_item_sk", "cs_order_number",
+        "cs_bill_customer_sk", "cr_item_sk", "cr_order_number",
+        "cs_sold_date_sk", "cs_quantity", "cs_wholesale_cost_cents",
+        "cs_sales_price_cents", "cs")
+      ssA.join(wsA, $"ws_sold_year" === $"ss_sold_year" &&
+          $"ws_item_sk" === $"ss_item_sk" &&
+          $"ws_bill_customer_sk" === $"ss_customer_sk", "left")
+        .join(csA, $"cs_sold_year" === $"ss_sold_year" &&
+          $"cs_item_sk" === $"ss_item_sk" &&
+          $"cs_bill_customer_sk" === $"ss_customer_sk", "left")
+        .filter((coalesce($"ws_qty", lit(0L)) > 0 ||
+          coalesce($"cs_qty", lit(0L)) > 0) && $"ss_sold_year" === 2000)
+        .select($"ss_sold_year", $"ss_item_sk", $"ss_customer_sk",
+          expr("(ss_qty * 100) div (coalesce(ws_qty,0) + coalesce(cs_qty,0))")
+            .as("ratio_pct"),
+          $"ss_qty".as("store_qty"), $"ss_wc".as("store_wholesale_cost"),
+          $"ss_sp".as("store_sales_price"),
+          (coalesce($"ws_qty", lit(0L)) + coalesce($"cs_qty", lit(0L)))
+            .as("other_chan_qty"),
+          (coalesce($"ws_wc", lit(0L)) + coalesce($"cs_wc", lit(0L)))
+            .as("other_chan_wholesale_cost"),
+          (coalesce($"ws_sp", lit(0L)) + coalesce($"cs_sp", lit(0L)))
+            .as("other_chan_sales_price"))
+        .orderBy($"ss_sold_year", $"ss_item_sk", $"ss_customer_sk",
+          $"store_qty".desc, $"store_wholesale_cost".desc,
+          $"store_sales_price".desc, $"other_chan_qty",
+          $"other_chan_wholesale_cost", $"other_chan_sales_price",
+          $"ratio_pct")
+        .limit(100)
+    }),
+
+    // query67.sql: 8-level ROLLUP over a year of store sales, rank()
+    // per category partition, top 100 per category.
+    "q_dsreal_q67" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dd = DsTables.dateDim(s)
+        .filter($"d_month_seq".between(48, 59))
+        .select($"d_date_sk", $"d_year", $"d_qoy", $"d_moy")
+      val rolled = DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s)), $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(DsTables.item(s, d)), $"ss_item_sk" === $"i_item_sk")
+        .rollup($"i_category", $"i_class", $"i_brand", $"i_product_name",
+          $"d_year", $"d_qoy", $"d_moy", $"s_store_id")
+        .agg(sum(coalesce($"ss_sales_price_cents" * $"ss_quantity", lit(0L)))
+          .as("sumsales"))
+      rolled
+        .withColumn("rk", rank().over(
+          Window.partitionBy($"i_category").orderBy($"sumsales".desc)))
+        .filter($"rk" <= 100)
+        .orderBy($"i_category", $"i_class", $"i_brand", $"i_product_name",
+          $"d_year", $"d_qoy", $"d_moy", $"s_store_id", $"sumsales", $"rk")
+        .limit(100)
+    }),
+
+    // query36.sql: gross margin (exact ppm) over the category/class
+    // ROLLUP in TN stores, ranked within each hierarchy parent via
+    // grouping() flags.
+    "q_dsreal_q36" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk")
+      val grouped = DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)), $"ss_item_sk" === $"i_item_sk")
+        .join(broadcast(DsTables.store(s).filter($"s_state" === "TN")),
+          $"ss_store_sk" === $"s_store_sk")
+        .rollup($"i_category", $"i_class")
+        .agg(expr("(sum(ss_net_profit_cents) * 1000000) div " +
+          "sum(ss_ext_sales_price_cents)").as("margin_ppm"),
+          grouping($"i_category").as("g_cat"),
+          grouping($"i_class").as("g_class"))
+      grouped
+        .withColumn("lochierarchy", ($"g_cat" + $"g_class").cast("int"))
+        .withColumn("rank_within_parent", rank().over(
+          Window.partitionBy($"g_cat" + $"g_class",
+              when($"g_class" === 0, $"i_category"))
+            .orderBy($"margin_ppm")))
+        .select($"margin_ppm", $"i_category", $"i_class", $"lochierarchy",
+          $"rank_within_parent")
+        .orderBy($"lochierarchy".desc,
+          when($"lochierarchy" === 0, $"i_category"), $"rank_within_parent")
+        .limit(100)
+    }))
+
+  /** q23's shared CTEs: frequent store items (per item-YEAR count > 4
+    * over the four-year window) and best store customers (lifetime
+    * store sales above half the windowed per-customer max). Both are
+    * pinned — each is consumed by two final branches, and re-planning
+    * them would re-scan store_sales per consumer. */
+  private def q23Ctes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val dd4 = DsTables.dateDim(s)
+      .filter($"d_year".isin(1997, 1998, 1999, 2000))
+      .select($"d_date_sk", $"d_year")
+    val ss = DsTables.storeSales(s, d)
+    val it = DsTables.item(s, d)
+    val cust = DsTables.customerDim(s, d)
+    val freq = pin(ss
+      .join(broadcast(dd4), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
+      .groupBy(substring($"i_item_desc", 1, 30).as("itemdesc"),
+        $"i_item_sk", $"d_year")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 4)
+      .select($"i_item_sk".as("item_sk")))
+    val cmax = ss
+      .join(broadcast(dd4), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(cust), $"ss_customer_sk" === $"c_customer_sk")
+      .groupBy($"c_customer_sk")
+      .agg(sum($"ss_quantity" * $"ss_sales_price_cents").as("csales"))
+      .agg(max($"csales").as("tpcds_cmax"))
+    val best = pin(ss
+      .join(broadcast(cust), $"ss_customer_sk" === $"c_customer_sk")
+      .groupBy($"c_customer_sk")
+      .agg(sum($"ss_quantity" * $"ss_sales_price_cents").as("ssales"))
+      .crossJoin(broadcast(cmax))
+      .filter($"ssales" * 2 > $"tpcds_cmax")
+      .select($"c_customer_sk"))
+    (freq, best)
+  }
+
+  def oracle: Map[String, String] = {
+    val P = DsOracle.prelude
+    val q23Ctes = """,
+frequent_ss_items AS (
+  SELECT substr(i_item_desc,1,30) AS itemdesc, i_item_sk AS item_sk,
+         d_year AS soldyear, count(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND d_year IN (1997,1998,1999,2000)
+  GROUP BY substr(i_item_desc,1,30), i_item_sk, d_year
+  HAVING count(*) > 4),
+max_store_sales AS (
+  SELECT max(csales) AS tpcds_cmax FROM (
+    SELECT c_customer_sk, sum(ss_quantity*ss_sales_price_cents) AS csales
+    FROM store_sales, customer_dim, date_dim
+    WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+      AND d_year IN (1997,1998,1999,2000)
+    GROUP BY c_customer_sk) t),
+best_ss_customer AS (
+  SELECT c_customer_sk, sum(ss_quantity*ss_sales_price_cents) AS ssales
+  FROM store_sales, customer_dim
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING sum(ss_quantity*ss_sales_price_cents) * 2 >
+         (SELECT tpcds_cmax FROM max_store_sales))"""
+    Map(
+      "q_dsreal_q23a" -> (P + q23Ctes + """
+SELECT sum(sales) AS total_sales FROM (
+  SELECT cs_quantity * cs_list_price_cents AS sales
+  FROM catalog_sales, date_dim
+  WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+    AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+  UNION ALL
+  SELECT ws_quantity * ws_list_price_cents AS sales
+  FROM web_sales, date_dim
+  WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+  ) u"""),
+      "q_dsreal_q23b" -> (P + q23Ctes + """
+SELECT c_last_name, c_first_name, sales FROM (
+  SELECT c_last_name, c_first_name,
+         sum(cs_quantity * cs_list_price_cents) AS sales
+  FROM catalog_sales, customer_dim, date_dim
+  WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+    AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+    AND cs_bill_customer_sk = c_customer_sk
+  GROUP BY c_last_name, c_first_name
+  UNION ALL
+  SELECT c_last_name, c_first_name,
+         sum(ws_quantity * ws_list_price_cents) AS sales
+  FROM web_sales, customer_dim, date_dim
+  WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+    AND ws_bill_customer_sk = c_customer_sk
+  GROUP BY c_last_name, c_first_name) u
+ORDER BY c_last_name, c_first_name, sales
+LIMIT 100"""),
+      "q_dsreal_q14a" -> (P + """,
+cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item, (
+    SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+           iss.i_category_id AS category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1998 AND 2000
+    INTERSECT
+    SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1998 AND 2000
+    INTERSECT
+    SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1998 AND 2000) x
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT sum(quantity * list_price) AS s_all, count(*) AS n_all
+  FROM (SELECT ss_quantity AS quantity, ss_list_price_cents AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        UNION ALL
+        SELECT cs_quantity, cs_list_price_cents
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        UNION ALL
+        SELECT ws_quantity, ws_list_price_cents
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        ) x)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       sum(sales) AS sum_sales, sum(number_sales) AS sum_number_sales
+FROM (
+  SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+         sum(ss_quantity * ss_list_price_cents) AS sales,
+         count(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ss_quantity * ss_list_price_cents) * (SELECT n_all FROM avg_sales)
+         > (SELECT s_all FROM avg_sales)
+  UNION ALL
+  SELECT 'catalog', i_brand_id, i_class_id, i_category_id,
+         sum(cs_quantity * cs_list_price_cents), count(*)
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(cs_quantity * cs_list_price_cents) * (SELECT n_all FROM avg_sales)
+         > (SELECT s_all FROM avg_sales)
+  UNION ALL
+  SELECT 'web', i_brand_id, i_class_id, i_category_id,
+         sum(ws_quantity * ws_list_price_cents), count(*)
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ws_quantity * ws_list_price_cents) * (SELECT n_all FROM avg_sales)
+         > (SELECT s_all FROM avg_sales)) y
+GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST,
+         i_category_id NULLS FIRST
+LIMIT 100"""),
+      "q_dsreal_q75" -> (P + """,
+all_sales AS (
+  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         sum(sales_cnt) AS sales_cnt, sum(sales_amt) AS sales_amt
+  FROM (
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+           cs_ext_sales_price_cents - COALESCE(cr_return_amt_cents, 0)
+             AS sales_amt
+    FROM catalog_sales
+    JOIN item ON i_item_sk = cs_item_sk
+    JOIN date_dim ON d_date_sk = cs_sold_date_sk
+    LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+                              AND cs_item_sk = cr_item_sk)
+    WHERE i_category = 'ECONOMY'
+    UNION
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           ss_quantity - COALESCE(sr_return_quantity, 0),
+           ss_ext_sales_price_cents - COALESCE(sr_return_amt_cents, 0)
+    FROM store_sales
+    JOIN item ON i_item_sk = ss_item_sk
+    JOIN date_dim ON d_date_sk = ss_sold_date_sk
+    LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+                            AND ss_item_sk = sr_item_sk)
+    WHERE i_category = 'ECONOMY'
+    UNION
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           ws_quantity - COALESCE(wr_return_quantity, 0),
+           ws_ext_sales_price_cents - COALESCE(wr_return_amt_cents, 0)
+    FROM web_sales
+    JOIN item ON i_item_sk = ws_item_sk
+    JOIN date_dim ON d_date_sk = ws_sold_date_sk
+    LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+                          AND ws_item_sk = wr_item_sk)
+    WHERE i_category = 'ECONOMY') sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS curr_year,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2000 AND prev_yr.d_year = 1999
+  AND curr_yr.sales_cnt * 10 < prev_yr.sales_cnt * 9
+ORDER BY sales_cnt_diff, sales_amt_diff,
+         curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+         curr_yr.i_manufact_id
+LIMIT 100"""),
+      "q_dsreal_q78" -> (P + """,
+ws AS (
+  SELECT d_year AS ws_sold_year, ws_item_sk,
+         ws_bill_customer_sk AS ws_customer_sk,
+         sum(ws_quantity) AS ws_qty,
+         sum(ws_wholesale_cost_cents) AS ws_wc,
+         sum(ws_sales_price_cents) AS ws_sp
+  FROM web_sales
+  LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                       AND ws_item_sk = wr_item_sk
+  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS (
+  SELECT d_year AS cs_sold_year, cs_item_sk,
+         cs_bill_customer_sk AS cs_customer_sk,
+         sum(cs_quantity) AS cs_qty,
+         sum(cs_wholesale_cost_cents) AS cs_wc,
+         sum(cs_sales_price_cents) AS cs_sp
+  FROM catalog_sales
+  LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                           AND cs_item_sk = cr_item_sk
+  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS (
+  SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+         sum(ss_quantity) AS ss_qty,
+         sum(ss_wholesale_cost_cents) AS ss_wc,
+         sum(ss_sales_price_cents) AS ss_sp
+  FROM store_sales
+  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                         AND ss_item_sk = sr_item_sk
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       (ss_qty * 100) // (COALESCE(ws_qty,0) + COALESCE(cs_qty,0))
+         AS ratio_pct,
+       ss_qty AS store_qty, ss_wc AS store_wholesale_cost,
+       ss_sp AS store_sales_price,
+       COALESCE(ws_qty,0) + COALESCE(cs_qty,0) AS other_chan_qty,
+       COALESCE(ws_wc,0) + COALESCE(cs_wc,0) AS other_chan_wholesale_cost,
+       COALESCE(ws_sp,0) + COALESCE(cs_sp,0) AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+             AND ws_customer_sk = ss_customer_sk)
+LEFT JOIN cs ON (cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+             AND cs_customer_sk = ss_customer_sk)
+WHERE (COALESCE(ws_qty,0) > 0 OR COALESCE(cs_qty,0) > 0)
+  AND ss_sold_year = 2000
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk,
+         ss_qty DESC, ss_wc DESC, ss_sp DESC,
+         other_chan_qty, other_chan_wholesale_cost, other_chan_sales_price,
+         ratio_pct
+LIMIT 100"""),
+      "q_dsreal_q67" -> (P + """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+         s_store_id, sumsales,
+         rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+  FROM (
+    SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+           d_moy, s_store_id,
+           sum(COALESCE(ss_sales_price_cents * ss_quantity, 0)) AS sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 48 AND 59
+    GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name, d_year,
+                     d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
+LIMIT 100"""),
+      "q_dsreal_q36" -> (P + """
+SELECT (sum(ss_net_profit_cents) * 1000000) // sum(ss_ext_sales_price_cents)
+         AS margin_ppm,
+       i_category, i_class,
+       grouping(i_category) + grouping(i_class) AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY (sum(ss_net_profit_cents) * 1000000)
+                  // sum(ss_ext_sales_price_cents) ASC)
+         AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 2000 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND s_state IN ('TN')
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent
+LIMIT 100"""))
+  }
+}
