@@ -49,6 +49,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // isolate() deliberately unpersists pinned localCheckpoint blocks
+    // after each query; Spark's RDD logger warns "... truncated and
+    // cannot be recomputed after unpersisting" for EVERY such block —
+    // thousands of lines that drown the driver-captured stderr tail.
+    // Scope ONLY that logger to ERROR (known-benign class); every
+    // other logger keeps WARN so real warnings still surface.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
   case class E(id: Long, ts: java.sql.Timestamp, k: Long, v: Double)
+  case class Doc(doc_id: Long, source: String, text: String)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,20 +57,40 @@ object StreamBench {
       }
     }
 
+    // Synthetic doc stream for the near-dup gate: 12 tokens from a 40k
+    // vocab per doc, deterministic by doc_id. Every 10th doc reuses an
+    // earlier doc's token recipe (a genuine near-duplicate: identical
+    // distinct-token set => identical MinHash signature).
+    val docsPerBatch =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "30000").toInt
+    def docBatch(batch: Int): Seq[Doc] = {
+      val base = batch.toLong * docsPerBatch
+      (0 until docsPerBatch).map { i =>
+        val id = base + i
+        val recipe = if (id % 10 == 9 && id >= 10) id - 10 else id
+        val text = (0 until 12)
+          .map(j => "w" + ((recipe * 131 + j * 7919) % 40000))
+          .mkString(" ")
+        Doc(id, "s" + (id % 4), text)
+      }
+    }
+
     /** rows/sec through `plan`, best of 2 passes over fresh MemoryStreams
       * (same best-of-N convention as [[Bench]]; the retained MemoryStream
       * batches + memory sink are dropped and GC'd between passes so heap
       * pressure from one op doesn't tax the next).
       */
-    def measure(tag: String, mode: String = "update")(
-        plan: org.apache.spark.sql.Dataset[E] => org.apache.spark.sql.DataFrame): (String, Double) = {
+    def measureAs[T: org.apache.spark.sql.Encoder](tag: String, mode: String,
+        feed: Int => Seq[T])(
+        plan: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame): (String, Double) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val fed = (1 to batches).map(events) // keep generation out of the timed span
+      val fed = (1 to batches).map(feed) // keep generation out of the timed span
+      val perBatch = fed.head.size
       val best = (1 to 2).map { _ =>
-        val in = MemoryStream[E]
+        val in = MemoryStream[T]
         val q = plan(in.toDS()).writeStream.format("memory")
           .queryName(s"sb_$tag").outputMode(mode).start()
-        in.addData(events(0)) // warmup batch (state init, codegen)
+        in.addData(feed(0)) // warmup batch (state init, codegen)
         q.processAllAvailable()
         val t0 = System.nanoTime()
         fed.foreach { rows => in.addData(rows); q.processAllAvailable() }
@@ -77,10 +98,13 @@ object StreamBench {
         q.stop()
         spark.sql(s"DROP VIEW IF EXISTS sb_$tag")
         System.gc()
-        batches.toLong * rowsPerBatch / sec
+        batches.toLong * perBatch / sec
       }.max
       tag -> best
     }
+    def measure(tag: String, mode: String = "update")(
+        plan: org.apache.spark.sql.Dataset[E] => org.apache.spark.sql.DataFrame): (String, Double) =
+      measureAs[E](tag, mode, events)(plan)
 
     val results = Seq(
       // keyed tumbling-window count/sum under a watermark (update mode)
@@ -114,6 +138,17 @@ object StreamBench {
       // stateless projection/filter baseline (harness ceiling)
       measure("calc") { ds =>
         ds.filter($"v" > 10).select($"id", $"k", ($"v" * 2).as("v2"))
+      },
+      // streaming MinHash near-dup gate at >= 10x the sf0.01 corpus
+      // (warmup + 5 x docsPerBatch docs vs ~15k documents): state is
+      // one long per occupied (band, bucket) — n_docs x 4 bands
+      // entries — and this op is the bounded-state demonstration: with
+      // SPARK_GRAFT_STATE_STORE=rocksdb all of it lives off-heap, so
+      // corpus growth never presses the heap. ~10% of docs are forced
+      // near-dups of an earlier doc (same token set => same signature)
+      // so the claimed-bucket hit path is exercised, not just inserts.
+      measureAs[Doc]("near_dup", "append", docBatch) { ds =>
+        graft.streaming.StreamingNearDup.bandVerdicts(ds.toDF()).toDF()
       })
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.0f" }

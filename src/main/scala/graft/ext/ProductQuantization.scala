@@ -132,7 +132,9 @@ object ProductQuantization {
     * bytes/vector. Same determinism contract as [[search]]. */
   def searchCandidates(candPairs: DataFrame, codes: DataFrame,
       lutDf: DataFrame, k: Int): DataFrame = {
-    val adc = candPairs.select(col("q_id"), col("vec_id"))
+    // distinct() defends the sum: a duplicate candidate pair (easy to
+    // produce from a multi-probe router) would silently double adist
+    val adc = candPairs.select(col("q_id"), col("vec_id")).distinct()
       .join(codes, "vec_id")
       .withColumnRenamed("code", "cid")
       .join(broadcast(lutDf), Seq("q_id", "b", "cid"))

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *     brute force over the same probes (half-up ppm — measured
   *     0.60 on this corpus's random-gaussian embeddings, the regime
   *     PQ is WORST at; clustered real embeddings quantize better).
+  *   - q_lsh_precision: precision of the sign-LSH band candidates
+  *     against the exact-cosine truth on the same absolute-budget
+  *     sample as q_lsh_recall — together the two probes give the full
+  *     banding operating point.
   *   - q_mad_outliers: median-absolute-deviation length gate (robust
   *     to the very outliers a mean/stddev gate is dragged by).
   *   - q_cdc_chunks: content-defined chunking — shift-resistant chunk

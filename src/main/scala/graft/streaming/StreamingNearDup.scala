@@ -24,11 +24,27 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   * order inside a batch is not).
   *
   * 100-TB posture: state is one long per OCCUPIED bucket — bounded by
-  * the accepted-corpus band count (n_docs x bands), sharded by the
-  * bucket hash across executors, never scanned (point lookups by key).
-  * The band verdict -> doc verdict fold is per-batch (all bands of a
-  * doc ride the same input row, so they land in the same micro-batch)
-  * — use [[collapse]] inside foreachBatch; no second stateful stage.
+  * ALL INGESTED docs' bands (n_docs x bands), sharded by the bucket
+  * hash across executors, never scanned (point lookups by key). The
+  * band verdict -> doc verdict fold is per-batch (all bands of a doc
+  * ride the same input row, so they land in the same micro-batch) —
+  * use [[collapse]] inside foreachBatch; no second stateful stage.
+  *
+  * `dup_of` chains TRANSITIVELY: a doc claims its unclaimed buckets
+  * even when another band flags the doc itself as a near-dup, so a
+  * later doc's `dup_of` may name a claimant that was itself rejected
+  * — follow the chain (dup_of -> ... -> a doc with is_dup = false) to
+  * reach the kept representative, exactly like the batch LSH path's
+  * connected-components clusters. The single-pass design is
+  * deliberate: restricting claims to accepted docs would need a
+  * second stateful pass per micro-batch (a doc's acceptance depends
+  * on its OTHER buckets), doubling state traffic for no recall gain.
+  *
+  * Docs whose signature is null (fewer than one token —
+  * `TextOps.minhashOf` returns null for the empty element set) cannot
+  * band; they surface as SINGLETON verdicts (hit = false, claimant =
+  * self) via a stateless union branch rather than silently vanishing,
+  * matching the batch path's keep-as-singleton contract.
   */
 object StreamingNearDup {
 
@@ -41,14 +57,32 @@ object StreamingNearDup {
       rowsPerBand: Int = 4): Dataset[BandVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
-      .select($"doc_id".cast("long").as("doc_id"), $"source",
-        posexplode(TextOps.bandKeys(
-          TextOps.minhashSignature($"text", numHashes), bands, rowsPerBand))
+    val sigged = docs.select($"doc_id".cast("long").as("doc_id"), $"source",
+      TextOps.minhashSignature($"text", numHashes).as("sig"))
+    val banded = sigged.filter($"sig".isNotNull)
+      .select($"doc_id", $"source",
+        posexplode(TextOps.bandKeys($"sig", bands, rowsPerBand))
           .as(Seq("band", "bkey")))
       .select($"doc_id", concat_ws("\u0001", $"source", $"band", $"bkey")
         .as("bucket"))
       .as[(Long, String)]
+    val stateful = claimVerdicts(banded, bands)
+    // null-signature docs cannot band: surface them as stateless
+    // singleton verdicts (the batch keep-as-singleton contract)
+    // instead of silently dropping them
+    val singletons = sigged.filter($"sig".isNull)
+      .select($"doc_id").as[Long]
+      .map(id => BandVerdict(id, bands, hit = false, claimant = id))
+    stateful.union(singletons)
+  }
+
+  /** The stateful bucket-claim core, shared with the embedding-side
+    * gate ([[StreamingEmbedNearDup]]): per bucket key, ONE long of
+    * state — the first id that ever claimed it. */
+  private[streaming] def claimVerdicts(banded: Dataset[(Long, String)],
+      bands: Int): Dataset[BandVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded.groupByKey(_._2)
       .flatMapGroupsWithState[Long, BandVerdict](
         OutputMode.Append(), org.apache.spark.sql.streaming
@@ -56,7 +90,7 @@ object StreamingNearDup {
         (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
           val ids = rows.map(_._1).toVector
           val prior = state.getOption
-          // deterministic in-batch claimant: the smallest doc id
+          // deterministic in-batch claimant: the smallest id
           val claimant = prior.getOrElse(ids.min)
           if (prior.isEmpty) state.update(claimant)
           ids.iterator.map(id =>

@@ -37,23 +37,26 @@ class PqSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("a seed vector codes to ITSELF in every block (d2 = 0 self-coding)") {
+  test("a seed vector codes at distance 0 in every block (self-coding)") {
     // the codebook rows carry the seed vectors' own blocks, so encoding
-    // a seed must pick its own centroid id in every block (distance 0;
-    // any tie at 0 breaks to the lowest cid, which can only be another
-    // identical block — either way d2 of the chosen centroid is 0)
-    val seedCodes = codes.join(
-        vb, Seq("vec_id", "b"))
+    // a seed must land at distance 0 in every block (a tie at 0 breaks
+    // to the lowest cid, which can only be another IDENTICAL block —
+    // either way d2 of the chosen centroid is 0). Restrict to the
+    // ACTUAL seeds — the k hash-smallest vec_ids, re-derived exactly as
+    // codebook() picks them — and require ALL of them to self-code.
+    val seedIds = q
+      .withColumn("h", graft.ext.TextOps.tokenHash32(
+        concat(lit("pq_"), col("vec_id"))))
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .select("vec_id")
+    val worst = codes.join(vb, Seq("vec_id", "b"))
       .join(cents.withColumnRenamed("cid", "code"), Seq("b", "code"))
       .withColumn("d2", PQ.l2sqFixed(col("xvec"), col("cvec"), Dim / M))
-    // restrict to vectors that ARE seeds: their min-distance is 0
-    val seeds = cents.select(col("cvec")).distinct()
-    val zeroForSeeds = seedCodes
-      .join(seedCodes.groupBy("vec_id").agg(max("d2").as("worst")),
-        "vec_id")
-      .filter(col("worst") === 0)
-    assert(zeroForSeeds.select("vec_id").distinct().count() >= K / 2,
-      "at least the undisputed seed vectors must self-code at distance 0")
+      .join(seedIds, Seq("vec_id"), "left_semi")
+      .groupBy("vec_id").agg(max("d2").as("worst"))
+    assert(worst.count() == K, "every seed must be encoded")
+    assert(worst.filter(col("worst") =!= 0).count() == 0,
+      "every seed vector must self-code at distance 0 in all blocks")
   }
 
   test("ADC distance of a query to a SEED vector equals the code-table " +
