@@ -48,13 +48,23 @@ item AS (
 customer_dim AS (
   SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,
          'First' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
-         'Last' || CAST(c_custkey % 89 AS VARCHAR) AS c_last_name
+         'Last' || CAST(c_custkey % 89 AS VARCHAR) AS c_last_name,
+         c_custkey % 2557 AS c_first_sales_date_sk,
+         (c_custkey * 7) % 2557 AS c_first_shipto_date_sk
   FROM customer),
 store AS (
   SELECT i AS s_store_sk, 'S' || CAST(i AS VARCHAR) AS s_store_id,
          'Store_' || CAST(i AS VARCHAR) AS s_store_name,
          CASE i % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
-              WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state
+              WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state,
+         'Z' || CAST(i % 5 AS VARCHAR) AS s_zip
+  FROM range(1, 11) t(i)),
+catalog_page AS (
+  SELECT i AS cp_catalog_page_sk,
+         'CP' || CAST(i AS VARCHAR) AS cp_catalog_page_id
+  FROM range(1, 11) t(i)),
+web_site AS (
+  SELECT i AS web_site_sk, 'WS' || CAST(i AS VARCHAR) AS web_site_id
   FROM range(1, 11) t(i)),
 ds_base AS (
   SELECT *,
@@ -107,17 +117,20 @@ web_sales AS (
   FROM ds_base WHERE chan = 2),
 store_returns AS (
   SELECT item_sk AS sr_item_sk, ticket AS sr_ticket_number,
-         sold_date_sk + 30 AS sr_returned_date_sk,
-         ret_qty AS sr_return_quantity, ret_amt_cents AS sr_return_amt_cents
+         sold_date_sk + 30 AS sr_returned_date_sk, store_sk AS sr_store_sk,
+         ret_qty AS sr_return_quantity, ret_amt_cents AS sr_return_amt_cents,
+         ret_amt_cents // 10 AS sr_net_loss_cents
   FROM ds_base WHERE chan = 0 AND returned),
 catalog_returns AS (
   SELECT item_sk AS cr_item_sk, ticket AS cr_order_number,
-         sold_date_sk + 30 AS cr_returned_date_sk,
-         ret_qty AS cr_return_quantity, ret_amt_cents AS cr_return_amt_cents
+         sold_date_sk + 30 AS cr_returned_date_sk, store_sk AS cr_store_sk,
+         ret_qty AS cr_return_quantity, ret_amt_cents AS cr_return_amt_cents,
+         ret_amt_cents // 10 AS cr_net_loss_cents
   FROM ds_base WHERE chan = 1 AND returned),
 web_returns AS (
   SELECT item_sk AS wr_item_sk, ticket AS wr_order_number,
-         sold_date_sk + 30 AS wr_returned_date_sk,
-         ret_qty AS wr_return_quantity, ret_amt_cents AS wr_return_amt_cents
+         sold_date_sk + 30 AS wr_returned_date_sk, store_sk AS wr_store_sk,
+         ret_qty AS wr_return_quantity, ret_amt_cents AS wr_return_amt_cents,
+         ret_amt_cents // 10 AS wr_net_loss_cents
   FROM ds_base WHERE chan = 2 AND returned)"""
 }

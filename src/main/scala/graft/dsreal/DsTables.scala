@@ -97,7 +97,11 @@ object DsTables {
       concat(lit("First"), ($"c_custkey" % 97).cast("string"))
         .as("c_first_name"),
       concat(lit("Last"), ($"c_custkey" % 89).cast("string"))
-        .as("c_last_name"))
+        .as("c_last_name"),
+      // deterministic first-activity dates inside date_dim's range,
+      // for q64's d2/d3 date roles
+      ($"c_custkey" % Days).as("c_first_sales_date_sk"),
+      (($"c_custkey" * 7) % Days).as("c_first_shipto_date_sk"))
   }
 
   def store(s: SparkSession): DataFrame = {
@@ -108,7 +112,24 @@ object DsTables {
       concat(lit("Store_"), $"id".cast("string")).as("s_store_name"),
       when($"id" % 5 === 0, "TN").when($"id" % 5 === 1, "CA")
         .when($"id" % 5 === 2, "NY").when($"id" % 5 === 3, "TX")
-        .otherwise("WA").as("s_state"))
+        .otherwise("WA").as("s_state"),
+      concat(lit("Z"), ($"id" % 5).cast("string")).as("s_zip"))
+  }
+
+  /** catalog_page / web_site: the catalog and web channels' id dims
+    * (the real schema's analogs of store), keyed by the same 1..10
+    * surrogate the facts carry in *_store_sk. */
+  def catalogPage(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("cp_catalog_page_sk"),
+      concat(lit("CP"), $"id".cast("string")).as("cp_catalog_page_id"))
+  }
+  def webSite(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("web_site_sk"),
+      concat(lit("WS"), $"id".cast("string")).as("web_site_id"))
   }
 
   /** lineitem x orders with the channel split key and every derived
@@ -162,8 +183,11 @@ object DsTables {
       col("item_sk").as(s"${p}_item_sk"),
       col("ticket").as(orderCol),
       (col("sold_date_sk") + 30).as(s"${p}_returned_date_sk"),
+      col("store_sk").as(s"${p}_store_sk"),
       col("ret_qty").as(s"${p}_return_quantity"),
-      col("ret_amt_cents").as(s"${p}_return_amt_cents"))
+      col("ret_amt_cents").as(s"${p}_return_amt_cents"),
+      // q5's net_loss: return-handling cost, a deterministic fraction
+      expr("ret_amt_cents div 10").as(s"${p}_net_loss_cents"))
 
   def storeSales(s: SparkSession, d: String): DataFrame =
     sales(s, d, 0, "ss", "ss_customer_sk", "ss_ticket_number")

@@ -11,18 +11,24 @@ import org.apache.spark.sql.functions._
   * tpcds-tool/query sql texts + answer_set/), and the shape battery
   * (TpcdsShapePack*) covers every one as a same-shape analog on the
   * TPC-H star. This pack closes the remaining daylight: the actual
-  * query semantics of the HARDEST of those queries — q23a/b, q14a,
-  * q75, q78, q67, q36 — run on the real TPC-DS schema
+  * query semantics of the HARDEST of those queries — q23a/b, q14a/b,
+  * q75, q78, q67, q36, q5, q64 — run on the real TPC-DS schema
   * (store/catalog/web sales + returns, item, date_dim, customer,
-  * store), derived deterministically from the driver's parquet by
+  * store, catalog_page, web_site), derived deterministically from the
+  * driver's parquet by
   * [[graft.dsreal.DsTables]] and rebuilt identically inside each
   * DuckDB oracle by [[graft.dsreal.DsOracle]]. Adaptations from the
   * reference texts, all parameter-level: money in integer cents,
   * year/month params shifted into this generator's 1995-2001 range,
   * avg/ratio gates cross-multiplied into exact BIGINT, ORDER BY made
-  * total (tiebreak columns appended) wherever LIMIT binds, and q23's
+  * total (tiebreak columns appended) wherever LIMIT binds, q23's
   * frequency granularity is per item-YEAR (per item-DAY is always 1
-  * at these row counts).
+  * at these row counts), q14b's comparison period is a MONTH (the
+  * reference's single week is empty at sf0.01), and q64's demographic
+  * dims (cdemo/hdemo/address/income_band/promotion), absent from the
+  * derived schema, are omitted while its signature features — the
+  * refund-gated cs_ui CTE, the triple date role, the cross-year
+  * same-item-same-store self-pair with the cnt gate — are kept.
   *
   * Scale notes: the emulation maps all six TPC-DS fact/return tables
   * onto ONE lineitem parquet (channel = l_orderkey % 3), so a plan
@@ -93,33 +99,12 @@ object DsRealPack extends QueryPack {
     "q_dsreal_q14a" -> ((s, d) => {
       import s.implicits._
       val it = DsTables.item(s, d)
-      val dd3 = DsTables.dateDim(s).filter($"d_year".between(1998, 2000))
-        .select($"d_date_sk")
       val ddNov = DsTables.dateDim(s)
         .filter($"d_year" === 2000 && $"d_moy" === 11).select($"d_date_sk")
       val ss = DsTables.storeSales(s, d)
       val cs = DsTables.catalogSales(s, d)
       val ws = DsTables.webSales(s, d)
-      def triples(f: DataFrame, dc: String, ic: String) =
-        f.join(broadcast(dd3), col(dc) === $"d_date_sk")
-          .join(broadcast(it), col(ic) === $"i_item_sk")
-          .select($"i_brand_id", $"i_class_id", $"i_category_id")
-      val crossItems = pin(it.join(
-          triples(ss, "ss_sold_date_sk", "ss_item_sk")
-            .intersect(triples(cs, "cs_sold_date_sk", "cs_item_sk"))
-            .intersect(triples(ws, "ws_sold_date_sk", "ws_item_sk")),
-          Seq("i_brand_id", "i_class_id", "i_category_id"))
-        .select($"i_item_sk".as("cross_item_sk")))
-      def prices(f: DataFrame, dc: String, qty: Column, lp: Column) =
-        f.join(broadcast(dd3), col(dc) === $"d_date_sk")
-          .select((qty * lp).as("qlp"))
-      val avgSales = pin(
-        prices(ss, "ss_sold_date_sk", $"ss_quantity", $"ss_list_price_cents")
-          .union(prices(cs, "cs_sold_date_sk", $"cs_quantity",
-            $"cs_list_price_cents"))
-          .union(prices(ws, "ws_sold_date_sk", $"ws_quantity",
-            $"ws_list_price_cents"))
-          .agg(sum($"qlp").as("s_all"), count(lit(1)).as("n_all")))
+      val (crossItems, avgSales) = q14Ctes(s, d)
       def gate(f: DataFrame, dc: String, ic: String, qty: Column,
           lp: Column, label: String) =
         f.join(broadcast(ddNov), col(dc) === $"d_date_sk")
@@ -314,7 +299,220 @@ object DsRealPack extends QueryPack {
         .orderBy($"lochierarchy".desc,
           when($"lochierarchy" === 0, $"i_category"), $"rank_within_parent")
         .limit(100)
+    }),
+
+    // query5.sql: per-channel sales/returns/profit report over a
+    // 14-day window — each channel UNION-ALLs its sales (positive,
+    // dated by sale) with its returns (amount + net_loss, dated by
+    // RETURN date), joins its own id dimension (store / catalog_page /
+    // web_site), and the web channel's returns recover their site via
+    // the reference's left-join-back through web_sales; ROLLUP over
+    // (channel, id).
+    "q_dsreal_q5" -> ((s, d) => {
+      import s.implicits._
+      val dd14 = DsTables.dateDim(s)
+        .filter($"d_date".between(lit("2000-08-23").cast("date"),
+          date_add(lit("2000-08-23").cast("date"), 14)))
+        .select($"d_date_sk")
+      def chanReport(salesPart: DataFrame, retPart: DataFrame,
+          dim: DataFrame, dimSk: String, dimId: String, label: String,
+          idPrefix: String) =
+        salesPart.union(retPart)
+          .join(broadcast(dd14), $"date_sk" === $"d_date_sk")
+          .join(broadcast(dim), $"sk" === col(dimSk))
+          .groupBy(col(dimId))
+          .agg(sum($"sales_price").as("sales"),
+            sum($"return_amt").as("returns_amt"),
+            (sum($"profit") - sum($"net_loss")).as("profit"))
+          .select(lit(label).as("channel"),
+            concat(lit(idPrefix), col(dimId)).as("id"),
+            $"sales", $"returns_amt", $"profit")
+      def salesSide(f: DataFrame, sk: String, dc: String, ext: String,
+          prof: String) =
+        f.select(col(sk).as("sk"), col(dc).as("date_sk"),
+          col(ext).as("sales_price"), col(prof).as("profit"),
+          lit(0L).as("return_amt"), lit(0L).as("net_loss"))
+      def retSide(f: DataFrame, sk: String, dc: String, amt: String,
+          loss: String) =
+        f.select(col(sk).as("sk"), col(dc).as("date_sk"),
+          lit(0L).as("sales_price"), lit(0L).as("profit"),
+          col(amt).as("return_amt"), col(loss).as("net_loss"))
+      val wrWithSite = DsTables.webReturns(s, d).drop("ws_store_sk")
+        .join(DsTables.webSales(s, d)
+          .select($"ws_item_sk", $"ws_order_number", $"ws_store_sk"),
+          $"wr_item_sk" === $"ws_item_sk" &&
+            $"wr_order_number" === $"ws_order_number", "left")
+      chanReport(
+          salesSide(DsTables.storeSales(s, d), "ss_store_sk",
+            "ss_sold_date_sk", "ss_ext_sales_price_cents",
+            "ss_net_profit_cents"),
+          retSide(DsTables.storeReturns(s, d), "sr_store_sk",
+            "sr_returned_date_sk", "sr_return_amt_cents",
+            "sr_net_loss_cents"),
+          DsTables.store(s), "s_store_sk", "s_store_id",
+          "store channel", "store")
+        .union(chanReport(
+          salesSide(DsTables.catalogSales(s, d), "cs_store_sk",
+            "cs_sold_date_sk", "cs_ext_sales_price_cents",
+            "cs_net_profit_cents"),
+          retSide(DsTables.catalogReturns(s, d), "cr_store_sk",
+            "cr_returned_date_sk", "cr_return_amt_cents",
+            "cr_net_loss_cents"),
+          DsTables.catalogPage(s), "cp_catalog_page_sk",
+          "cp_catalog_page_id", "catalog channel", "catalog_page"))
+        .union(chanReport(
+          salesSide(DsTables.webSales(s, d), "ws_store_sk",
+            "ws_sold_date_sk", "ws_ext_sales_price_cents",
+            "ws_net_profit_cents"),
+          retSide(wrWithSite, "ws_store_sk", "wr_returned_date_sk",
+            "wr_return_amt_cents", "wr_net_loss_cents"),
+          DsTables.webSite(s), "web_site_sk", "web_site_id",
+          "web channel", "web_site"))
+        .rollup($"channel", $"id")
+        .agg(sum($"sales").as("sales"),
+          sum($"returns_amt").as("returns_amt"),
+          sum($"profit").as("profit"))
+        .orderBy($"channel", $"id")
+        .limit(100)
+    }),
+
+    // query14b.sql: the same cross_items / avg_sales CTEs as q14a, but
+    // this-period vs same-period-last-year store sales of the
+    // cross-channel items, both sides gated by the cross-channel
+    // average and joined on the item hierarchy. (Period = month at
+    // this SF — the reference's single-week bucket is empty at sf0.01;
+    // month_seq 71 = Dec 2000 vs 59 = Dec 1999.)
+    "q_dsreal_q14b" -> ((s, d) => {
+      import s.implicits._
+      val (crossItems, avgSales) = q14Ctes(s, d)
+      val it = DsTables.item(s, d)
+      def yearBranch(monthSeq: Int) = {
+        val ddM = DsTables.dateDim(s).filter($"d_month_seq" === monthSeq)
+          .select($"d_date_sk")
+        DsTables.storeSales(s, d)
+          .join(broadcast(ddM), $"ss_sold_date_sk" === $"d_date_sk")
+          .join(broadcast(crossItems), $"ss_item_sk" === $"cross_item_sk",
+            "left_semi")
+          .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
+          .groupBy($"i_brand_id", $"i_class_id", $"i_category_id")
+          .agg(sum($"ss_quantity" * $"ss_list_price_cents").as("sales"),
+            count(lit(1)).as("number_sales"))
+          .crossJoin(broadcast(avgSales))
+          .filter($"sales" * $"n_all" > $"s_all")
+          .select($"i_brand_id", $"i_class_id", $"i_category_id",
+            $"sales", $"number_sales")
+      }
+      val ty = yearBranch(71)
+      val ly = yearBranch(59)
+        .select($"i_brand_id".as("lb"), $"i_class_id".as("lc"),
+          $"i_category_id".as("lg"), $"sales".as("ly_sales"),
+          $"number_sales".as("ly_number_sales"))
+      ty.join(ly, $"i_brand_id" === $"lb" && $"i_class_id" === $"lc" &&
+          $"i_category_id" === $"lg")
+        .select($"i_brand_id".as("ty_brand"), $"i_class_id".as("ty_class"),
+          $"i_category_id".as("ty_category"), $"sales".as("ty_sales"),
+          $"number_sales".as("ty_number_sales"), $"ly_sales",
+          $"ly_number_sales")
+        .orderBy($"ty_brand", $"ty_class", $"ty_category")
+        .limit(100)
+    }),
+
+    // query64.sql: the cross-year same-item-same-store pair over one
+    // grouped CTE — store sales that were RETURNED, of items whose
+    // catalog sales beat 2x their catalog refunds (cs_ui), joined
+    // through three date roles (sale date + the customer's first-sale
+    // and first-shipto dates), grouped per item x store x year triple,
+    // then year-1999 rows self-joined to year-2000 rows of the same
+    // item and store with the cnt gate. cross_sales is pinned once —
+    // the reference consumes it twice, and re-planning it would run
+    // the whole snowflake twice.
+    "q_dsreal_q64" -> ((s, d) => {
+      import s.implicits._
+      val csUi = DsTables.catalogSales(s, d)
+        .join(DsTables.catalogReturns(s, d),
+          $"cs_item_sk" === $"cr_item_sk" &&
+            $"cs_order_number" === $"cr_order_number")
+        .groupBy($"cs_item_sk")
+        .agg(sum($"cs_list_price_cents").as("sale"),
+          sum($"cr_return_amt_cents").as("refund"))
+        .filter($"sale" > $"refund" * 2)
+        .select($"cs_item_sk")
+      val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      val crossSales = pin(DsTables.storeSales(s, d)
+        .join(DsTables.storeReturns(s, d),
+          $"ss_item_sk" === $"sr_item_sk" &&
+            $"ss_ticket_number" === $"sr_ticket_number")
+        .join(broadcast(csUi), $"ss_item_sk" === $"cs_item_sk", "left_semi")
+        .join(broadcast(dd.select($"d_date_sk".as("d1_sk"),
+          $"d_year".as("syear"))), $"ss_sold_date_sk" === $"d1_sk")
+        .join(broadcast(DsTables.customerDim(s, d)),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .join(broadcast(dd.select($"d_date_sk".as("d2_sk"),
+          $"d_year".as("fsyear"))), $"c_first_sales_date_sk" === $"d2_sk")
+        .join(broadcast(dd.select($"d_date_sk".as("d3_sk"),
+          $"d_year".as("s2year"))), $"c_first_shipto_date_sk" === $"d3_sk")
+        .join(broadcast(DsTables.store(s)), $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(DsTables.item(s, d)), $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"i_product_name".as("product_name"),
+          $"i_item_sk".as("item_sk"), $"s_store_name".as("store_name"),
+          $"s_zip".as("store_zip"), $"syear", $"fsyear", $"s2year")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"ss_wholesale_cost_cents").as("s1"),
+          sum($"ss_list_price_cents").as("s2"),
+          sum($"ss_ext_sales_price_cents").as("s3")))
+      val cs1 = crossSales.filter($"syear" === 1999)
+      val cs2 = crossSales.filter($"syear" === 2000)
+        .select($"item_sk".as("item2"), $"store_name".as("sn2"),
+          $"store_zip".as("sz2"), $"syear".as("syear2"),
+          $"cnt".as("cnt2"), $"s1".as("s12"), $"s2".as("s22"),
+          $"s3".as("s32"))
+      cs1.join(cs2, $"item_sk" === $"item2" && $"store_name" === $"sn2" &&
+          $"store_zip" === $"sz2" && $"cnt2" <= $"cnt")
+        .select($"product_name", $"store_name", $"store_zip",
+          $"syear".as("syear1"), $"cnt".as("cnt1"), $"s1".as("s11"),
+          $"s2".as("s21"), $"s3".as("s31"), $"s12", $"s22", $"s32",
+          $"syear2", $"cnt2")
+        .orderBy($"product_name", $"store_name", $"cnt2", $"s11", $"s12",
+          $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1")
+        .limit(100)
     }))
+
+  /** q14's shared CTEs (both a and b consume them): items selling in
+    * ALL three channels over the 3-year window (triple INTERSECT on
+    * the brand/class/category hierarchy), and the cross-channel
+    * average-sales gate as exact BIGINT (sum, count) for
+    * cross-multiplied comparison. Both pinned — each is consumed by
+    * every final branch. */
+  private def q14Ctes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val it = DsTables.item(s, d)
+    val dd3 = DsTables.dateDim(s).filter($"d_year".between(1998, 2000))
+      .select($"d_date_sk")
+    val ss = DsTables.storeSales(s, d)
+    val cs = DsTables.catalogSales(s, d)
+    val ws = DsTables.webSales(s, d)
+    def triples(f: DataFrame, dc: String, ic: String) =
+      f.join(broadcast(dd3), col(dc) === $"d_date_sk")
+        .join(broadcast(it), col(ic) === $"i_item_sk")
+        .select($"i_brand_id", $"i_class_id", $"i_category_id")
+    val crossItems = pin(it.join(
+        triples(ss, "ss_sold_date_sk", "ss_item_sk")
+          .intersect(triples(cs, "cs_sold_date_sk", "cs_item_sk"))
+          .intersect(triples(ws, "ws_sold_date_sk", "ws_item_sk")),
+        Seq("i_brand_id", "i_class_id", "i_category_id"))
+      .select($"i_item_sk".as("cross_item_sk")))
+    def prices(f: DataFrame, dc: String, qty: Column, lp: Column) =
+      f.join(broadcast(dd3), col(dc) === $"d_date_sk")
+        .select((qty * lp).as("qlp"))
+    val avgSales = pin(
+      prices(ss, "ss_sold_date_sk", $"ss_quantity", $"ss_list_price_cents")
+        .union(prices(cs, "cs_sold_date_sk", $"cs_quantity",
+          $"cs_list_price_cents"))
+        .union(prices(ws, "ws_sold_date_sk", $"ws_quantity",
+          $"ws_list_price_cents"))
+        .agg(sum($"qlp").as("s_all"), count(lit(1)).as("n_all")))
+    (crossItems, avgSales)
+  }
 
   /** q23's shared CTEs: frequent store items (per item-YEAR count > 4
     * over the four-year window) and best store customers (lifetime
@@ -633,6 +831,186 @@ GROUP BY ROLLUP (i_category, i_class)
 ORDER BY lochierarchy DESC,
          CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
          rank_within_parent
+LIMIT 100"""),
+      "q_dsreal_q5" -> (P + """
+SELECT channel, id, sum(sales) AS sales, sum(returns_amt) AS returns_amt,
+       sum(profit) AS profit
+FROM (
+  SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+         sales, returns_amt, profit - profit_loss AS profit
+  FROM (
+    SELECT s_store_id, sum(sales_price) AS sales, sum(profit) AS profit,
+           sum(return_amt) AS returns_amt, sum(net_loss) AS profit_loss
+    FROM (
+      SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+             ss_ext_sales_price_cents AS sales_price,
+             ss_net_profit_cents AS profit,
+             CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+      FROM store_sales
+      UNION ALL
+      SELECT sr_store_sk, sr_returned_date_sk, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), sr_return_amt_cents, sr_net_loss_cents
+      FROM store_returns) salesreturns, date_dim, store
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN DATE '2000-08-23'
+                     AND DATE '2000-08-23' + INTERVAL 14 DAY
+      AND store_sk = s_store_sk
+    GROUP BY s_store_id) ssr
+  UNION ALL
+  SELECT 'catalog channel', 'catalog_page' || cp_catalog_page_id,
+         sales, returns_amt, profit - profit_loss
+  FROM (
+    SELECT cp_catalog_page_id, sum(sales_price) AS sales,
+           sum(profit) AS profit, sum(return_amt) AS returns_amt,
+           sum(net_loss) AS profit_loss
+    FROM (
+      SELECT cs_store_sk AS page_sk, cs_sold_date_sk AS date_sk,
+             cs_ext_sales_price_cents AS sales_price,
+             cs_net_profit_cents AS profit,
+             CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+      FROM catalog_sales
+      UNION ALL
+      SELECT cr_store_sk, cr_returned_date_sk, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), cr_return_amt_cents, cr_net_loss_cents
+      FROM catalog_returns) salesreturns, date_dim, catalog_page
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN DATE '2000-08-23'
+                     AND DATE '2000-08-23' + INTERVAL 14 DAY
+      AND page_sk = cp_catalog_page_sk
+    GROUP BY cp_catalog_page_id) csr
+  UNION ALL
+  SELECT 'web channel', 'web_site' || web_site_id,
+         sales, returns_amt, profit - profit_loss
+  FROM (
+    SELECT web_site_id, sum(sales_price) AS sales, sum(profit) AS profit,
+           sum(return_amt) AS returns_amt, sum(net_loss) AS profit_loss
+    FROM (
+      SELECT ws_store_sk AS site_sk, ws_sold_date_sk AS date_sk,
+             ws_ext_sales_price_cents AS sales_price,
+             ws_net_profit_cents AS profit,
+             CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+      FROM web_sales
+      UNION ALL
+      SELECT ws_store_sk, wr_returned_date_sk, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), wr_return_amt_cents, wr_net_loss_cents
+      FROM web_returns LEFT JOIN web_sales
+        ON wr_item_sk = ws_item_sk AND wr_order_number = ws_order_number
+      ) salesreturns, date_dim, web_site
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN DATE '2000-08-23'
+                     AND DATE '2000-08-23' + INTERVAL 14 DAY
+      AND site_sk = web_site_sk
+    GROUP BY web_site_id) wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""),
+      "q_dsreal_q14b" -> (P + """,
+cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item, (
+    SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+           iss.i_category_id AS category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1998 AND 2000
+    INTERSECT
+    SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1998 AND 2000
+    INTERSECT
+    SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1998 AND 2000) x
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT sum(quantity * list_price) AS s_all, count(*) AS n_all
+  FROM (SELECT ss_quantity AS quantity, ss_list_price_cents AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        UNION ALL
+        SELECT cs_quantity, cs_list_price_cents
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        UNION ALL
+        SELECT ws_quantity, ws_list_price_cents
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
+        ) x)
+SELECT ty.i_brand_id AS ty_brand, ty.i_class_id AS ty_class,
+       ty.i_category_id AS ty_category, ty.sales AS ty_sales,
+       ty.number_sales AS ty_number_sales,
+       ly.sales AS ly_sales, ly.number_sales AS ly_number_sales
+FROM (
+  SELECT i_brand_id, i_class_id, i_category_id,
+         sum(ss_quantity * ss_list_price_cents) AS sales,
+         count(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_month_seq = 71
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ss_quantity * ss_list_price_cents) * (SELECT n_all FROM avg_sales)
+         > (SELECT s_all FROM avg_sales)) ty
+JOIN (
+  SELECT i_brand_id, i_class_id, i_category_id,
+         sum(ss_quantity * ss_list_price_cents) AS sales,
+         count(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_month_seq = 59
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING sum(ss_quantity * ss_list_price_cents) * (SELECT n_all FROM avg_sales)
+         > (SELECT s_all FROM avg_sales)) ly
+  ON ty.i_brand_id = ly.i_brand_id AND ty.i_class_id = ly.i_class_id
+ AND ty.i_category_id = ly.i_category_id
+ORDER BY ty.i_brand_id, ty.i_class_id, ty.i_category_id
+LIMIT 100"""),
+      "q_dsreal_q64" -> (P + """,
+cs_ui AS (
+  SELECT cs_item_sk,
+         sum(cs_list_price_cents) AS sale,
+         sum(cr_return_amt_cents) AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING sum(cs_list_price_cents) > 2 * sum(cr_return_amt_cents)),
+cross_sales AS (
+  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+         s_store_name AS store_name, s_zip AS store_zip,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         count(*) AS cnt,
+         sum(ss_wholesale_cost_cents) AS s1,
+         sum(ss_list_price_cents) AS s2,
+         sum(ss_ext_sales_price_cents) AS s3
+  FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
+       date_dim d3, store, customer_dim, item
+  WHERE ss_store_sk = s_store_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = cs_ui.cs_item_sk
+    AND c_first_sales_date_sk = d2.d_date_sk
+    AND c_first_shipto_date_sk = d3.d_date_sk
+  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+           d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.syear AS syear1, cs1.cnt AS cnt1,
+       cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+       cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1999 AND cs2.syear = 2000
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
+         cs1.s1, cs2.s1, cs1.cnt, s21, s31, s22, s32, syear1
 LIMIT 100"""))
   }
 }

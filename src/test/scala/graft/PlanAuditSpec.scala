@@ -99,6 +99,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "channel slice standing in for a separate fact/return table"
   private val lineitemScanBudget: Map[String, (Int, Int, String)] = Map(
     "q_dsreal_q14a" -> (3, 3, s"3 channel gate branches; $dsrealChan"),
+    "q_dsreal_q14b" -> (2, 2, "two store-sales month branches " +
+      "(this-year vs last-year) of disjoint date slices"),
+    "q_dsreal_q5" -> (7, 7, "3 channels x (sales + returns) + the " +
+      s"reference's wr->web_sales join-back; $dsrealChan"),
     "q_dsreal_q23a" -> (2, 2, s"catalog + web branches; $dsrealChan"),
     "q_dsreal_q23b" -> (2, 2, s"catalog + web branches; $dsrealChan"),
     "q_dsreal_q78" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
