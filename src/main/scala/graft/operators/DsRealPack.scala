@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * (TpcdsShapePack*) covers every one as a same-shape analog on the
   * TPC-H star. This pack closes the remaining daylight: the actual
   * query semantics of the HARDEST of those queries — q23a/b, q14a/b,
-  * q75, q78, q67, q36, q5, q64 — run on the real TPC-DS schema
+  * q75, q78, q67, q36, q5, q64, q11, q38, q87, q51, q95 — run on the
+  * real TPC-DS schema
   * (store/catalog/web sales + returns, item, date_dim, customer,
   * store, catalog_page, web_site), derived deterministically from the
   * driver's parquet by
@@ -28,7 +29,9 @@ import org.apache.spark.sql.functions._
   * dims (cdemo/hdemo/address/income_band/promotion), absent from the
   * derived schema, are omitted while its signature features — the
   * refund-gated cs_ui CTE, the triple date role, the cross-year
-  * same-item-same-store self-pair with the cnt gate — are kept.
+  * same-item-same-store self-pair with the cnt gate — are kept;
+  * q38/q87's same-period activity key is per YEAR (same-day is empty
+  * at sf0.01); q95's warehouse is stood in by the facts' store_sk.
   *
   * Scale notes: the emulation maps all six TPC-DS fact/return tables
   * onto ONE lineitem parquet (channel = l_orderkey % 3), so a plan
@@ -475,7 +478,166 @@ object DsRealPack extends QueryPack {
         .orderBy($"product_name", $"store_name", $"cnt2", $"s11", $"s12",
           $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1")
         .limit(100)
+    }),
+
+    // query38.sql: customers active in ALL three channels in the same
+    // period — triple INTERSECT on (name, period), then count. (Period
+    // = YEAR at this SF: the reference's same-day key is empty.)
+    "q_dsreal_q38" -> ((s, d) => {
+      import s.implicits._
+      val b = q38Branches(s, d)
+      b(0).intersect(b(1)).intersect(b(2))
+        .agg(count(lit(1)).as("hot_count"))
+    }),
+
+    // query87.sql: q38's complement — store-channel periods with NO
+    // catalog and NO web activity, via the EXCEPT chain.
+    "q_dsreal_q87" -> ((s, d) => {
+      import s.implicits._
+      val b = q38Branches(s, d)
+      b(0).except(b(1)).except(b(2))
+        .agg(count(lit(1)).as("cool_count"))
+    }),
+
+    // query11.sql: customers whose web revenue grew FASTER than their
+    // store revenue year-over-year — the per-customer-year totals CTE
+    // (store + web) consumed FOUR times (two channels x two years), so
+    // it is pinned once; the growth-ratio comparison is
+    // cross-multiplied into exact BIGINT (both first-year totals are
+    // gated > 0, so no sign flip).
+    "q_dsreal_q11" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      val cust = DsTables.customerDim(s, d)
+      def channelTotal(f: DataFrame, cc: String, dc: String, ext: String) =
+        f.join(broadcast(dd), col(dc) === $"d_date_sk")
+          .join(broadcast(cust), col(cc) === $"c_customer_sk")
+          .groupBy($"c_customer_id", $"c_first_name", $"c_last_name",
+            $"d_year")
+          .agg(sum(col(ext)).as("year_total"))
+      val yearTotal = pin(
+        channelTotal(DsTables.storeSales(s, d), "ss_customer_sk",
+            "ss_sold_date_sk", "ss_ext_sales_price_cents")
+          .withColumn("sale_type", lit("s"))
+          .union(channelTotal(DsTables.webSales(s, d),
+            "ws_bill_customer_sk", "ws_sold_date_sk",
+            "ws_ext_sales_price_cents")
+            .withColumn("sale_type", lit("w"))))
+      def slice(t: String, y: Int, p: String) = yearTotal
+        .filter($"sale_type" === t && $"d_year" === y)
+        .select($"c_customer_id".as(s"${p}_id"),
+          $"c_first_name".as(s"${p}_fn"), $"c_last_name".as(s"${p}_ln"),
+          $"year_total".as(s"${p}_total"))
+      slice("s", 1999, "sf").filter($"sf_total" > 0)
+        .join(slice("w", 1999, "wf").filter($"wf_total" > 0),
+          $"sf_id" === $"wf_id")
+        .join(slice("s", 2000, "ss2"), $"sf_id" === $"ss2_id")
+        .join(slice("w", 2000, "ws2"), $"sf_id" === $"ws2_id")
+        .filter($"ws2_total" * $"sf_total" > $"ss2_total" * $"wf_total")
+        .select($"ss2_id".as("customer_id"),
+          $"ss2_fn".as("customer_first_name"),
+          $"ss2_ln".as("customer_last_name"))
+        .orderBy($"customer_id", $"customer_first_name",
+          $"customer_last_name")
+        .limit(100)
+    }),
+
+    // query51.sql: per-item daily web vs store revenue, cumulative sums
+    // per channel, FULL OUTER stitched by (item, day), then the
+    // running MAX of each side (carrying the last seen cumulative
+    // through the other channel's missing days) filtered to days the
+    // web side leads.
+    "q_dsreal_q51" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dd = DsTables.dateDim(s)
+        .filter($"d_month_seq".between(48, 59))
+        .select($"d_date_sk", $"d_date")
+      def v1(f: DataFrame, ic: String, dc: String, sp: String) = {
+        val cume = Window.partitionBy(col("item_sk")).orderBy($"d_date")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f.join(broadcast(dd), col(dc) === $"d_date_sk")
+          .filter(col(ic).isNotNull)
+          .groupBy(col(ic).as("item_sk"), $"d_date")
+          .agg(sum(col(sp)).as("day_sales"))
+          .select($"item_sk", $"d_date",
+            sum($"day_sales").over(cume).as("cume_sales"))
+      }
+      val web = v1(DsTables.webSales(s, d), "ws_item_sk",
+        "ws_sold_date_sk", "ws_sales_price_cents")
+        .select($"item_sk".as("w_item"), $"d_date".as("w_date"),
+          $"cume_sales".as("web_sales"))
+      val store = v1(DsTables.storeSales(s, d), "ss_item_sk",
+        "ss_sold_date_sk", "ss_sales_price_cents")
+        .select($"item_sk".as("s_item"), $"d_date".as("s_date"),
+          $"cume_sales".as("store_sales"))
+      val cumeMax = Window.partitionBy($"item_sk").orderBy($"d_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      web.join(store, $"w_item" === $"s_item" && $"w_date" === $"s_date",
+          "full")
+        .select(coalesce($"w_item", $"s_item").as("item_sk"),
+          coalesce($"w_date", $"s_date").as("d_date"),
+          $"web_sales", $"store_sales")
+        .withColumn("web_cumulative", max($"web_sales").over(cumeMax))
+        .withColumn("store_cumulative", max($"store_sales").over(cumeMax))
+        .filter($"web_cumulative" > $"store_cumulative")
+        .orderBy($"item_sk", $"d_date")
+        .limit(100)
+    }),
+
+    // query95.sql: web orders shipped from more than one warehouse
+    // (store_sk stands in for warehouse_sk) AND returned, counted
+    // with shipping-cost/profit totals over a 60-day window. The
+    // multi-warehouse order set (the self-join CTE consumed by BOTH
+    // IN-subqueries) is pinned once and broadcast to the two semi
+    // joins.
+    "q_dsreal_q95" -> ((s, d) => {
+      import s.implicits._
+      val ws = DsTables.webSales(s, d)
+      val wsWhOrders = pin(ws.select($"ws_order_number", $"ws_store_sk")
+        .join(ws.select($"ws_order_number".as("o2"),
+          $"ws_store_sk".as("sk2")),
+          $"ws_order_number" === $"o2" && $"ws_store_sk" =!= $"sk2")
+        .select($"ws_order_number").distinct())
+      val returnedWsWh = DsTables.webReturns(s, d)
+        .join(broadcast(wsWhOrders),
+          $"wr_order_number" === $"ws_order_number", "left_semi")
+        .select($"wr_order_number")
+      val dd60 = DsTables.dateDim(s)
+        .filter($"d_date".between(lit("2000-02-01").cast("date"),
+          date_add(lit("2000-02-01").cast("date"), 60)))
+        .select($"d_date_sk")
+      ws.join(broadcast(dd60), $"ws_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(wsWhOrders.select($"ws_order_number".as("won"))),
+          $"ws_order_number" === $"won", "left_semi")
+        .join(broadcast(returnedWsWh),
+          $"ws_order_number" === $"wr_order_number", "left_semi")
+        .agg(countDistinct($"ws_order_number").as("order_count"),
+          sum($"ws_ext_sales_price_cents").as("total_ship_cost"),
+          sum($"ws_net_profit_cents").as("total_net_profit"))
     }))
+
+  /** q38/q87's three channel branches: DISTINCT (name, year) activity
+    * sets over the shared 3-year window, in store/catalog/web order. */
+  private def q38Branches(s: SparkSession, d: String): Seq[DataFrame] = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s).filter($"d_year".between(1998, 2000))
+      .select($"d_date_sk", $"d_year")
+    val cust = DsTables.customerDim(s, d)
+      .select($"c_customer_sk", $"c_first_name", $"c_last_name")
+    def branch(f: DataFrame, dc: String, cc: String) =
+      f.join(broadcast(dd), col(dc) === $"d_date_sk")
+        .join(broadcast(cust), col(cc) === $"c_customer_sk")
+        .select($"c_last_name", $"c_first_name", $"d_year")
+        .distinct()
+    Seq(
+      branch(DsTables.storeSales(s, d), "ss_sold_date_sk",
+        "ss_customer_sk"),
+      branch(DsTables.catalogSales(s, d), "cs_sold_date_sk",
+        "cs_bill_customer_sk"),
+      branch(DsTables.webSales(s, d), "ws_sold_date_sk",
+        "ws_bill_customer_sk"))
+  }
 
   /** q14's shared CTEs (both a and b consume them): items selling in
     * ALL three channels over the 3-year window (triple INTERSECT on
@@ -1011,6 +1173,129 @@ WHERE cs1.item_sk = cs2.item_sk
   AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
 ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
          cs1.s1, cs2.s1, cs1.cnt, s21, s31, s22, s32, syear1
-LIMIT 100"""))
+LIMIT 100"""),
+      "q_dsreal_q38" -> (P + """
+SELECT count(*) AS hot_count FROM (
+    SELECT DISTINCT c_last_name, c_first_name, d_year
+    FROM store_sales, date_dim, customer_dim
+    WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+      AND d_year BETWEEN 1998 AND 2000
+  INTERSECT
+    SELECT DISTINCT c_last_name, c_first_name, d_year
+    FROM catalog_sales, date_dim, customer_dim
+    WHERE cs_sold_date_sk = d_date_sk AND cs_bill_customer_sk = c_customer_sk
+      AND d_year BETWEEN 1998 AND 2000
+  INTERSECT
+    SELECT DISTINCT c_last_name, c_first_name, d_year
+    FROM web_sales, date_dim, customer_dim
+    WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
+      AND d_year BETWEEN 1998 AND 2000
+) hot_cust"""),
+      "q_dsreal_q87" -> (P + """
+SELECT count(*) AS cool_count
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_year
+       FROM store_sales, date_dim, customer_dim
+       WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+         AND d_year BETWEEN 1998 AND 2000)
+       EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_year
+       FROM catalog_sales, date_dim, customer_dim
+       WHERE cs_sold_date_sk = d_date_sk
+         AND cs_bill_customer_sk = c_customer_sk
+         AND d_year BETWEEN 1998 AND 2000)
+       EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_year
+       FROM web_sales, date_dim, customer_dim
+       WHERE ws_sold_date_sk = d_date_sk
+         AND ws_bill_customer_sk = c_customer_sk
+         AND d_year BETWEEN 1998 AND 2000)
+) cool_cust"""),
+      "q_dsreal_q11" -> (P + """,
+year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS dyear,
+         sum(ss_ext_sales_price_cents) AS year_total, 's' AS sale_type
+  FROM customer_dim, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         sum(ws_ext_sales_price_cents), 'w'
+  FROM customer_dim, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * t_s_firstyear.year_total >
+      t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100"""),
+      "q_dsreal_q51" -> (P + """,
+web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         sum(sum(ws_sales_price_cents)) OVER (PARTITION BY ws_item_sk
+           ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         sum(sum(ss_sales_price_cents)) OVER (PARTITION BY ss_item_sk
+           ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)
+SELECT * FROM (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                    ELSE store.item_sk END AS item_sk,
+               CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                    ELSE store.d_date END AS d_date,
+               web.cume_sales AS web_sales,
+               store.cume_sales AS store_sales
+        FROM web_v1 web FULL OUTER JOIN store_v1 store
+          ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100"""),
+      "q_dsreal_q95" -> (P + """,
+ws_wh AS (
+  SELECT ws1.ws_order_number, ws1.ws_store_sk AS wh1,
+         ws2.ws_store_sk AS wh2
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_store_sk <> ws2.ws_store_sk)
+SELECT count(DISTINCT ws_order_number) AS order_count,
+       sum(ws_ext_sales_price_cents) AS total_ship_cost,
+       sum(ws_net_profit_cents) AS total_net_profit
+FROM web_sales ws1, date_dim
+WHERE d_date BETWEEN DATE '2000-02-01'
+                 AND DATE '2000-02-01' + INTERVAL 60 DAY
+  AND ws1.ws_sold_date_sk = d_date_sk
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)"""))
   }
 }

@@ -106,6 +106,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsreal_q23a" -> (2, 2, s"catalog + web branches; $dsrealChan"),
     "q_dsreal_q23b" -> (2, 2, s"catalog + web branches; $dsrealChan"),
     "q_dsreal_q78" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
+    "q_dsreal_q38" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
+    "q_dsreal_q87" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
+    "q_dsreal_q51" -> (2, 2, s"web + store cumulative branches; $dsrealChan"),
+    "q_dsreal_q95" -> (2, 2, "ws fact + wr returns (the multi-warehouse " +
+      s"self-join is pinned); $dsrealChan"),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_salesgap" -> (2, 2, disjoint),
