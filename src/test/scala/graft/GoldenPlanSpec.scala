@@ -128,7 +128,16 @@ class GoldenPlanSpec extends AnyFunSuite {
     // tree each with the customer/nation joins above, not below, the
     // gate; CDC chunking must stay one window + one keyed aggregation
     "q_tpcds_dualdim_disjunct", "q_tpcds_state_ret_detail",
-    "q_cdc_chunks")
+    "q_cdc_chunks",
+    // r9 real-schema TPC-DS shapes: q64's cross_sales must stay ONE
+    // pinned grouped frame self-paired (two filters over the same
+    // LogicalRDD — a reappearing parquet scan means the pin dropped
+    // and the whole snowflake runs twice); q23a must keep BOTH pinned
+    // CTEs broadcast into left-semi joins on each channel branch (no
+    // re-aggregation per consumer); q5 must keep each channel's
+    // sales-union-returns partial aggregate BELOW the final rollup's
+    // single Expand
+    "q_dsreal_q64", "q_dsreal_q23a", "q_dsreal_q5")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
