@@ -640,39 +640,48 @@ object DsRealPack extends QueryPack {
   }
 
   /** q14's shared CTEs (both a and b consume them): items selling in
-    * ALL three channels over the 3-year window (triple INTERSECT on
-    * the brand/class/category hierarchy), and the cross-channel
-    * average-sales gate as exact BIGINT (sum, count) for
-    * cross-multiplied comparison. Both pinned — each is consumed by
-    * every final branch. */
+    * ALL three channels over the 3-year window (the text's triple
+    * INTERSECT on the brand/class/category hierarchy), and the
+    * cross-channel average-sales gate as exact BIGINT (sum, count)
+    * for cross-multiplied comparison.
+    *
+    * ONE fact pass computes both: the 3-channel union is grouped by
+    * hierarchy ONCE into a tiny pinned frame carrying
+    * (distinct-channel count, sum qlp, row count) — nchan = 3 is
+    * exactly the INTERSECT membership, and the global (s_all, n_all)
+    * is the sum over the exhaustive partition. The naive form (each
+    * CTE scanning all three channels itself) costs 6 windowed fact
+    * passes; at 100 TB that difference is the whole query. */
   private def q14Ctes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val it = DsTables.item(s, d)
+    val itSlim = it.select($"i_item_sk", $"i_brand_id", $"i_class_id",
+      $"i_category_id")
     val dd3 = DsTables.dateDim(s).filter($"d_year".between(1998, 2000))
       .select($"d_date_sk")
-    val ss = DsTables.storeSales(s, d)
-    val cs = DsTables.catalogSales(s, d)
-    val ws = DsTables.webSales(s, d)
-    def triples(f: DataFrame, dc: String, ic: String) =
+    def chanRows(f: DataFrame, dc: String, ic: String, qty: Column,
+        lp: Column, label: String) =
       f.join(broadcast(dd3), col(dc) === $"d_date_sk")
-        .join(broadcast(it), col(ic) === $"i_item_sk")
-        .select($"i_brand_id", $"i_class_id", $"i_category_id")
-    val crossItems = pin(it.join(
-        triples(ss, "ss_sold_date_sk", "ss_item_sk")
-          .intersect(triples(cs, "cs_sold_date_sk", "cs_item_sk"))
-          .intersect(triples(ws, "ws_sold_date_sk", "ws_item_sk")),
+        .join(broadcast(itSlim), col(ic) === $"i_item_sk")
+        .select(lit(label).as("chan"), $"i_brand_id", $"i_class_id",
+          $"i_category_id", (qty * lp).as("qlp"))
+    val hier = pin(
+      chanRows(DsTables.storeSales(s, d), "ss_sold_date_sk", "ss_item_sk",
+          $"ss_quantity", $"ss_list_price_cents", "s")
+        .union(chanRows(DsTables.catalogSales(s, d), "cs_sold_date_sk",
+          "cs_item_sk", $"cs_quantity", $"cs_list_price_cents", "c"))
+        .union(chanRows(DsTables.webSales(s, d), "ws_sold_date_sk",
+          "ws_item_sk", $"ws_quantity", $"ws_list_price_cents", "w"))
+        .groupBy($"i_brand_id", $"i_class_id", $"i_category_id")
+        .agg(countDistinct($"chan").as("nchan"), sum($"qlp").as("sum_qlp"),
+          count(lit(1)).as("n_rows")))
+    val crossItems = it.join(
+        hier.filter($"nchan" === 3)
+          .select($"i_brand_id", $"i_class_id", $"i_category_id"),
         Seq("i_brand_id", "i_class_id", "i_category_id"))
-      .select($"i_item_sk".as("cross_item_sk")))
-    def prices(f: DataFrame, dc: String, qty: Column, lp: Column) =
-      f.join(broadcast(dd3), col(dc) === $"d_date_sk")
-        .select((qty * lp).as("qlp"))
-    val avgSales = pin(
-      prices(ss, "ss_sold_date_sk", $"ss_quantity", $"ss_list_price_cents")
-        .union(prices(cs, "cs_sold_date_sk", $"cs_quantity",
-          $"cs_list_price_cents"))
-        .union(prices(ws, "ws_sold_date_sk", $"ws_quantity",
-          $"ws_list_price_cents"))
-        .agg(sum($"qlp").as("s_all"), count(lit(1)).as("n_all")))
+      .select($"i_item_sk".as("cross_item_sk"))
+    val avgSales = hier
+      .agg(sum($"sum_qlp").as("s_all"), sum($"n_rows").as("n_all"))
     (crossItems, avgSales)
   }
 
