@@ -689,36 +689,43 @@ object DsRealPack extends QueryPack {
     * over the four-year window) and best store customers (lifetime
     * store sales above half the windowed per-customer max). Both are
     * pinned — each is consumed by two final branches, and re-planning
-    * them would re-scan store_sales per consumer. */
+    * them would re-scan store_sales per consumer.
+    *
+    * The customer side (max_store_sales + best_ss_customer, two
+    * store_sales scans in the text) folds into ONE per-customer pass:
+    * a conditional sum splits lifetime ssales from the 4-year-window
+    * csales (a customer with no windowed rows sums to NULL, which max
+    * ignores — exactly the text's join-filtered membership), so the
+    * scalar max and the half-of-max gate both read the same tiny
+    * pinned per-customer frame. */
   private def q23Ctes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val dd4 = DsTables.dateDim(s)
-      .filter($"d_year".isin(1997, 1998, 1999, 2000))
-      .select($"d_date_sk", $"d_year")
+    val ddAll = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
     val ss = DsTables.storeSales(s, d)
     val it = DsTables.item(s, d)
     val cust = DsTables.customerDim(s, d)
     val freq = pin(ss
-      .join(broadcast(dd4), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(ddAll.filter($"d_year".isin(1997, 1998, 1999, 2000))),
+        $"ss_sold_date_sk" === $"d_date_sk")
       .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
       .groupBy(substring($"i_item_desc", 1, 30).as("itemdesc"),
         $"i_item_sk", $"d_year")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" > 4)
       .select($"i_item_sk".as("item_sk")))
-    val cmax = ss
-      .join(broadcast(dd4), $"ss_sold_date_sk" === $"d_date_sk")
-      .join(broadcast(cust), $"ss_customer_sk" === $"c_customer_sk")
+    val perCust = pin(ss
+      .join(broadcast(ddAll), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(cust.select($"c_customer_sk")),
+        $"ss_customer_sk" === $"c_customer_sk")
       .groupBy($"c_customer_sk")
-      .agg(sum($"ss_quantity" * $"ss_sales_price_cents").as("csales"))
-      .agg(max($"csales").as("tpcds_cmax"))
-    val best = pin(ss
-      .join(broadcast(cust), $"ss_customer_sk" === $"c_customer_sk")
-      .groupBy($"c_customer_sk")
-      .agg(sum($"ss_quantity" * $"ss_sales_price_cents").as("ssales"))
+      .agg(sum($"ss_quantity" * $"ss_sales_price_cents").as("ssales"),
+        sum(when($"d_year".isin(1997, 1998, 1999, 2000),
+          $"ss_quantity" * $"ss_sales_price_cents")).as("csales")))
+    val cmax = perCust.agg(max($"csales").as("tpcds_cmax"))
+    val best = perCust
       .crossJoin(broadcast(cmax))
       .filter($"ssales" * 2 > $"tpcds_cmax")
-      .select($"c_customer_sk"))
+      .select($"c_customer_sk")
     (freq, best)
   }
 
