@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * tpcds-tool/query sql texts + answer_set/), and the shape battery
   * (TpcdsShapePack*) covers every one as a same-shape analog on the
   * TPC-H star. This pack closes the remaining daylight: the actual
-  * query semantics of the HARDEST of those queries — q23a/b, q14a/b,
-  * q75, q78, q67, q36, q5, q64, q11, q38, q87, q51, q95 — run on the
-  * real TPC-DS schema
+  * query semantics of the HARDEST of those queries — q4, q23a/b,
+  * q14a/b, q75, q78, q67, q36, q5, q64, q11, q38, q87, q51, q95 —
+  * run on the real TPC-DS schema
   * (store/catalog/web sales + returns, item, date_dim, customer,
   * store, catalog_page, web_site), derived deterministically from the
   * driver's parquet by
@@ -534,6 +534,55 @@ object DsRealPack extends QueryPack {
         .join(slice("s", 2000, "ss2"), $"sf_id" === $"ss2_id")
         .join(slice("w", 2000, "ws2"), $"sf_id" === $"ws2_id")
         .filter($"ws2_total" * $"sf_total" > $"ss2_total" * $"wf_total")
+        .select($"ss2_id".as("customer_id"),
+          $"ss2_fn".as("customer_first_name"),
+          $"ss2_ln".as("customer_last_name"))
+        .orderBy($"customer_id", $"customer_first_name",
+          $"customer_last_name")
+        .limit(100)
+    }),
+
+    // query4.sql: q11's big sibling — per-customer-year totals over
+    // ALL THREE channels (one pinned CTE consumed SIX times), keeping
+    // customers whose catalog growth beat both their store growth and
+    // their web growth, both ratio gates cross-multiplied into exact
+    // BIGINT (first-year totals gated > 0).
+    "q_dsreal_q4" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      val cust = DsTables.customerDim(s, d)
+      def channelTotal(f: DataFrame, cc: String, dc: String, ext: String,
+          t: String) =
+        f.join(broadcast(dd), col(dc) === $"d_date_sk")
+          .join(broadcast(cust), col(cc) === $"c_customer_sk")
+          .groupBy($"c_customer_id", $"c_first_name", $"c_last_name",
+            $"d_year")
+          .agg(sum(col(ext)).as("year_total"))
+          .withColumn("sale_type", lit(t))
+      val yearTotal = pin(
+        channelTotal(DsTables.storeSales(s, d), "ss_customer_sk",
+            "ss_sold_date_sk", "ss_ext_sales_price_cents", "s")
+          .union(channelTotal(DsTables.catalogSales(s, d),
+            "cs_bill_customer_sk", "cs_sold_date_sk",
+            "cs_ext_sales_price_cents", "c"))
+          .union(channelTotal(DsTables.webSales(s, d),
+            "ws_bill_customer_sk", "ws_sold_date_sk",
+            "ws_ext_sales_price_cents", "w")))
+      def slice(t: String, y: Int, p: String) = yearTotal
+        .filter($"sale_type" === t && $"d_year" === y)
+        .select($"c_customer_id".as(s"${p}_id"),
+          $"c_first_name".as(s"${p}_fn"), $"c_last_name".as(s"${p}_ln"),
+          $"year_total".as(s"${p}_total"))
+      slice("s", 1999, "sf").filter($"sf_total" > 0)
+        .join(slice("c", 1999, "cf").filter($"cf_total" > 0),
+          $"sf_id" === $"cf_id")
+        .join(slice("w", 1999, "wf").filter($"wf_total" > 0),
+          $"sf_id" === $"wf_id")
+        .join(slice("s", 2000, "ss2"), $"sf_id" === $"ss2_id")
+        .join(slice("c", 2000, "cs2"), $"sf_id" === $"cs2_id")
+        .join(slice("w", 2000, "ws2"), $"sf_id" === $"ws2_id")
+        .filter($"cs2_total" * $"sf_total" > $"ss2_total" * $"cf_total" &&
+          $"cs2_total" * $"wf_total" > $"ws2_total" * $"cf_total")
         .select($"ss2_id".as("customer_id"),
           $"ss2_fn".as("customer_first_name"),
           $"ss2_ln".as("customer_last_name"))
@@ -1254,6 +1303,51 @@ WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
   AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
   AND t_w_secyear.year_total * t_s_firstyear.year_total >
       t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100"""),
+      "q_dsreal_q4" -> (P + """,
+year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS dyear,
+         sum(ss_ext_sales_price_cents) AS year_total, 's' AS sale_type
+  FROM customer_dim, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         sum(cs_ext_sales_price_cents), 'c'
+  FROM customer_dim, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         sum(ws_ext_sales_price_cents), 'w'
+  FROM customer_dim, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_c_firstyear.dyear = 1999 AND t_c_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_c_secyear.year_total * t_s_firstyear.year_total >
+      t_s_secyear.year_total * t_c_firstyear.year_total
+  AND t_c_secyear.year_total * t_w_firstyear.year_total >
+      t_w_secyear.year_total * t_c_firstyear.year_total
 ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
          t_s_secyear.customer_last_name
 LIMIT 100"""),
