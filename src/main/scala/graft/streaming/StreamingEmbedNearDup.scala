@@ -37,20 +37,30 @@ import org.apache.spark.sql.functions._
 object StreamingEmbedNearDup {
 
   /** Per-(table, bucket) verdicts for a stream of (vec_id, emb) rows.
-    * `emb` must be a numeric array of length `dims`. */
+    * `emb` must be a numeric array of length `dims`; rows with a NULL
+    * embedding cannot band (their bucket ids would be null, and
+    * concat_ws skipping nulls would collapse every such row onto one
+    * shared per-table key — spurious mutual dups) and surface as
+    * stateless SINGLETON verdicts instead, the same contract as the
+    * text gate's null-signature branch. */
   def bandVerdicts(vecs: DataFrame, planes: Int = 16, tables: Int = 4,
       dims: Int = 64): Dataset[StreamingNearDup.BandVerdict] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val typed = vecs.select(col("vec_id").cast("long").as("vec_id"),
+      col("emb"))
     val buckets = array((0 until tables).map(t =>
       VectorOps.lshBucket(col("emb"), planes, dims, planeOffset = t * planes)
         .cast("string")): _*)
-    val banded = vecs
-      .select(col("vec_id").cast("long").as("vec_id"),
-        posexplode(buckets).as(Seq("table", "bucket")))
+    val banded = typed.filter($"emb".isNotNull)
+      .select($"vec_id", posexplode(buckets).as(Seq("table", "bucket")))
       .select($"vec_id",
         concat_ws("\u0001", $"table", $"bucket").as("key"))
       .as[(Long, String)]
-    StreamingNearDup.claimVerdicts(banded, tables)
+    val singletons = typed.filter($"emb".isNull)
+      .select($"vec_id").as[Long]
+      .map(id => StreamingNearDup.BandVerdict(id, tables, hit = false,
+        claimant = id))
+    StreamingNearDup.claimVerdicts(banded, tables).union(singletons)
   }
 }

@@ -106,6 +106,16 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
       s"stream flagged ${flagged.size} vs batch banding ${expectDup.size}")
   }
 
+  test("null embeddings surface as singletons (never collide with each " +
+      "other or with real vectors)") {
+    val v = run(Seq(
+      Seq(EmbDoc(1L, base), EmbDoc(2L, null), EmbDoc(3L, null))),
+      restartBetween = false)
+    assert(v(2L) == (false, 2L) && v(3L) == (false, 3L),
+      s"null-emb docs must each be singletons, not mutual dups: $v")
+    assert(v(1L) == (false, 1L))
+  }
+
   test("state holds exactly one row per occupied (table, bucket)") {
     import org.apache.spark.sql.functions._
     val ckpt = java.nio.file.Files.createTempDirectory("graft_enst_ck").toString
