@@ -26,7 +26,8 @@ object DsOracle {
          CAST((month(d_date) - 1) // 3 + 1 AS INT) AS d_qoy,
          CAST((year(d_date) - 1995) * 12 + month(d_date) - 1 AS BIGINT)
            AS d_month_seq,
-         d_date_sk // 7 AS d_week_seq
+         d_date_sk // 7 AS d_week_seq,
+         CAST(d_date_sk % 7 AS INT) AS d_dow
   FROM (SELECT i AS d_date_sk, DATE '1995-01-01' + CAST(i AS INT) AS d_date
         FROM range(0, 2557) t(i))),
 item AS (

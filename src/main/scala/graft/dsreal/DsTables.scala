@@ -63,6 +63,10 @@ object DsTables {
       .withColumn("d_month_seq",
         (($"d_year" - 1995) * 12 + $"d_moy" - 1).cast("long"))
       .withColumn("d_week_seq", expr("d_date_sk div 7"))
+      // 1995-01-01 (the epoch) was a Sunday, so weeks [d_week_seq]
+      // start on Sunday and d_dow = 0 IS Sunday — both exact integer
+      // arithmetic, no engine-specific week/dow numbering involved
+      .withColumn("d_dow", expr("d_date_sk % 7").cast("int"))
   }
 
   def item(s: SparkSession, d: String): DataFrame = {

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * tpcds-tool/query sql texts + answer_set/), and the shape battery
   * (TpcdsShapePack*) covers every one as a same-shape analog on the
   * TPC-H star. This pack closes the remaining daylight: the actual
-  * query semantics of the HARDEST of those queries — q4, q23a/b,
-  * q14a/b, q75, q78, q67, q36, q5, q64, q11, q38, q87, q51, q95 —
+  * query semantics of the HARDEST of those queries — q2, q4, q5, q11,
+  * q14a/b, q23a/b, q36, q38, q51, q64, q67, q75, q78, q87, q95,
+  * q97 —
   * run on the real TPC-DS schema
   * (store/catalog/web sales + returns, item, date_dim, customer,
   * store, catalog_page, web_site), derived deterministically from the
@@ -632,6 +633,70 @@ object DsRealPack extends QueryPack {
         .filter($"web_cumulative" > $"store_cumulative")
         .orderBy($"item_sk", $"d_date")
         .limit(100)
+    }),
+
+    // query97.sql: store vs catalog buying-pair overlap — the two
+    // DISTINCT (customer, item) sets FULL OUTER joined, membership
+    // counted into store-only / catalog-only / both in one aggregate.
+    "q_dsreal_q97" -> ((s, d) => {
+      import s.implicits._
+      val ddW = DsTables.dateDim(s).filter($"d_month_seq".between(48, 59))
+        .select($"d_date_sk")
+      def pairs(f: DataFrame, dc: String, cc: String, ic: String,
+          p: String) =
+        f.join(broadcast(ddW), col(dc) === $"d_date_sk")
+          .select(col(cc).as(s"${p}_customer_sk"),
+            col(ic).as(s"${p}_item_sk"))
+          .distinct()
+      pairs(DsTables.storeSales(s, d), "ss_sold_date_sk",
+          "ss_customer_sk", "ss_item_sk", "ss")
+        .join(pairs(DsTables.catalogSales(s, d), "cs_sold_date_sk",
+          "cs_bill_customer_sk", "cs_item_sk", "cs"),
+          $"ss_customer_sk" === $"cs_customer_sk" &&
+            $"ss_item_sk" === $"cs_item_sk", "full")
+        .agg(
+          sum(when($"ss_customer_sk".isNotNull &&
+            $"cs_customer_sk".isNull, 1).otherwise(0)).as("store_only"),
+          sum(when($"ss_customer_sk".isNull &&
+            $"cs_customer_sk".isNotNull, 1).otherwise(0)).as("catalog_only"),
+          sum(when($"ss_customer_sk".isNotNull &&
+            $"cs_customer_sk".isNotNull, 1).otherwise(0))
+            .as("store_and_catalog"))
+    }),
+
+    // query2.sql: weekday revenue pivot of web+catalog sales per week,
+    // the pivoted CTE consumed twice and self-joined 52 weeks apart
+    // (same calendar week, next year) with the per-weekday ratios in
+    // exact integer percent. d_dow is exact arithmetic: the epoch is a
+    // Sunday, so d_dow = d_date_sk % 7 with 0 = Sunday.
+    "q_dsreal_q2" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .select($"d_date_sk", $"d_week_seq", $"d_dow", $"d_year")
+      val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      val wscs = DsTables.webSales(s, d)
+        .select($"ws_sold_date_sk".as("sold_date_sk"),
+          $"ws_ext_sales_price_cents".as("sales_price"))
+        .union(DsTables.catalogSales(s, d)
+          .select($"cs_sold_date_sk", $"cs_ext_sales_price_cents"))
+      val dayCols = days.zipWithIndex.map { case (n, i) =>
+        sum(when($"d_dow" === i, $"sales_price")).as(s"${n}_sales")
+      }
+      val wswscs = pin(wscs
+        .join(broadcast(dd), $"sold_date_sk" === $"d_date_sk")
+        .groupBy($"d_week_seq")
+        .agg(dayCols.head, dayCols.tail: _*))
+      def yearWeeks(y: Int) = broadcast(
+        dd.filter($"d_year" === y).select($"d_week_seq").distinct())
+      val y1 = wswscs.join(yearWeeks(1999), Seq("d_week_seq"), "left_semi")
+      val y2 = wswscs.join(yearWeeks(2000), Seq("d_week_seq"), "left_semi")
+        .select($"d_week_seq".as("w2") +:
+          days.map(n => col(s"${n}_sales").as(s"${n}2")): _*)
+      y1.join(y2, $"d_week_seq" === $"w2" - 52)
+        .select($"d_week_seq".as("d_week_seq1") +:
+          days.map(n =>
+            expr(s"(${n}_sales * 100) div ${n}2").as(s"${n}_pct")): _*)
+        .orderBy($"d_week_seq1")
     }),
 
     // query95.sql: web orders shipped from more than one warehouse
@@ -1389,6 +1454,61 @@ SELECT * FROM (
 WHERE web_cumulative > store_cumulative
 ORDER BY item_sk, d_date
 LIMIT 100"""),
+      "q_dsreal_q97" -> (P + """,
+ssci AS (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+  SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
+  GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+         AS store_only,
+       sum(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS catalog_only,
+       sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                               AND ssci.item_sk = csci.item_sk)"""),
+      "q_dsreal_q2" -> (P + """,
+wscs AS (
+  SELECT sold_date_sk, sales_price FROM (
+    SELECT ws_sold_date_sk AS sold_date_sk,
+           ws_ext_sales_price_cents AS sales_price FROM web_sales
+    UNION ALL
+    SELECT cs_sold_date_sk, cs_ext_sales_price_cents FROM catalog_sales)),
+wswscs AS (
+  SELECT d_week_seq,
+         sum(CASE WHEN d_dow = 0 THEN sales_price END) AS sun_sales,
+         sum(CASE WHEN d_dow = 1 THEN sales_price END) AS mon_sales,
+         sum(CASE WHEN d_dow = 2 THEN sales_price END) AS tue_sales,
+         sum(CASE WHEN d_dow = 3 THEN sales_price END) AS wed_sales,
+         sum(CASE WHEN d_dow = 4 THEN sales_price END) AS thu_sales,
+         sum(CASE WHEN d_dow = 5 THEN sales_price END) AS fri_sales,
+         sum(CASE WHEN d_dow = 6 THEN sales_price END) AS sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT y.d_week_seq AS d_week_seq1,
+       (y.sun_sales * 100) // z.sun_sales AS sun_pct,
+       (y.mon_sales * 100) // z.mon_sales AS mon_pct,
+       (y.tue_sales * 100) // z.tue_sales AS tue_pct,
+       (y.wed_sales * 100) // z.wed_sales AS wed_pct,
+       (y.thu_sales * 100) // z.thu_sales AS thu_pct,
+       (y.fri_sales * 100) // z.fri_sales AS fri_pct,
+       (y.sat_sales * 100) // z.sat_sales AS sat_pct
+FROM (SELECT * FROM wswscs WHERE d_week_seq IN
+        (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)) y,
+     (SELECT * FROM wswscs WHERE d_week_seq IN
+        (SELECT d_week_seq FROM date_dim WHERE d_year = 2000)) z
+WHERE y.d_week_seq = z.d_week_seq - 52
+ORDER BY d_week_seq1"""),
       "q_dsreal_q95" -> (P + """,
 ws_wh AS (
   SELECT ws1.ws_order_number, ws1.ws_store_sk AS wh1,
