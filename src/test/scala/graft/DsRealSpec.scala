@@ -30,6 +30,18 @@ class DsRealSpec extends AnyFunSuite {
     } finally dd.unpersist()
   }
 
+  test("d_dow = d_date_sk % 7 is calendar-correct (epoch IS a Sunday)") {
+    // q2's weekday pivot labels rest on this; the DuckDB oracle CANNOT
+    // catch it being wrong (both engines share the same arithmetic),
+    // so pin the semantic claim against the real calendar here.
+    val mismatches = DsTables.dateDim(spark)
+      .select($"d_dow", (dayofweek($"d_date") - 1).as("cal_dow"))
+      .filter($"d_dow" =!= $"cal_dow")
+      .count()
+    assert(mismatches == 0,
+      "d_dow must equal Spark's calendar day-of-week (0 = Sunday)")
+  }
+
   test("fact channels partition lineitem exactly (no row lost or doubled)") {
     val n = Tables.lineitem(spark, sf).count()
     val parts = Seq(
