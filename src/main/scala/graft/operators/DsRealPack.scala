@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * (TpcdsShapePack*) covers every one as a same-shape analog on the
   * TPC-H star. This pack closes the remaining daylight: the actual
   * query semantics of the HARDEST of those queries — q2, q4, q5, q11,
-  * q14a/b, q23a/b, q36, q38, q51, q64, q67, q75, q78, q87, q95,
-  * q97 —
+  * q14a/b, q23a/b, q33, q36, q38, q51, q59, q64, q67, q75, q78,
+  * q87, q95, q97 —
   * run on the real TPC-DS schema
   * (store/catalog/web sales + returns, item, date_dim, customer,
   * store, catalog_page, web_site), derived deterministically from the
@@ -697,6 +697,76 @@ object DsRealPack extends QueryPack {
           days.map(n =>
             expr(s"(${n}_sales * 100) div ${n}2").as(s"${n}_pct")): _*)
         .orderBy($"d_week_seq1")
+    }),
+
+    // query33.sql (shape shared with q56/q60): per-channel revenue of
+    // ONE manufacturer set (IN-subquery over item on a category) in
+    // one month, the three grouped channel CTEs UNION ALLed and
+    // RE-aggregated per manufacturer. (The reference's
+    // customer_address gmt filter rides a dim the derived schema
+    // lacks — omitted, documented.)
+    "q_dsreal_q33" -> ((s, d) => {
+      import s.implicits._
+      val it = DsTables.item(s, d)
+      val mf = it.filter($"i_category" === "ECONOMY")
+        .select($"i_manufact_id").distinct()
+      val itMf = broadcast(pin(
+        it.select($"i_item_sk", $"i_manufact_id")
+          .join(broadcast(mf), Seq("i_manufact_id"), "left_semi")))
+      val ddM = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy" === 5).select($"d_date_sk")
+      def chanTotal(f: DataFrame, ic: String, dc: String, ext: String) =
+        f.join(broadcast(ddM), col(dc) === $"d_date_sk")
+          .join(itMf, col(ic) === $"i_item_sk")
+          .groupBy($"i_manufact_id")
+          .agg(sum(col(ext)).as("total_sales"))
+      chanTotal(DsTables.storeSales(s, d), "ss_item_sk",
+          "ss_sold_date_sk", "ss_ext_sales_price_cents")
+        .union(chanTotal(DsTables.catalogSales(s, d), "cs_item_sk",
+          "cs_sold_date_sk", "cs_ext_sales_price_cents"))
+        .union(chanTotal(DsTables.webSales(s, d), "ws_item_sk",
+          "ws_sold_date_sk", "ws_ext_sales_price_cents"))
+        .groupBy($"i_manufact_id")
+        .agg(sum($"total_sales").as("total_sales"))
+        .orderBy($"total_sales", $"i_manufact_id")
+        .limit(100)
+    }),
+
+    // query59.sql: q2's store-channel sibling — the per-(week, store)
+    // weekday pivot CTE pinned once and self-joined per store 52 weeks
+    // apart across two consecutive month_seq windows, ratios in exact
+    // integer percent.
+    "q_dsreal_q59" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .select($"d_date_sk", $"d_week_seq", $"d_dow", $"d_month_seq")
+      val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      val dayCols = days.zipWithIndex.map { case (n, i) =>
+        sum(when($"d_dow" === i, $"ss_sales_price_cents")).as(s"${n}_sales")
+      }
+      val wss = pin(DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .groupBy($"d_week_seq", $"ss_store_sk")
+        .agg(dayCols.head, dayCols.tail: _*))
+      def windowWeeks(lo: Int, hi: Int) = broadcast(
+        dd.filter($"d_month_seq".between(lo, hi))
+          .select($"d_week_seq").distinct())
+      val st = broadcast(DsTables.store(s)
+        .select($"s_store_sk", $"s_store_id", $"s_store_name"))
+      val y = wss.join(windowWeeks(48, 59), Seq("d_week_seq"), "left_semi")
+        .join(st, $"ss_store_sk" === $"s_store_sk")
+      val x = wss.join(windowWeeks(60, 71), Seq("d_week_seq"), "left_semi")
+        .join(st, $"ss_store_sk" === $"s_store_sk")
+        .select($"s_store_id".as("sid2") +: $"d_week_seq".as("w2") +:
+          days.map(n => col(s"${n}_sales").as(s"${n}2")): _*)
+      y.join(x, $"s_store_id" === $"sid2" && $"d_week_seq" === $"w2" - 52)
+        .select(Seq($"s_store_name".as("s_store_name1"),
+          $"s_store_id".as("s_store_id1"),
+          $"d_week_seq".as("d_week_seq1")) ++
+          days.map(n =>
+            expr(s"(${n}_sales * 100) div ${n}2").as(s"${n}_pct")): _*)
+        .orderBy($"s_store_name1", $"s_store_id1", $"d_week_seq1")
+        .limit(100)
     }),
 
     // query95.sql: web orders shipped from more than one warehouse
@@ -1509,6 +1579,79 @@ FROM (SELECT * FROM wswscs WHERE d_week_seq IN
         (SELECT d_week_seq FROM date_dim WHERE d_year = 2000)) z
 WHERE y.d_week_seq = z.d_week_seq - 52
 ORDER BY d_week_seq1"""),
+      "q_dsreal_q33" -> (P + """,
+mfset AS (
+  SELECT i_manufact_id FROM item WHERE i_category IN ('ECONOMY')),
+ss AS (
+  SELECT i_manufact_id, sum(ss_ext_sales_price_cents) AS total_sales
+  FROM store_sales, date_dim, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM mfset)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 5
+  GROUP BY i_manufact_id),
+cs AS (
+  SELECT i_manufact_id, sum(cs_ext_sales_price_cents) AS total_sales
+  FROM catalog_sales, date_dim, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM mfset)
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 5
+  GROUP BY i_manufact_id),
+ws AS (
+  SELECT i_manufact_id, sum(ws_ext_sales_price_cents) AS total_sales
+  FROM web_sales, date_dim, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM mfset)
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 5
+  GROUP BY i_manufact_id)
+SELECT i_manufact_id, sum(total_sales) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) t
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100"""),
+      "q_dsreal_q59" -> (P + """,
+wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         sum(CASE WHEN d_dow = 0 THEN ss_sales_price_cents END) AS sun_sales,
+         sum(CASE WHEN d_dow = 1 THEN ss_sales_price_cents END) AS mon_sales,
+         sum(CASE WHEN d_dow = 2 THEN ss_sales_price_cents END) AS tue_sales,
+         sum(CASE WHEN d_dow = 3 THEN ss_sales_price_cents END) AS wed_sales,
+         sum(CASE WHEN d_dow = 4 THEN ss_sales_price_cents END) AS thu_sales,
+         sum(CASE WHEN d_dow = 5 THEN ss_sales_price_cents END) AS fri_sales,
+         sum(CASE WHEN d_dow = 6 THEN ss_sales_price_cents END) AS sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)
+SELECT y.s_store_name1, y.s_store_id1, y.d_week_seq1,
+       (y.sun_sales1 * 100) // x.sun_sales2 AS sun_pct,
+       (y.mon_sales1 * 100) // x.mon_sales2 AS mon_pct,
+       (y.tue_sales1 * 100) // x.tue_sales2 AS tue_pct,
+       (y.wed_sales1 * 100) // x.wed_sales2 AS wed_pct,
+       (y.thu_sales1 * 100) // x.thu_sales2 AS thu_pct,
+       (y.fri_sales1 * 100) // x.fri_sales2 AS fri_pct,
+       (y.sat_sales1 * 100) // x.sat_sales2 AS sat_pct
+FROM
+ (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+         s_store_id AS s_store_id1, sun_sales AS sun_sales1,
+         mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+         wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+         fri_sales AS fri_sales1, sat_sales AS sat_sales1
+  FROM wss, store
+  WHERE ss_store_sk = s_store_sk
+    AND d_week_seq IN (SELECT d_week_seq FROM date_dim
+                       WHERE d_month_seq BETWEEN 48 AND 59)) y,
+ (SELECT s_store_id AS s_store_id2, wss.d_week_seq AS d_week_seq2,
+         sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+         tue_sales AS tue_sales2, wed_sales AS wed_sales2,
+         thu_sales AS thu_sales2, fri_sales AS fri_sales2,
+         sat_sales AS sat_sales2
+  FROM wss, store
+  WHERE ss_store_sk = s_store_sk
+    AND d_week_seq IN (SELECT d_week_seq FROM date_dim
+                       WHERE d_month_seq BETWEEN 60 AND 71)) x
+WHERE y.s_store_id1 = x.s_store_id2 AND y.d_week_seq1 = x.d_week_seq2 - 52
+ORDER BY y.s_store_name1, y.s_store_id1, y.d_week_seq1
+LIMIT 100"""),
       "q_dsreal_q95" -> (P + """,
 ws_wh AS (
   SELECT ws1.ws_order_number, ws1.ws_store_sk AS wh1,

@@ -110,6 +110,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsreal_q87" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
     "q_dsreal_q51" -> (2, 2, s"web + store cumulative branches; $dsrealChan"),
     "q_dsreal_q97" -> (2, 2, s"store + catalog pair branches; $dsrealChan"),
+    "q_dsreal_q33" -> (3, 3, s"3 channel manufacturer branches; $dsrealChan"),
     "q_dsreal_q95" -> (2, 2, "ws fact + wr returns (the multi-warehouse " +
       s"self-join is pinned); $dsrealChan"),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
