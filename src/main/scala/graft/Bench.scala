@@ -50,13 +50,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // isolate() deliberately unpersists pinned localCheckpoint blocks
-    // after each query; Spark's RDD logger warns "... truncated and
-    // cannot be recomputed after unpersisting" for EVERY such block —
-    // thousands of lines that drown the driver-captured stderr tail.
-    // Scope ONLY that logger to ERROR (known-benign class); every
-    // other logger keeps WARN so real warnings still surface.
+    // after each query; Spark warns "... truncated and cannot be
+    // recomputed after unpersisting" for EVERY such block — thousands
+    // of lines that drown the driver-captured stderr tail. The warning
+    // comes from per-CLASS loggers (MapPartitionsRDD, ParallelCollectionRDD,
+    // ...), which are children of the PACKAGE logger, not of the
+    // `...rdd.RDD` class logger — so scope the package (known-benign
+    // class); every logger outside org.apache.spark.rdd keeps WARN so
+    // real warnings still surface.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -119,6 +122,10 @@ object Bench {
       "q_dedup_exact", "q_minhash_lsh", "q_simhash_pairs", "q_ngram_jaccard",
       "q_embedding_topk", "q_embedding_ivf", "q_decontamination",
       "q_substring_dedup", "q_tfidf",
+      // r9 flagged q_ivf_recall 2.28->6.05 s with unchanged code —
+      // keep it in the recheck set so order_spread covers it and the
+      // reported number is the two-pass (or three-pass) minimum
+      "q_ivf_recall",
       // iterative queries run 3rd/90th alphabetically, early enough
       // that the first position eats loop-body JIT (probed 17.7 s run 1
       // vs 3.9 s run 3 on the same session) — the reversed recheck

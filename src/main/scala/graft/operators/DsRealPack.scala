@@ -267,7 +267,8 @@ object DsRealPack extends QueryPack {
           .as("sumsales"))
       rolled
         .withColumn("rk", rank().over(
-          Window.partitionBy($"i_category").orderBy($"sumsales".desc)))
+          Window.partitionBy($"i_category").orderBy($"sumsales".desc))
+          .cast("long"))
         .filter($"rk" <= 100)
         .orderBy($"i_category", $"i_class", $"i_brand", $"i_product_name",
           $"d_year", $"d_qoy", $"d_moy", $"s_store_id", $"sumsales", $"rk")
@@ -293,11 +294,11 @@ object DsRealPack extends QueryPack {
           grouping($"i_category").as("g_cat"),
           grouping($"i_class").as("g_class"))
       grouped
-        .withColumn("lochierarchy", ($"g_cat" + $"g_class").cast("int"))
+        .withColumn("lochierarchy", ($"g_cat" + $"g_class").cast("long"))
         .withColumn("rank_within_parent", rank().over(
           Window.partitionBy($"g_cat" + $"g_class",
               when($"g_class" === 0, $"i_category"))
-            .orderBy($"margin_ppm")))
+            .orderBy($"margin_ppm")).cast("long"))
         .select($"margin_ppm", $"i_category", $"i_class", $"lochierarchy",
           $"rank_within_parent")
         .orderBy($"lochierarchy".desc,
@@ -472,13 +473,16 @@ object DsRealPack extends QueryPack {
           $"s3".as("s32"))
       cs1.join(cs2, $"item_sk" === $"item2" && $"store_name" === $"sn2" &&
           $"store_zip" === $"sz2" && $"cnt2" <= $"cnt")
-        .select($"product_name", $"store_name", $"store_zip",
+        .select($"item_sk", $"product_name", $"store_name", $"store_zip",
           $"syear".as("syear1"), $"cnt".as("cnt1"), $"s1".as("s11"),
           $"s2".as("s21"), $"s3".as("s31"), $"s12", $"s22", $"s32",
           $"syear2", $"cnt2")
+        // item_sk tiebreak: product_name (TPC-H p_name) is not unique
+        // across items, so without it the LIMIT cut is not total.
         .orderBy($"product_name", $"store_name", $"cnt2", $"s11", $"s12",
-          $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1")
+          $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1", $"item_sk")
         .limit(100)
+        .drop("item_sk")
     }),
 
     // query38.sql: customers active in ALL three channels in the same
@@ -940,7 +944,7 @@ best_ss_customer AS (
          (SELECT tpcds_cmax FROM max_store_sales))"""
     Map(
       "q_dsreal_q23a" -> (P + q23Ctes + """
-SELECT sum(sales) AS total_sales FROM (
+SELECT CAST(sum(sales) AS BIGINT) AS total_sales FROM (
   SELECT cs_quantity * cs_list_price_cents AS sales
   FROM catalog_sales, date_dim
   WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
@@ -954,7 +958,7 @@ SELECT sum(sales) AS total_sales FROM (
     AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
   ) u"""),
       "q_dsreal_q23b" -> (P + q23Ctes + """
-SELECT c_last_name, c_first_name, sales FROM (
+SELECT c_last_name, c_first_name, CAST(sales AS BIGINT) AS sales FROM (
   SELECT c_last_name, c_first_name,
          sum(cs_quantity * cs_list_price_cents) AS sales
   FROM catalog_sales, customer_dim, date_dim
@@ -1010,7 +1014,8 @@ avg_sales AS (
         WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
         ) x)
 SELECT channel, i_brand_id, i_class_id, i_category_id,
-       sum(sales) AS sum_sales, sum(number_sales) AS sum_number_sales
+       CAST(sum(sales) AS BIGINT) AS sum_sales,
+       CAST(sum(number_sales) AS BIGINT) AS sum_number_sales
 FROM (
   SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
          sum(ss_quantity * ss_list_price_cents) AS sales,
@@ -1049,7 +1054,8 @@ LIMIT 100"""),
       "q_dsreal_q75" -> (P + """,
 all_sales AS (
   SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
-         sum(sales_cnt) AS sales_cnt, sum(sales_amt) AS sales_amt
+         CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt,
+         CAST(sum(sales_amt) AS BIGINT) AS sales_amt
   FROM (
     SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
            cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
@@ -1103,9 +1109,9 @@ LIMIT 100"""),
 ws AS (
   SELECT d_year AS ws_sold_year, ws_item_sk,
          ws_bill_customer_sk AS ws_customer_sk,
-         sum(ws_quantity) AS ws_qty,
-         sum(ws_wholesale_cost_cents) AS ws_wc,
-         sum(ws_sales_price_cents) AS ws_sp
+         CAST(sum(ws_quantity) AS BIGINT) AS ws_qty,
+         CAST(sum(ws_wholesale_cost_cents) AS BIGINT) AS ws_wc,
+         CAST(sum(ws_sales_price_cents) AS BIGINT) AS ws_sp
   FROM web_sales
   LEFT JOIN web_returns ON wr_order_number = ws_order_number
                        AND ws_item_sk = wr_item_sk
@@ -1115,9 +1121,9 @@ ws AS (
 cs AS (
   SELECT d_year AS cs_sold_year, cs_item_sk,
          cs_bill_customer_sk AS cs_customer_sk,
-         sum(cs_quantity) AS cs_qty,
-         sum(cs_wholesale_cost_cents) AS cs_wc,
-         sum(cs_sales_price_cents) AS cs_sp
+         CAST(sum(cs_quantity) AS BIGINT) AS cs_qty,
+         CAST(sum(cs_wholesale_cost_cents) AS BIGINT) AS cs_wc,
+         CAST(sum(cs_sales_price_cents) AS BIGINT) AS cs_sp
   FROM catalog_sales
   LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
                            AND cs_item_sk = cr_item_sk
@@ -1126,9 +1132,9 @@ cs AS (
   GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
 ss AS (
   SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
-         sum(ss_quantity) AS ss_qty,
-         sum(ss_wholesale_cost_cents) AS ss_wc,
-         sum(ss_sales_price_cents) AS ss_sp
+         CAST(sum(ss_quantity) AS BIGINT) AS ss_qty,
+         CAST(sum(ss_wholesale_cost_cents) AS BIGINT) AS ss_wc,
+         CAST(sum(ss_sales_price_cents) AS BIGINT) AS ss_sp
   FROM store_sales
   LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
                          AND ss_item_sk = sr_item_sk
@@ -1163,7 +1169,8 @@ SELECT * FROM (
   FROM (
     SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
            d_moy, s_store_id,
-           sum(COALESCE(ss_sales_price_cents * ss_quantity, 0)) AS sumsales
+           CAST(sum(COALESCE(ss_sales_price_cents * ss_quantity, 0))
+                AS BIGINT) AS sumsales
     FROM store_sales, date_dim, store, item
     WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
       AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 48 AND 59
@@ -1175,8 +1182,8 @@ ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
          d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
 LIMIT 100"""),
       "q_dsreal_q36" -> (P + """
-SELECT (sum(ss_net_profit_cents) * 1000000) // sum(ss_ext_sales_price_cents)
-         AS margin_ppm,
+SELECT CAST((sum(ss_net_profit_cents) * 1000000)
+            // sum(ss_ext_sales_price_cents) AS BIGINT) AS margin_ppm,
        i_category, i_class,
        grouping(i_category) + grouping(i_class) AS lochierarchy,
        rank() OVER (
@@ -1195,8 +1202,9 @@ ORDER BY lochierarchy DESC,
          rank_within_parent
 LIMIT 100"""),
       "q_dsreal_q5" -> (P + """
-SELECT channel, id, sum(sales) AS sales, sum(returns_amt) AS returns_amt,
-       sum(profit) AS profit
+SELECT channel, id, CAST(sum(sales) AS BIGINT) AS sales,
+       CAST(sum(returns_amt) AS BIGINT) AS returns_amt,
+       CAST(sum(profit) AS BIGINT) AS profit
 FROM (
   SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
          sales, returns_amt, profit - profit_loss AS profit
@@ -1302,9 +1310,11 @@ avg_sales AS (
         WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1998 AND 2000
         ) x)
 SELECT ty.i_brand_id AS ty_brand, ty.i_class_id AS ty_class,
-       ty.i_category_id AS ty_category, ty.sales AS ty_sales,
+       ty.i_category_id AS ty_category,
+       CAST(ty.sales AS BIGINT) AS ty_sales,
        ty.number_sales AS ty_number_sales,
-       ly.sales AS ly_sales, ly.number_sales AS ly_number_sales
+       CAST(ly.sales AS BIGINT) AS ly_sales,
+       ly.number_sales AS ly_number_sales
 FROM (
   SELECT i_brand_id, i_class_id, i_category_id,
          sum(ss_quantity * ss_list_price_cents) AS sales,
@@ -1345,9 +1355,9 @@ cross_sales AS (
          s_store_name AS store_name, s_zip AS store_zip,
          d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
          count(*) AS cnt,
-         sum(ss_wholesale_cost_cents) AS s1,
-         sum(ss_list_price_cents) AS s2,
-         sum(ss_ext_sales_price_cents) AS s3
+         CAST(sum(ss_wholesale_cost_cents) AS BIGINT) AS s1,
+         CAST(sum(ss_list_price_cents) AS BIGINT) AS s2,
+         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS s3
   FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
        date_dim d3, store, customer_dim, item
   WHERE ss_store_sk = s_store_sk
@@ -1372,7 +1382,7 @@ WHERE cs1.item_sk = cs2.item_sk
   AND cs2.cnt <= cs1.cnt
   AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
 ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
-         cs1.s1, cs2.s1, cs1.cnt, s21, s31, s22, s32, syear1
+         cs1.s1, cs2.s1, cs1.cnt, s21, s31, s22, s32, syear1, cs1.item_sk
 LIMIT 100"""),
       "q_dsreal_q38" -> (P + """
 SELECT count(*) AS hot_count FROM (
@@ -1489,18 +1499,18 @@ LIMIT 100"""),
       "q_dsreal_q51" -> (P + """,
 web_v1 AS (
   SELECT ws_item_sk AS item_sk, d_date,
-         sum(sum(ws_sales_price_cents)) OVER (PARTITION BY ws_item_sk
+         CAST(sum(sum(ws_sales_price_cents)) OVER (PARTITION BY ws_item_sk
            ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cume_sales
+           AS BIGINT) AS cume_sales
   FROM web_sales, date_dim
   WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
     AND ws_item_sk IS NOT NULL
   GROUP BY ws_item_sk, d_date),
 store_v1 AS (
   SELECT ss_item_sk AS item_sk, d_date,
-         sum(sum(ss_sales_price_cents)) OVER (PARTITION BY ss_item_sk
+         CAST(sum(sum(ss_sales_price_cents)) OVER (PARTITION BY ss_item_sk
            ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cume_sales
+           AS BIGINT) AS cume_sales
   FROM store_sales, date_dim
   WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
     AND ss_item_sk IS NOT NULL
@@ -1535,15 +1545,15 @@ csci AS (
   FROM catalog_sales, date_dim
   WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 48 AND 59
   GROUP BY cs_bill_customer_sk, cs_item_sk)
-SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL
+SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
                  AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
-         AS store_only,
-       sum(CASE WHEN ssci.customer_sk IS NULL
+         AS BIGINT) AS store_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NULL
                  AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
-         AS catalog_only,
-       sum(CASE WHEN ssci.customer_sk IS NOT NULL
+         AS BIGINT) AS catalog_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
                  AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
-         AS store_and_catalog
+         AS BIGINT) AS store_and_catalog
 FROM ssci FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
                                AND ssci.item_sk = csci.item_sk)"""),
       "q_dsreal_q2" -> (P + """,
@@ -1566,13 +1576,13 @@ wswscs AS (
   WHERE d_date_sk = sold_date_sk
   GROUP BY d_week_seq)
 SELECT y.d_week_seq AS d_week_seq1,
-       (y.sun_sales * 100) // z.sun_sales AS sun_pct,
-       (y.mon_sales * 100) // z.mon_sales AS mon_pct,
-       (y.tue_sales * 100) // z.tue_sales AS tue_pct,
-       (y.wed_sales * 100) // z.wed_sales AS wed_pct,
-       (y.thu_sales * 100) // z.thu_sales AS thu_pct,
-       (y.fri_sales * 100) // z.fri_sales AS fri_pct,
-       (y.sat_sales * 100) // z.sat_sales AS sat_pct
+       CAST((y.sun_sales * 100) // z.sun_sales AS BIGINT) AS sun_pct,
+       CAST((y.mon_sales * 100) // z.mon_sales AS BIGINT) AS mon_pct,
+       CAST((y.tue_sales * 100) // z.tue_sales AS BIGINT) AS tue_pct,
+       CAST((y.wed_sales * 100) // z.wed_sales AS BIGINT) AS wed_pct,
+       CAST((y.thu_sales * 100) // z.thu_sales AS BIGINT) AS thu_pct,
+       CAST((y.fri_sales * 100) // z.fri_sales AS BIGINT) AS fri_pct,
+       CAST((y.sat_sales * 100) // z.sat_sales AS BIGINT) AS sat_pct
 FROM (SELECT * FROM wswscs WHERE d_week_seq IN
         (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)) y,
      (SELECT * FROM wswscs WHERE d_week_seq IN
@@ -1603,7 +1613,7 @@ ws AS (
     AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
     AND d_year = 2000 AND d_moy = 5
   GROUP BY i_manufact_id)
-SELECT i_manufact_id, sum(total_sales) AS total_sales
+SELECT i_manufact_id, CAST(sum(total_sales) AS BIGINT) AS total_sales
 FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
       UNION ALL SELECT * FROM ws) t
 GROUP BY i_manufact_id
@@ -1623,13 +1633,13 @@ wss AS (
   WHERE d_date_sk = ss_sold_date_sk
   GROUP BY d_week_seq, ss_store_sk)
 SELECT y.s_store_name1, y.s_store_id1, y.d_week_seq1,
-       (y.sun_sales1 * 100) // x.sun_sales2 AS sun_pct,
-       (y.mon_sales1 * 100) // x.mon_sales2 AS mon_pct,
-       (y.tue_sales1 * 100) // x.tue_sales2 AS tue_pct,
-       (y.wed_sales1 * 100) // x.wed_sales2 AS wed_pct,
-       (y.thu_sales1 * 100) // x.thu_sales2 AS thu_pct,
-       (y.fri_sales1 * 100) // x.fri_sales2 AS fri_pct,
-       (y.sat_sales1 * 100) // x.sat_sales2 AS sat_pct
+       CAST((y.sun_sales1 * 100) // x.sun_sales2 AS BIGINT) AS sun_pct,
+       CAST((y.mon_sales1 * 100) // x.mon_sales2 AS BIGINT) AS mon_pct,
+       CAST((y.tue_sales1 * 100) // x.tue_sales2 AS BIGINT) AS tue_pct,
+       CAST((y.wed_sales1 * 100) // x.wed_sales2 AS BIGINT) AS wed_pct,
+       CAST((y.thu_sales1 * 100) // x.thu_sales2 AS BIGINT) AS thu_pct,
+       CAST((y.fri_sales1 * 100) // x.fri_sales2 AS BIGINT) AS fri_pct,
+       CAST((y.sat_sales1 * 100) // x.sat_sales2 AS BIGINT) AS sat_pct
 FROM
  (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
          s_store_id AS s_store_id1, sun_sales AS sun_sales1,
@@ -1660,8 +1670,8 @@ ws_wh AS (
   WHERE ws1.ws_order_number = ws2.ws_order_number
     AND ws1.ws_store_sk <> ws2.ws_store_sk)
 SELECT count(DISTINCT ws_order_number) AS order_count,
-       sum(ws_ext_sales_price_cents) AS total_ship_cost,
-       sum(ws_net_profit_cents) AS total_net_profit
+       CAST(sum(ws_ext_sales_price_cents) AS BIGINT) AS total_ship_cost,
+       CAST(sum(ws_net_profit_cents) AS BIGINT) AS total_net_profit
 FROM web_sales ws1, date_dim
 WHERE d_date BETWEEN DATE '2000-02-01'
                  AND DATE '2000-02-01' + INTERVAL 60 DAY

@@ -166,7 +166,7 @@ object TpcdsShapePack extends QueryPack {
           rank().over(Window.partitionBy($"gid", $"r_name")
             .orderBy($"sales_cents".desc,
               coalesce($"n_name", lit("")).asc,
-              coalesce($"yr", lit(-1L)).asc)))
+              coalesce($"yr", lit(-1L)).asc)).cast("long"))
         .filter($"rk" <= 3)
     }),
 
@@ -344,7 +344,8 @@ object TpcdsShapePack extends QueryPack {
           grouping_id().cast("long").as("gid"))
         .withColumn("rk",
           rank().over(Window.partitionBy($"gid", $"r_name")
-            .orderBy($"rev_e4".desc, coalesce($"n_name", lit("")).asc)))
+            .orderBy($"rev_e4".desc, coalesce($"n_name", lit("")).asc))
+            .cast("long"))
     }),
 
     // q1 shape: correlated scalar subquery against a GROUP AVERAGE of

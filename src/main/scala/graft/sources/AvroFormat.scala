@@ -297,6 +297,18 @@ object AvroFormat {
     val i = st.fields.indexWhere(f => matches(f.dataType))
     if (i < 0) throw new IllegalArgumentException(
       s"no union member of $st matches datum type ${v.getClass.getName}")
+    // Runtime-type resolution is only sound when exactly one branch
+    // matches: two records with identical field-name sets, int+date,
+    // long+timestamp, bytes+fixed etc. are indistinguishable once the
+    // writer has erased the union — first-match-wins would silently
+    // decode into the wrong member, so fail loudly instead.
+    val j = st.fields.indexWhere(f => matches(f.dataType), i + 1)
+    if (j >= 0) throw new IllegalArgumentException(
+      s"ambiguous union: datum type ${v.getClass.getName} matches both " +
+        s"member '${st.fields(i).name}' and member '${st.fields(j).name}' " +
+        s"of $st — these branches are indistinguishable under the " +
+        "runtime-type mapping; use distinct record field-name sets or " +
+        "split the union")
     i
   }
 
@@ -338,12 +350,24 @@ object AvroFormat {
     * [[sparkTypeOf]] (enum -> string, fixed -> binary, multi-branch
     * union -> member struct). */
   def readAny(spark: SparkSession, dir: String): DataFrame = {
-    val first = new File(dir).listFiles()
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted.head
-    val rd = DataFileReader.openReader(
-      new File(first), new GenericDatumReader[GenericRecord]())
-    val writerSchema = rd.getSchema
-    rd.close()
+    val paths = new File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    // The derived Spark schema comes from one writer schema, so every
+    // container file must agree — a directory of mixed writers would
+    // otherwise decode later files against the wrong shape. (Headers
+    // only: this reads a few KB per file, not the data blocks.)
+    val schemas = paths.map { p =>
+      val rd = DataFileReader.openReader(
+        new File(p), new GenericDatumReader[GenericRecord]())
+      try p -> rd.getSchema finally rd.close()
+    }
+    val writerSchema = schemas.head._2
+    schemas.find(_._2 != writerSchema).foreach { case (p, s) =>
+      throw new IllegalArgumentException(
+        s"readAny requires one writer schema per directory: $p declares " +
+          s"$s but ${schemas.head._1} declares $writerSchema — use " +
+          "readEvolved with an explicit reader schema for mixed writers")
+    }
     readCore(spark, dir,
       sparkTypeOf(writerSchema).asInstanceOf[StructType], None)
   }

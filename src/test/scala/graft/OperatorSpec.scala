@@ -240,6 +240,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(5L), None, None), (2L, None, Some("x"), Some(9))))
   }
 
+  test("AvroFormat rejects a union whose branches are indistinguishable " +
+      "under the runtime-type mapping (two records, same field names)") {
+    import graft.sources.AvroFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_amb").toString
+    val src = Seq((1L, Option(Tuple1(7)), Option.empty[Tuple1[Int]]))
+      .toDF("id", "m0", "m1")
+      .select($"id", struct(
+        when($"m0".isNotNull, struct($"m0._1".as("v"))).as("member0"),
+        when($"m1".isNotNull, struct($"m1._1".as("v"))).as("member1"))
+        .as("u"))
+    // Two differently-NAMED records with the SAME field-name set both
+    // arrive as a GenericRecord with fields {v} once the writer has
+    // erased the union — decode must fail loudly, not silently pick
+    // the first branch.
+    val schemaJson =
+      """{"type": "record", "name": "row", "fields": [
+           {"name": "id", "type": "long"},
+           {"name": "u", "type": ["null",
+             {"type": "record", "name": "a", "fields": [
+               {"name": "v", "type": "int"}]},
+             {"type": "record", "name": "b", "fields": [
+               {"name": "v", "type": "int"}]}]}]}"""
+    AvroFormat.writeWithSchema(src, dir, schemaJson)
+    val e = intercept[Throwable] {
+      AvroFormat.readAny(spark, dir).collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(messages.contains("ambiguous union"),
+      s"expected an 'ambiguous union' failure, got: $messages")
+  }
+
+  test("AvroFormat readAny rejects a directory with mixed writer schemas") {
+    import graft.sources.AvroFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_mix").toString
+    val s1 = """{"type": "record", "name": "row", "fields": [
+                 {"name": "id", "type": "long"}]}"""
+    val s2 = """{"type": "record", "name": "row", "fields": [
+                 {"name": "id", "type": "long"},
+                 {"name": "x", "type": "string"}]}"""
+    AvroFormat.writeWithSchema(
+      Seq(Tuple1(1L)).toDF("id"), dir + "/a", s1)
+    AvroFormat.writeWithSchema(
+      Seq((2L, "y")).toDF("id", "x"), dir + "/b", s2)
+    // flatten both directories' container files into one
+    val flat = java.nio.file.Files.createTempDirectory("graft_avro_flat")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$dir/$sub").listFiles()
+           if f.getName.endsWith(".avro")) {
+      java.nio.file.Files.copy(f.toPath, flat.resolve(s"part$i.avro"))
+      i += 1
+    }
+    val e = intercept[IllegalArgumentException] {
+      AvroFormat.readAny(spark, flat.toString)
+    }
+    assert(e.getMessage.contains("one writer schema per directory"))
+  }
+
   test("AvroFormat reader-schema evolution over an ENUM: added symbol " +
       "resolves, values read as strings") {
     import graft.sources.AvroFormat

@@ -55,7 +55,7 @@ class TpcdsShapeSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_tpcds_rank_rollup")(spark, TestSpark.sf)
       .collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Int]("rk") <= 3))
+    assert(rows.forall(_.getAs[Long]("rk") <= 3L))
     // grand-total row (gid = all bits set for 3 rollup cols) exists once
     assert(rows.count(_.getAs[Long]("gid") == 7L) == 1)
   }

@@ -18,7 +18,16 @@ Any flagged column means the oracle SQL needs an explicit CAST — e.g.
 `CAST(sum(...) AS BIGINT)` for integer sums (DuckDB sum widens BIGINT
 to HUGEINT; Spark's stays long).
 
-Usage: typesweep.py SF_DIR OUT_DIR [--report FILE]
+Round 10 adds a second tier (--schemas FILE): FILE maps each query to
+its Spark output schema ([[col, canonical-type], ...], written by
+TypesweepSpec from analysis-only `df.schema`). Every oracle column must
+then match the Spark column's type EXACTLY (after canonicalization) —
+this catches the int32-vs-BIGINT class (rank()/grouping() are int in
+Spark, BIGINT in DuckDB) that the allowlist alone waves through.
+DECIMAL compares on scale only (Spark and DuckDB widen sum() precision
+differently while rendering identical values).
+
+Usage: typesweep.py SF_DIR OUT_DIR [--report FILE] [--schemas FILE]
 """
 import json
 import re
@@ -61,11 +70,33 @@ def type_ok(t: str) -> bool:
     return t in OK_SCALAR or bool(OK_PARAM.match(t))
 
 
+def canon(t: str) -> str:
+    """Normalize a type name so DuckDB DESCRIBE output and the Spark
+    canonical form written by TypesweepSpec compare as strings."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return canon(t[:-2]) + "[]"
+    if t.startswith("STRUCT"):
+        return "STRUCT"  # field-level detail handled by value compare
+    if t.startswith("MAP"):
+        return "MAP"
+    if t in ("TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ", "TIMESTAMP_NS"):
+        return "TIMESTAMP"
+    m = re.match(r"^DECIMAL\((\d+),\s*(\d+)\)$", t)
+    if m:  # precision widens differently (Spark +10, DuckDB →38)
+        return f"DECIMAL(*,{m.group(2)})"
+    return t
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     report_path = None
     if "--report" in sys.argv:
         report_path = sys.argv[sys.argv.index("--report") + 1]
+    spark_schemas = None
+    if "--schemas" in sys.argv:
+        spark_schemas = json.load(
+            open(sys.argv[sys.argv.index("--schemas") + 1]))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -88,6 +119,8 @@ def main():
             print(f"ERR  {name}: DESCRIBE failed: {e}")
             n_bad += 1
             continue
+        spark_cols = (dict(spark_schemas[name])
+                      if spark_schemas and name in spark_schemas else None)
         for cname, ctype, *_ in desc:
             n_cols += 1
             ok = type_ok(ctype)
@@ -95,6 +128,26 @@ def main():
                 n_bad += 1
                 print(f"BAD  {name}.{cname}: {ctype}")
                 lines.append(f"| {name} | {cname} | {ctype} | **BAD** |")
+            elif spark_cols is not None:
+                if cname not in spark_cols:
+                    n_bad += 1
+                    print(f"BAD  {name}.{cname}: oracle column missing "
+                          f"from Spark output")
+                    lines.append(f"| {name} | {cname} | {ctype} | "
+                                 f"**BAD: not in Spark output** |")
+                elif canon(ctype) != canon(spark_cols[cname]):
+                    n_bad += 1
+                    print(f"BAD  {name}.{cname}: oracle {ctype} != "
+                          f"spark {spark_cols[cname]}")
+                    lines.append(f"| {name} | {cname} | {ctype} | "
+                                 f"**BAD: spark={spark_cols[cname]}** |")
+        if spark_cols is not None:
+            for extra in set(spark_cols) - {c for c, *_ in desc}:
+                n_bad += 1
+                print(f"BAD  {name}.{extra}: Spark column missing "
+                      f"from oracle output")
+                lines.append(f"| {name} | {extra} | — | "
+                             f"**BAD: not in oracle output** |")
     lines += ["", f"Checked {n_cols} columns across {len(oracle)} queries; "
               f"{n_bad} non-Spark-writable."]
     if n_bad == 0:
