@@ -31,10 +31,14 @@ object DsOracle {
   FROM (SELECT i AS d_date_sk, DATE '1995-01-01' + CAST(i AS INT) AS d_date
         FROM range(0, 2557) t(i))),
 item AS (
-  SELECT p_partkey AS i_item_sk, p_name AS i_item_desc,
+  SELECT p_partkey AS i_item_sk,
+         'I' || CAST(p_partkey AS VARCHAR) AS i_item_id,
+         p_name AS i_item_desc,
          p_name AS i_product_name, p_brand AS i_brand,
          CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
          split_part(p_name, ' ', 2) AS i_class,
+         split_part(p_name, ' ', 1) AS i_color,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS i_current_price_cents,
          p_type AS i_category,
          CAST(p_partkey % 50 AS INT) AS i_manufact_id,
          CASE split_part(p_name, ' ', 2)
@@ -51,14 +55,75 @@ customer_dim AS (
          'First' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
          'Last' || CAST(c_custkey % 89 AS VARCHAR) AS c_last_name,
          c_custkey % 2557 AS c_first_sales_date_sk,
-         (c_custkey * 7) % 2557 AS c_first_shipto_date_sk
+         (c_custkey * 7) % 2557 AS c_first_shipto_date_sk,
+         c_custkey AS c_current_addr_sk,
+         1 + c_custkey % 210 AS c_current_cdemo_sk,
+         1 + c_custkey % 72 AS c_current_hdemo_sk
   FROM customer),
+customer_address AS (
+  SELECT c_custkey AS ca_address_sk,
+         CAST(c_custkey % 1000 AS VARCHAR) AS ca_street_number,
+         'Street_' || CAST(c_custkey % 97 AS VARCHAR) AS ca_street_name,
+         'City_' || CAST(c_custkey % 60 AS VARCHAR) AS ca_city,
+         'County_' || CAST(c_custkey % 30 AS VARCHAR) AS ca_county,
+         CASE c_nationkey % 10 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
+              WHEN 2 THEN 'NY' WHEN 3 THEN 'TX' WHEN 4 THEN 'WA'
+              WHEN 5 THEN 'GA' WHEN 6 THEN 'OH' WHEN 7 THEN 'KY'
+              WHEN 8 THEN 'NM' ELSE 'OR' END AS ca_state,
+         'Z' || CAST(c_custkey % 50 AS VARCHAR) AS ca_zip,
+         'United States' AS ca_country
+  FROM customer),
+customer_demographics AS (
+  SELECT i AS cd_demo_sk,
+         CASE (i - 1) % 2 WHEN 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         CASE ((i - 1) // 2) % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S'
+              WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END
+           AS cd_marital_status,
+         CASE ((i - 1) // 10) % 7 WHEN 0 THEN 'Primary'
+              WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College'
+              WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree'
+              WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END
+           AS cd_education_status,
+         CAST(((i - 1) % 20 + 1) * 500 AS BIGINT) AS cd_purchase_estimate,
+         CASE (i - 1) % 4 WHEN 0 THEN 'Good' WHEN 1 THEN 'High Risk'
+              WHEN 2 THEN 'Low Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         CAST((i - 1) % 7 AS INT) AS cd_dep_count,
+         CAST((i - 1) % 5 AS INT) AS cd_dep_employed_count,
+         CAST((i - 1) % 3 AS INT) AS cd_dep_college_count
+  FROM range(1, 211) t(i)),
+household_demographics AS (
+  SELECT i AS hd_demo_sk,
+         (i - 1) % 20 + 1 AS hd_income_band_sk,
+         CASE (i - 1) % 6 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
+              WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
+              WHEN 4 THEN '0-500' ELSE 'Unknown' END AS hd_buy_potential,
+         CAST((i - 1) % 10 AS INT) AS hd_dep_count,
+         CAST((i - 1) % 6 - 1 AS INT) AS hd_vehicle_count
+  FROM range(1, 73) t(i)),
+income_band AS (
+  SELECT i AS ib_income_band_sk,
+         CAST((i - 1) * 10000 AS BIGINT) AS ib_lower_bound,
+         CAST(i * 10000 - 1 AS BIGINT) AS ib_upper_bound
+  FROM range(1, 21) t(i)),
+reason AS (
+  SELECT i AS r_reason_sk, 'R' || CAST(i AS VARCHAR) AS r_reason_id,
+         'Reason_' || CAST(i AS VARCHAR) AS r_reason_desc
+  FROM range(1, 11) t(i)),
+web_page AS (
+  SELECT i AS wp_web_page_sk, 'WP' || CAST(i AS VARCHAR) AS wp_web_page_id
+  FROM range(1, 11) t(i)),
 store AS (
   SELECT i AS s_store_sk, 'S' || CAST(i AS VARCHAR) AS s_store_id,
          'Store_' || CAST(i AS VARCHAR) AS s_store_name,
          CASE i % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
               WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state,
-         'Z' || CAST(i % 5 AS VARCHAR) AS s_zip
+         'Z' || CAST(i % 5 AS VARCHAR) AS s_zip,
+         'Company_' || CAST(1 + i % 2 AS VARCHAR) AS s_company_name
+  FROM range(1, 11) t(i)),
+call_center AS (
+  SELECT i AS cc_call_center_sk, 'CC' || CAST(i AS VARCHAR)
+           AS cc_call_center_id,
+         'CallCenter_' || CAST(i AS VARCHAR) AS cc_name
   FROM range(1, 11) t(i)),
 catalog_page AS (
   SELECT i AS cp_catalog_page_sk,
@@ -75,13 +140,28 @@ ds_base AS (
          ext_cents - (ext_cents * (60 + item_sk % 30)) // 100
            AS net_profit_cents,
          (qty + 1) // 2 AS ret_qty,
-         ext_cents // 2 AS ret_amt_cents
+         ext_cents // 2 AS ret_amt_cents,
+         (ext_cents // 2) // 50 + 10 AS ret_fee_cents,
+         (ext_cents // 2) // 2 AS ret_cash_cents,
+         (ext_cents // 2) // 3 AS ret_charge_cents,
+         (ext_cents // 2) - (ext_cents // 2) // 2 - (ext_cents // 2) // 3
+           AS ret_credit_cents
   FROM (SELECT l_orderkey % 3 AS chan,
                CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
                  AS sold_date_sk,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+                 AS ship_date_sk,
                l_partkey AS item_sk, o_custkey AS customer_sk,
                CAST(1 + (l_suppkey % 10) AS BIGINT) AS store_sk,
                l_orderkey * 8 + l_linenumber AS ticket,
+               CASE WHEN (l_orderkey * 8 + l_linenumber) % 14 < 10
+                    THEN 1 + (l_orderkey * 8 + l_linenumber) % 14
+                    END AS promo_sk,
+               1 + (l_orderkey * 8 + l_linenumber) % 210 AS cdemo_sk,
+               1 + (l_orderkey * 8 + l_linenumber) % 72 AS hdemo_sk,
+               1 + ((l_orderkey * 8 + l_linenumber) * 3 + 1) % 210
+                 AS ret_cdemo_sk,
+               1 + (l_orderkey * 8 + l_linenumber) % 10 AS reason_sk,
                CAST(l_quantity AS BIGINT) AS qty,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
                l_returnflag = 'R' AS returned
@@ -89,7 +169,10 @@ ds_base AS (
 store_sales AS (
   SELECT sold_date_sk AS ss_sold_date_sk, item_sk AS ss_item_sk,
          customer_sk AS ss_customer_sk, store_sk AS ss_store_sk,
-         ticket AS ss_ticket_number, qty AS ss_quantity,
+         cdemo_sk AS ss_cdemo_sk, hdemo_sk AS ss_hdemo_sk,
+         customer_sk AS ss_addr_sk,
+         ticket AS ss_ticket_number, promo_sk AS ss_promo_sk,
+         qty AS ss_quantity,
          sales_price_cents AS ss_sales_price_cents,
          list_price_cents AS ss_list_price_cents,
          ext_cents AS ss_ext_sales_price_cents,
@@ -97,9 +180,15 @@ store_sales AS (
          net_profit_cents AS ss_net_profit_cents
   FROM ds_base WHERE chan = 0),
 catalog_sales AS (
-  SELECT sold_date_sk AS cs_sold_date_sk, item_sk AS cs_item_sk,
+  SELECT sold_date_sk AS cs_sold_date_sk, ship_date_sk AS cs_ship_date_sk,
+         item_sk AS cs_item_sk,
          customer_sk AS cs_bill_customer_sk, store_sk AS cs_store_sk,
-         ticket AS cs_order_number, qty AS cs_quantity,
+         store_sk AS cs_call_center_sk,
+         cdemo_sk AS cs_bill_cdemo_sk, hdemo_sk AS cs_bill_hdemo_sk,
+         customer_sk AS cs_bill_addr_sk,
+         customer_sk AS cs_ship_customer_sk,
+         ticket AS cs_order_number, promo_sk AS cs_promo_sk,
+         qty AS cs_quantity,
          sales_price_cents AS cs_sales_price_cents,
          list_price_cents AS cs_list_price_cents,
          ext_cents AS cs_ext_sales_price_cents,
@@ -107,9 +196,14 @@ catalog_sales AS (
          net_profit_cents AS cs_net_profit_cents
   FROM ds_base WHERE chan = 1),
 web_sales AS (
-  SELECT sold_date_sk AS ws_sold_date_sk, item_sk AS ws_item_sk,
+  SELECT sold_date_sk AS ws_sold_date_sk, ship_date_sk AS ws_ship_date_sk,
+         item_sk AS ws_item_sk,
          customer_sk AS ws_bill_customer_sk, store_sk AS ws_store_sk,
-         ticket AS ws_order_number, qty AS ws_quantity,
+         cdemo_sk AS ws_bill_cdemo_sk, hdemo_sk AS ws_bill_hdemo_sk,
+         customer_sk AS ws_bill_addr_sk,
+         store_sk AS ws_web_page_sk,
+         ticket AS ws_order_number, promo_sk AS ws_promo_sk,
+         qty AS ws_quantity,
          sales_price_cents AS ws_sales_price_cents,
          list_price_cents AS ws_list_price_cents,
          ext_cents AS ws_ext_sales_price_cents,
@@ -118,20 +212,61 @@ web_sales AS (
   FROM ds_base WHERE chan = 2),
 store_returns AS (
   SELECT item_sk AS sr_item_sk, ticket AS sr_ticket_number,
+         customer_sk AS sr_customer_sk,
          sold_date_sk + 30 AS sr_returned_date_sk, store_sk AS sr_store_sk,
+         reason_sk AS sr_reason_sk, ret_fee_cents AS sr_fee_cents,
+         ret_cash_cents AS sr_refunded_cash_cents,
+         ret_charge_cents AS sr_reversed_charge_cents,
+         ret_credit_cents AS sr_store_credit_cents,
          ret_qty AS sr_return_quantity, ret_amt_cents AS sr_return_amt_cents,
          ret_amt_cents // 10 AS sr_net_loss_cents
   FROM ds_base WHERE chan = 0 AND returned),
 catalog_returns AS (
   SELECT item_sk AS cr_item_sk, ticket AS cr_order_number,
+         customer_sk AS cr_returning_customer_sk,
          sold_date_sk + 30 AS cr_returned_date_sk, store_sk AS cr_store_sk,
+         reason_sk AS cr_reason_sk, ret_fee_cents AS cr_fee_cents,
+         ret_cash_cents AS cr_refunded_cash_cents,
+         ret_charge_cents AS cr_reversed_charge_cents,
+         ret_credit_cents AS cr_store_credit_cents,
          ret_qty AS cr_return_quantity, ret_amt_cents AS cr_return_amt_cents,
          ret_amt_cents // 10 AS cr_net_loss_cents
   FROM ds_base WHERE chan = 1 AND returned),
 web_returns AS (
   SELECT item_sk AS wr_item_sk, ticket AS wr_order_number,
+         customer_sk AS wr_returning_customer_sk,
          sold_date_sk + 30 AS wr_returned_date_sk, store_sk AS wr_store_sk,
+         reason_sk AS wr_reason_sk, ret_fee_cents AS wr_fee_cents,
+         ret_cash_cents AS wr_refunded_cash_cents,
+         ret_charge_cents AS wr_reversed_charge_cents,
+         ret_credit_cents AS wr_store_credit_cents,
+         cdemo_sk AS wr_refunded_cdemo_sk,
+         ret_cdemo_sk AS wr_returning_cdemo_sk,
+         customer_sk AS wr_refunded_addr_sk,
          ret_qty AS wr_return_quantity, ret_amt_cents AS wr_return_amt_cents,
          ret_amt_cents // 10 AS wr_net_loss_cents
-  FROM ds_base WHERE chan = 2 AND returned)"""
+  FROM ds_base WHERE chan = 2 AND returned),
+warehouse AS (
+  SELECT i AS w_warehouse_sk, 'W' || CAST(i AS VARCHAR) AS w_warehouse_id,
+         'Warehouse_' || CAST(i AS VARCHAR) AS w_warehouse_name,
+         CASE i % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
+              WHEN 3 THEN 'TX' ELSE 'WA' END AS w_state
+  FROM range(1, 6) t(i)),
+inventory AS (
+  SELECT d.d_date_sk AS inv_date_sk, p.p_partkey AS inv_item_sk,
+         w.i AS inv_warehouse_sk,
+         (p.p_partkey * 13 + (d.d_date_sk // 7) * 7 + w.i * 3) % 100
+           + (p.p_partkey % 41) * 5
+           + CASE WHEN (p.p_partkey + (d.d_date_sk // 7) * 3 + w.i) % 13 = 0
+                  THEN 1000 ELSE 0 END AS inv_quantity_on_hand
+  FROM part p
+  CROSS JOIN range(1, 6) w(i)
+  CROSS JOIN (SELECT d_date_sk FROM date_dim
+              WHERE d_date_sk % 7 = 0
+                AND d_year BETWEEN 1999 AND 2000) d),
+promotion AS (
+  SELECT i AS p_promo_sk, 'P' || CAST(i AS VARCHAR) AS p_promo_id,
+         'Promo_' || CAST(i AS VARCHAR) AS p_promo_name,
+         CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
+  FROM range(1, 11) t(i))"""
 }

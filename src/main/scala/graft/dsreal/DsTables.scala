@@ -73,12 +73,16 @@ object DsTables {
     import s.implicits._
     T.part(s, d).select(
       $"p_partkey".as("i_item_sk"),
+      concat(lit("I"), $"p_partkey".cast("string")).as("i_item_id"),
       $"p_name".as("i_item_desc"),
       $"p_name".as("i_product_name"),
       $"p_brand".as("i_brand"),
       substring($"p_brand", 7, 10).cast("int").as("i_brand_id"),
       element_at(split($"p_name", " "), 2).as("i_class"),
       element_at(split($"p_name", " "), 2).as("i_class_name"),
+      element_at(split($"p_name", " "), 1).as("i_color"),
+      round($"p_retailprice" * 100).cast("long")
+        .as("i_current_price_cents"),
       $"p_type".as("i_category"),
       ($"p_partkey" % 50).cast("int").as("i_manufact_id"))
       .withColumn("i_class_id",
@@ -105,7 +109,117 @@ object DsTables {
       // deterministic first-activity dates inside date_dim's range,
       // for q64's d2/d3 date roles
       ($"c_custkey" % Days).as("c_first_sales_date_sk"),
-      (($"c_custkey" * 7) % Days).as("c_first_shipto_date_sk"))
+      (($"c_custkey" * 7) % Days).as("c_first_shipto_date_sk"),
+      // the snowflake keys: address is 1:1 with the customer;
+      // demographics cycle the small enumerated dims
+      $"c_custkey".as("c_current_addr_sk"),
+      (lit(1) + $"c_custkey" % 210).as("c_current_cdemo_sk"),
+      (lit(1) + $"c_custkey" % 72).as("c_current_hdemo_sk"))
+  }
+
+  /** customer_address: 1:1 with customer (ca_address_sk = c_custkey =
+    * c_current_addr_sk); state cycles 10 US states by nation, the
+    * city/county/zip granularities nest coarser-to-finer
+    * (TpcdsSchemaProvider.java customer_address). */
+  def customerAddress(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.customer(s, d).select(
+      $"c_custkey".as("ca_address_sk"),
+      ($"c_custkey" % 1000).cast("string").as("ca_street_number"),
+      concat(lit("Street_"), ($"c_custkey" % 97).cast("string"))
+        .as("ca_street_name"),
+      concat(lit("City_"), ($"c_custkey" % 60).cast("string")).as("ca_city"),
+      concat(lit("County_"), ($"c_custkey" % 30).cast("string"))
+        .as("ca_county"),
+      when($"c_nationkey" % 10 === 0, "TN")
+        .when($"c_nationkey" % 10 === 1, "CA")
+        .when($"c_nationkey" % 10 === 2, "NY")
+        .when($"c_nationkey" % 10 === 3, "TX")
+        .when($"c_nationkey" % 10 === 4, "WA")
+        .when($"c_nationkey" % 10 === 5, "GA")
+        .when($"c_nationkey" % 10 === 6, "OH")
+        .when($"c_nationkey" % 10 === 7, "KY")
+        .when($"c_nationkey" % 10 === 8, "NM")
+        .otherwise("OR").as("ca_state"),
+      concat(lit("Z"), ($"c_custkey" % 50).cast("string")).as("ca_zip"),
+      lit("United States").as("ca_country"))
+  }
+
+  /** customer_demographics: 210 rows cycling the full 2x5x7
+    * gender x marital x education cross three times, with
+    * purchase-estimate / credit-rating / dependent-count attributes
+    * (TpcdsSchemaProvider.java customer_demographics; the real dim is
+    * the 1.9M-row cartesian — the derived one keeps every attribute
+    * value reachable while staying broadcast-sized). */
+  def customerDemographics(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 211).select(
+      $"id".as("cd_demo_sk"),
+      when(($"id" - 1) % 2 === 0, "M").otherwise("F").as("cd_gender"),
+      when(expr("((id - 1) div 2) % 5") === 0, "M")
+        .when(expr("((id - 1) div 2) % 5") === 1, "S")
+        .when(expr("((id - 1) div 2) % 5") === 2, "D")
+        .when(expr("((id - 1) div 2) % 5") === 3, "W")
+        .otherwise("U").as("cd_marital_status"),
+      when(expr("((id - 1) div 10) % 7") === 0, "Primary")
+        .when(expr("((id - 1) div 10) % 7") === 1, "Secondary")
+        .when(expr("((id - 1) div 10) % 7") === 2, "College")
+        .when(expr("((id - 1) div 10) % 7") === 3, "2 yr Degree")
+        .when(expr("((id - 1) div 10) % 7") === 4, "4 yr Degree")
+        .when(expr("((id - 1) div 10) % 7") === 5, "Advanced Degree")
+        .otherwise("Unknown").as("cd_education_status"),
+      ((($"id" - 1) % 20 + 1) * 500).as("cd_purchase_estimate"),
+      when(($"id" - 1) % 4 === 0, "Good")
+        .when(($"id" - 1) % 4 === 1, "High Risk")
+        .when(($"id" - 1) % 4 === 2, "Low Risk")
+        .otherwise("Unknown").as("cd_credit_rating"),
+      (($"id" - 1) % 7).cast("int").as("cd_dep_count"),
+      (($"id" - 1) % 5).cast("int").as("cd_dep_employed_count"),
+      (($"id" - 1) % 3).cast("int").as("cd_dep_college_count"))
+  }
+
+  /** household_demographics: 72 rows over 20 income bands x 6 buy
+    * potentials (TpcdsSchemaProvider.java household_demographics). */
+  def householdDemographics(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 73).select(
+      $"id".as("hd_demo_sk"),
+      (($"id" - 1) % 20 + 1).as("hd_income_band_sk"),
+      when(($"id" - 1) % 6 === 0, ">10000")
+        .when(($"id" - 1) % 6 === 1, "5001-10000")
+        .when(($"id" - 1) % 6 === 2, "1001-5000")
+        .when(($"id" - 1) % 6 === 3, "501-1000")
+        .when(($"id" - 1) % 6 === 4, "0-500")
+        .otherwise("Unknown").as("hd_buy_potential"),
+      (($"id" - 1) % 10).cast("int").as("hd_dep_count"),
+      (($"id" - 1) % 6 - 1).cast("int").as("hd_vehicle_count"))
+  }
+
+  /** income_band: 20 contiguous 10k bands. */
+  def incomeBand(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 21).select(
+      $"id".as("ib_income_band_sk"),
+      (($"id" - 1) * 10000).as("ib_lower_bound"),
+      ($"id" * 10000 - 1).as("ib_upper_bound"))
+  }
+
+  /** reason: 10 synthetic return reasons (q85's dim). */
+  def reason(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("r_reason_sk"),
+      concat(lit("R"), $"id".cast("string")).as("r_reason_id"),
+      concat(lit("Reason_"), $"id".cast("string")).as("r_reason_desc"))
+  }
+
+  /** web_page: the web channel's page dim, 1..10 like the other
+    * channel location dims. */
+  def webPage(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("wp_web_page_sk"),
+      concat(lit("WP"), $"id".cast("string")).as("wp_web_page_id"))
   }
 
   def store(s: SparkSession): DataFrame = {
@@ -117,7 +231,10 @@ object DsTables {
       when($"id" % 5 === 0, "TN").when($"id" % 5 === 1, "CA")
         .when($"id" % 5 === 2, "NY").when($"id" % 5 === 3, "TX")
         .otherwise("WA").as("s_state"),
-      concat(lit("Z"), ($"id" % 5).cast("string")).as("s_zip"))
+      concat(lit("Z"), ($"id" % 5).cast("string")).as("s_zip"),
+      // two companies so q47's partition key is non-trivial
+      concat(lit("Company_"), (lit(1) + $"id" % 2).cast("string"))
+        .as("s_company_name"))
   }
 
   /** catalog_page / web_site: the catalog and web channels' id dims
@@ -146,10 +263,29 @@ object DsTables {
         ($"l_orderkey" % 3).as("chan"),
         datediff(to_date($"o_orderdate"), lit(Epoch).cast("date"))
           .cast("long").as("sold_date_sk"),
+        // real l_shipdate (may fall past date_dim's range — an inner
+        // date-role join then drops the row, identically in the oracle)
+        datediff(to_date($"l_shipdate"), lit(Epoch).cast("date"))
+          .cast("long").as("ship_date_sk"),
         $"l_partkey".as("item_sk"),
         $"o_custkey".as("customer_sk"),
         (lit(1) + $"l_suppkey" % 10).cast("long").as("store_sk"),
         ($"l_orderkey" * 8 + $"l_linenumber").as("ticket"),
+        // ~71% of sales carry a promotion (promo_sk 1..10, else NULL)
+        when(($"l_orderkey" * 8 + $"l_linenumber") % 14 < 10,
+          ($"l_orderkey" * 8 + $"l_linenumber") % 14 + 1)
+          .as("promo_sk"),
+        // ticket-derived demographic keys: the sale's demographics
+        // cycle independently of the customer's current ones, so
+        // q64's cd1 <> cd2 marital gate is non-degenerate
+        (lit(1) + ($"l_orderkey" * 8 + $"l_linenumber") % 210)
+          .as("cdemo_sk"),
+        (lit(1) + ($"l_orderkey" * 8 + $"l_linenumber") % 72)
+          .as("hdemo_sk"),
+        (lit(1) + (($"l_orderkey" * 8 + $"l_linenumber") * 3 + 1) % 210)
+          .as("ret_cdemo_sk"),
+        (lit(1) + ($"l_orderkey" * 8 + $"l_linenumber") % 10)
+          .as("reason_sk"),
         $"l_quantity".cast("long").as("qty"),
         round($"l_extendedprice" * 100).cast("long").as("ext_cents"),
         ($"l_returnflag" === "R").as("returned"))
@@ -164,34 +300,78 @@ object DsTables {
         col("ext_cents") - col("wholesale_cost_cents"))
       .withColumn("ret_qty", expr("(qty + 1) div 2"))
       .withColumn("ret_amt_cents", expr("ext_cents div 2"))
+      // the refund decomposition (cash + reversed charge + store
+      // credit <= return amount) and a small handling fee
+      .withColumn("ret_fee_cents", expr("(ext_cents div 2) div 50 + 10"))
+      .withColumn("ret_cash_cents", expr("(ext_cents div 2) div 2"))
+      .withColumn("ret_charge_cents", expr("(ext_cents div 2) div 3"))
+      .withColumn("ret_credit_cents",
+        expr("(ext_cents div 2) - (ext_cents div 2) div 2 " +
+          "- (ext_cents div 2) div 3"))
   }
 
   private def sales(s: SparkSession, d: String, chan: Int, p: String,
-      custCol: String, orderCol: String): DataFrame =
-    base(s, d).filter(col("chan") === chan).select(
+      custCol: String, orderCol: String): DataFrame = {
+    // the shipped channels carry a ship-date role (real cs/ws schema);
+    // store sales are immediate and have none, as in dsdgen output
+    val shipCols = if (p == "ss") Nil
+      else Seq(col("ship_date_sk").as(s"${p}_ship_date_sk"))
+    // catalog's location surrogate also plays the call-center role
+    // (see [[callCenter]]); web's plays the page role; catalog gets
+    // the ship-to customer (= the buyer in this derivation)
+    val ccCols = if (p == "cs")
+      Seq(col("store_sk").as("cs_call_center_sk"),
+        col("customer_sk").as("cs_ship_customer_sk"))
+    else if (p == "ws") Seq(col("store_sk").as("ws_web_page_sk"))
+    else Nil
+    val demoPrefix = if (p == "ss") "ss" else s"${p}_bill"
+    base(s, d).filter(col("chan") === chan).select(Seq(
       col("sold_date_sk").as(s"${p}_sold_date_sk"),
       col("item_sk").as(s"${p}_item_sk"),
       col("customer_sk").as(custCol),
       col("store_sk").as(s"${p}_store_sk"),
+      col("cdemo_sk").as(s"${demoPrefix}_cdemo_sk"),
+      col("hdemo_sk").as(s"${demoPrefix}_hdemo_sk"),
+      col("customer_sk").as(s"${demoPrefix}_addr_sk"),
       col("ticket").as(orderCol),
+      col("promo_sk").as(s"${p}_promo_sk"),
       col("qty").as(s"${p}_quantity"),
       col("sales_price_cents").as(s"${p}_sales_price_cents"),
       col("list_price_cents").as(s"${p}_list_price_cents"),
       col("ext_cents").as(s"${p}_ext_sales_price_cents"),
       col("wholesale_cost_cents").as(s"${p}_wholesale_cost_cents"),
       col("net_profit_cents").as(s"${p}_net_profit_cents"))
+      ++ shipCols ++ ccCols: _*)
+  }
 
   private def returns(s: SparkSession, d: String, chan: Int, p: String,
-      orderCol: String): DataFrame =
-    base(s, d).filter(col("chan") === chan && col("returned")).select(
+      orderCol: String, custCol: String): DataFrame = {
+    // q85's web-return snowflake keys: the refunded party is the
+    // buyer (their sale-time demographics/address), the returning
+    // party's demographics cycle separately
+    val wrCols = if (p != "wr") Nil else Seq(
+      col("cdemo_sk").as("wr_refunded_cdemo_sk"),
+      col("ret_cdemo_sk").as("wr_returning_cdemo_sk"),
+      col("customer_sk").as("wr_refunded_addr_sk"))
+    base(s, d).filter(col("chan") === chan && col("returned")).select(Seq(
       col("item_sk").as(s"${p}_item_sk"),
       col("ticket").as(orderCol),
+      // the returning customer is the buyer (real TPC-DS lets them
+      // differ; the derivation keys returns 1:1 to their sale)
+      col("customer_sk").as(custCol),
       (col("sold_date_sk") + 30).as(s"${p}_returned_date_sk"),
       col("store_sk").as(s"${p}_store_sk"),
+      col("reason_sk").as(s"${p}_reason_sk"),
+      col("ret_fee_cents").as(s"${p}_fee_cents"),
+      col("ret_cash_cents").as(s"${p}_refunded_cash_cents"),
+      col("ret_charge_cents").as(s"${p}_reversed_charge_cents"),
+      col("ret_credit_cents").as(s"${p}_store_credit_cents"),
       col("ret_qty").as(s"${p}_return_quantity"),
       col("ret_amt_cents").as(s"${p}_return_amt_cents"),
       // q5's net_loss: return-handling cost, a deterministic fraction
       expr("ret_amt_cents div 10").as(s"${p}_net_loss_cents"))
+      ++ wrCols: _*)
+  }
 
   def storeSales(s: SparkSession, d: String): DataFrame =
     sales(s, d, 0, "ss", "ss_customer_sk", "ss_ticket_number")
@@ -201,9 +381,78 @@ object DsTables {
     sales(s, d, 2, "ws", "ws_bill_customer_sk", "ws_order_number")
 
   def storeReturns(s: SparkSession, d: String): DataFrame =
-    returns(s, d, 0, "sr", "sr_ticket_number")
+    returns(s, d, 0, "sr", "sr_ticket_number", "sr_customer_sk")
   def catalogReturns(s: SparkSession, d: String): DataFrame =
-    returns(s, d, 1, "cr", "cr_order_number")
+    returns(s, d, 1, "cr", "cr_order_number", "cr_returning_customer_sk")
   def webReturns(s: SparkSession, d: String): DataFrame =
-    returns(s, d, 2, "wr", "wr_order_number")
+    returns(s, d, 2, "wr", "wr_order_number", "wr_returning_customer_sk")
+
+  /** call_center: q57's catalog-channel dimension. The catalog facts
+    * carry the same 1..10 surrogate in cs_call_center_sk as in
+    * cs_store_sk (the q95 store-as-warehouse precedent): the derived
+    * star has one 1..10 location key per channel and the dims that
+    * hang off it are role-named views of it. */
+  def callCenter(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("cc_call_center_sk"),
+      concat(lit("CC"), $"id".cast("string")).as("cc_call_center_id"),
+      concat(lit("CallCenter_"), $"id".cast("string")).as("cc_name"))
+  }
+
+  /** promotion: 10 synthetic rows (TpcdsSchemaProvider.java promotion);
+    * facts reference it via ${p}_promo_sk (NULL for ~29% of sales). */
+  def promotion(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 11).select(
+      $"id".as("p_promo_sk"),
+      concat(lit("P"), $"id".cast("string")).as("p_promo_id"),
+      concat(lit("Promo_"), $"id".cast("string")).as("p_promo_name"),
+      when($"id" % 2 === 0, "Y").otherwise("N").as("p_channel_dmail"))
+  }
+
+  /** warehouse: 5 synthetic rows (TpcdsSchemaProvider.java warehouse),
+    * the inventory/q72 dimension — broadcast-sized like store. */
+  def warehouse(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 6).select(
+      $"id".as("w_warehouse_sk"),
+      concat(lit("W"), $"id".cast("string")).as("w_warehouse_id"),
+      concat(lit("Warehouse_"), $"id".cast("string")).as("w_warehouse_name"),
+      when($"id" % 5 === 0, "TN").when($"id" % 5 === 1, "CA")
+        .when($"id" % 5 === 2, "NY").when($"id" % 5 === 3, "TX")
+        .otherwise("WA").as("w_state"))
+  }
+
+  /** inventory: weekly (Sunday) quantity-on-hand per item x warehouse
+    * over 1999-2000, like dsdgen's weekly snapshots
+    * (TpcdsSchemaProvider.java inventory). Quantity is a deterministic
+    * integer formula — a 0..99 base varying by (item, week, warehouse),
+    * an item-level offset ((item % 41) * 5, so q22's per-item averages
+    * are not all equal), plus a 1-in-13 spike of +1000, so q21's
+    * before/after ratio and q39's coefficient-of-variation gate are
+    * both non-degenerate (the spike groups have stdev > mean, the flat
+    * groups do not).
+    *
+    * Scale posture: the item scan is the only distributed input; weeks
+    * (105 rows) and warehouses (5 rows) are broadcast cross joins, so
+    * the expansion is map-side and inherits item's partitioning — no
+    * shuffle at any SF.
+    */
+  def inventory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weeks = dateDim(s)
+      .filter($"d_date_sk" % 7 === 0 && $"d_year".between(1999, 2000))
+      .select($"d_date_sk".as("inv_date_sk"))
+    val wh = s.range(1, 6).select($"id".as("inv_warehouse_sk"))
+    T.part(s, d).select($"p_partkey".as("inv_item_sk"))
+      .crossJoin(broadcast(weeks))
+      .crossJoin(broadcast(wh))
+      .withColumn("inv_quantity_on_hand",
+        expr("(inv_item_sk * 13 + (inv_date_sk div 7) * 7 " +
+          "+ inv_warehouse_sk * 3) % 100") +
+          expr("(inv_item_sk % 41) * 5") +
+          when(expr("(inv_item_sk + (inv_date_sk div 7) * 3 " +
+            "+ inv_warehouse_sk) % 13") === 0, 1000L).otherwise(0L))
+  }
 }

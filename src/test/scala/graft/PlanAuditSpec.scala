@@ -113,6 +113,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsreal_q33" -> (3, 3, s"3 channel manufacturer branches; $dsrealChan"),
     "q_dsreal_q95" -> (2, 2, "ws fact + wr returns (the multi-warehouse " +
       s"self-join is pinned); $dsrealChan"),
+    "q_dsreal_q72" -> (2, 2, "cs fact + cr returns left join; " +
+      s"$dsrealChan (inventory/warehouse/item scan part, not lineitem)"),
+    "q_dsreal_q58" -> (3, 3, s"3 channel item-revenue branches; $dsrealChan"),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_salesgap" -> (2, 2, disjoint),
