@@ -426,13 +426,21 @@ object DsRealPack extends QueryPack {
 
     // query64.sql: the cross-year same-item-same-store pair over one
     // grouped CTE — store sales that were RETURNED, of items whose
-    // catalog sales beat 2x their catalog refunds (cs_ui), joined
-    // through three date roles (sale date + the customer's first-sale
-    // and first-shipto dates), grouped per item x store x year triple,
+    // catalog sales beat 2x their catalog REFUND SPLIT (cash +
+    // reversed charge + store credit, cs_ui), joined through the full
+    // reference snowflake: three date roles (sale date + the
+    // customer's first-sale and first-shipto dates), the sale-time AND
+    // current customer demographics (gated to DIFFERENT marital
+    // status), both household-demographics legs chained to
+    // income_band, both address roles (sale-time b_* and current c_*,
+    // carried through to the output), promotion, and the item color /
+    // price gates — grouped per item x store x address x year triple,
     // then year-1999 rows self-joined to year-2000 rows of the same
     // item and store with the cnt gate. cross_sales is pinned once —
     // the reference consumes it twice, and re-planning it would run
-    // the whole snowflake twice.
+    // the whole snowflake twice. All 10 dims broadcast (each is
+    // O(customers) or smaller); the only shuffles are the
+    // sale<->return join and the groupBy.
     "q_dsreal_q64" -> ((s, d) => {
       import s.implicits._
       val csUi = DsTables.catalogSales(s, d)
@@ -441,15 +449,27 @@ object DsRealPack extends QueryPack {
             $"cs_order_number" === $"cr_order_number")
         .groupBy($"cs_item_sk")
         .agg(sum($"cs_list_price_cents").as("sale"),
-          sum($"cr_return_amt_cents").as("refund"))
+          sum($"cr_refunded_cash_cents" + $"cr_reversed_charge_cents" +
+            $"cr_store_credit_cents").as("refund"))
         .filter($"sale" > $"refund" * 2)
         .select($"cs_item_sk")
       val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+      val cd = DsTables.customerDemographics(s)
+        .select($"cd_demo_sk", $"cd_marital_status")
+      val hd = DsTables.householdDemographics(s)
+        .select($"hd_demo_sk", $"hd_income_band_sk")
+      val ib = DsTables.incomeBand(s).select($"ib_income_band_sk")
+      val ca = DsTables.customerAddress(s, d)
+      val it = DsTables.item(s, d)
+        .filter($"i_color".isin("red", "blue", "hot", "small", "large",
+          "old") &&
+          $"i_current_price_cents".between(91000L, 97000L))
       val crossSales = pin(DsTables.storeSales(s, d)
         .join(DsTables.storeReturns(s, d),
           $"ss_item_sk" === $"sr_item_sk" &&
             $"ss_ticket_number" === $"sr_ticket_number")
         .join(broadcast(csUi), $"ss_item_sk" === $"cs_item_sk", "left_semi")
+        .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
         .join(broadcast(dd.select($"d_date_sk".as("d1_sk"),
           $"d_year".as("syear"))), $"ss_sold_date_sk" === $"d1_sk")
         .join(broadcast(DsTables.customerDim(s, d)),
@@ -459,10 +479,38 @@ object DsRealPack extends QueryPack {
         .join(broadcast(dd.select($"d_date_sk".as("d3_sk"),
           $"d_year".as("s2year"))), $"c_first_shipto_date_sk" === $"d3_sk")
         .join(broadcast(DsTables.store(s)), $"ss_store_sk" === $"s_store_sk")
-        .join(broadcast(DsTables.item(s, d)), $"ss_item_sk" === $"i_item_sk")
+        .join(broadcast(cd.select($"cd_demo_sk".as("cd1_sk"),
+          $"cd_marital_status".as("ms1"))), $"ss_cdemo_sk" === $"cd1_sk")
+        .join(broadcast(cd.select($"cd_demo_sk".as("cd2_sk"),
+          $"cd_marital_status".as("ms2"))),
+          $"c_current_cdemo_sk" === $"cd2_sk" && $"ms1" =!= $"ms2")
+        .join(broadcast(hd.select($"hd_demo_sk".as("hd1_sk"),
+          $"hd_income_band_sk".as("ib1_fk"))), $"ss_hdemo_sk" === $"hd1_sk")
+        .join(broadcast(hd.select($"hd_demo_sk".as("hd2_sk"),
+          $"hd_income_band_sk".as("ib2_fk"))),
+          $"c_current_hdemo_sk" === $"hd2_sk")
+        .join(broadcast(ib.select($"ib_income_band_sk".as("ib1_sk"))),
+          $"ib1_fk" === $"ib1_sk")
+        .join(broadcast(ib.select($"ib_income_band_sk".as("ib2_sk"))),
+          $"ib2_fk" === $"ib2_sk")
+        .join(broadcast(ca.select($"ca_address_sk".as("ad1_sk"),
+          $"ca_street_number".as("b_street_number"),
+          $"ca_street_name".as("b_street_name"),
+          $"ca_city".as("b_city"), $"ca_zip".as("b_zip"))),
+          $"ss_addr_sk" === $"ad1_sk")
+        .join(broadcast(ca.select($"ca_address_sk".as("ad2_sk"),
+          $"ca_street_number".as("c_street_number"),
+          $"ca_street_name".as("c_street_name"),
+          $"ca_city".as("c_city"), $"ca_zip".as("c_zip"))),
+          $"c_current_addr_sk" === $"ad2_sk")
+        .join(broadcast(DsTables.promotion(s)),
+          $"ss_promo_sk" === $"p_promo_sk")
         .groupBy($"i_product_name".as("product_name"),
           $"i_item_sk".as("item_sk"), $"s_store_name".as("store_name"),
-          $"s_zip".as("store_zip"), $"syear", $"fsyear", $"s2year")
+          $"s_zip".as("store_zip"),
+          $"b_street_number", $"b_street_name", $"b_city", $"b_zip",
+          $"c_street_number", $"c_street_name", $"c_city", $"c_zip",
+          $"syear", $"fsyear", $"s2year")
         .agg(count(lit(1)).as("cnt"),
           sum($"ss_wholesale_cost_cents").as("s1"),
           sum($"ss_list_price_cents").as("s2"),
@@ -476,13 +524,18 @@ object DsRealPack extends QueryPack {
       cs1.join(cs2, $"item_sk" === $"item2" && $"store_name" === $"sn2" &&
           $"store_zip" === $"sz2" && $"cnt2" <= $"cnt")
         .select($"item_sk", $"product_name", $"store_name", $"store_zip",
+          $"b_street_number", $"b_street_name", $"b_city", $"b_zip",
+          $"c_street_number", $"c_street_name", $"c_city", $"c_zip",
           $"syear".as("syear1"), $"cnt".as("cnt1"), $"s1".as("s11"),
           $"s2".as("s21"), $"s3".as("s31"), $"s12", $"s22", $"s32",
           $"syear2", $"cnt2")
         // item_sk tiebreak: product_name (TPC-H p_name) is not unique
         // across items, so without it the LIMIT cut is not total.
         .orderBy($"product_name", $"store_name", $"cnt2", $"s11", $"s12",
-          $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1", $"item_sk")
+          $"cnt1", $"s21", $"s31", $"s22", $"s32", $"syear1",
+          $"b_street_number", $"b_street_name", $"b_city", $"b_zip",
+          $"c_street_number", $"c_street_name", $"c_city", $"c_zip",
+          $"item_sk")
         .limit(100)
         .drop("item_sk")
     }),
