@@ -54,12 +54,35 @@ object Bench {
     // recomputed after unpersisting" for EVERY such block — thousands
     // of lines that drown the driver-captured stderr tail. The warning
     // comes from per-CLASS loggers (MapPartitionsRDD, ParallelCollectionRDD,
-    // ...), which are children of the PACKAGE logger, not of the
-    // `...rdd.RDD` class logger — so scope the package (known-benign
-    // class); every logger outside org.apache.spark.rdd keeps WARN so
-    // real warnings still surface.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // ...), children of the PACKAGE logger — but demoting the whole
+    // package to ERROR would also hide GENUINE warnings from other rdd
+    // classes. So the package logger stays at WARN and carries a
+    // MESSAGE-targeted RegexFilter that denies only this one known-
+    // benign message; everything else in the package still surfaces.
+    locally {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      def deny(logger: String, pattern: String): Unit = {
+        val lc = new LoggerConfig(logger, Level.WARN, true)
+        lc.addFilter(RegexFilter.createFilter(pattern, Array("DOTALL"),
+          java.lang.Boolean.FALSE, Filter.Result.DENY,
+          Filter.Result.NEUTRAL))
+        ctx.getConfiguration.addLogger(logger, lc)
+      }
+      deny("org.apache.spark.rdd",
+        ".*cannot be recomputed after unpersisting.*")
+      // the global-OVER queries (ntile/cume_dist over the whole frame)
+      // deliberately use an unpartitioned window at bench SF; the
+      // single-partition warning is known and repeats 20+ times —
+      // denied HERE ONLY (per-message), so an unexpected global window
+      // in any new query still warns in tests and in Verify
+      deny("org.apache.spark.sql.execution.window.WindowExec",
+        ".*No Partition Defined for Window operation.*")
+      ctx.updateLoggers()
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -130,13 +153,24 @@ object Bench {
       // that the first position eats loop-body JIT (probed 17.7 s run 1
       // vs 3.9 s run 3 on the same session) — the reversed recheck
       // gives them a warmed position and min() discards the JIT slot
-      "q_bfs_levels", "q_pagerank")
-    // second, reversed-order timing pass over the headline set: the
-    // reported headline number is min(both positions), so a value can
-    // no longer be an artifact of what happened to run just before it
+      "q_bfs_levels", "q_pagerank",
+      // the sweep's most expensive non-headline slots (r10 adjudication
+      // set: scalar_sub read 0.93 s in r9 and 5.37 s in r10 on
+      // unchanged code — only a two-pass minimum settles which)
+      "q_tpcds_crossyear_pair", "q_tpcds_scalar_sub", "q_dsreal_q72",
+      "q_dsreal_q22", "q_pq_recall", "q_dedup_clusters")
+    // second, reversed-order timing pass over the recheck set — the
+    // static headline queries PLUS whatever the primary pass says are
+    // the 10 slowest (adjacency hits exactly the expensive slots, and
+    // which queries those are drifts round to round) — the reported
+    // number is min(both positions), so a value can no longer be an
+    // artifact of what happened to run just before it
+    val topSlow = primary.filter(_._2 >= 0).sortBy(-_._2)
+      .take(10).map(_._1).toSet
+    val recheckSet = headline ++ topSlow
     val recheckTimes =
       if (recheck)
-        sorted.filter(p => headline(p._1)).reverse
+        sorted.filter(p => recheckSet(p._1)).reverse
           .map { case (name, fn) => name -> timeOne(name + "#2", fn) }.toMap
       else Map.empty[String, Double]
     val twoPass = primary.map { case (name, t) =>

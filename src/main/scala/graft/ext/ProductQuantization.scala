@@ -114,9 +114,14 @@ object ProductQuantization {
     * One broadcast join + one shuffle on (q_id, vec_id); the window
     * lowers to WindowGroupLimit (per-task top-k before the shuffle). */
   def search(codes: DataFrame, lutDf: DataFrame, k: Int): DataFrame = {
+    // alias the lut side: codes and lut can share lineage (both derive
+    // from the same vector scan), and dataframe("b") === dataframe("b")
+    // on shared lineage resolves to a trivially-true self-comparison
+    val lutA = lutDf.select(col("q_id"), col("b").as("lut_b"),
+      col("cid"), col("qd2"))
     val adc = codes
-      .join(broadcast(lutDf),
-        codes("b") === lutDf("b") && codes("code") === lutDf("cid"))
+      .join(broadcast(lutA),
+        col("b") === col("lut_b") && col("code") === col("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qd2")).as("adist"))
