@@ -930,10 +930,11 @@ object DsRealPack extends QueryPack {
     // query72.sql: catalog sales that could NOT be covered by the
     // same-week inventory (inv_quantity_on_hand < cs_quantity) with a
     // late ship date (> sold + 5 days), counted per item x warehouse x
-    // week with a promo/no-promo split. The demographic gates
-    // (hd_buy_potential, cd_marital_status), whose dims are absent
-    // from the derived schema, are omitted; the promotion and
-    // catalog_returns left joins of the reference text are kept.
+    // week with a promo/no-promo split. The reference's demographic
+    // gates (hd_buy_potential = '>10000', cd_marital_status = 'D') are
+    // applied as pre-filtered broadcast dim joins BEFORE the expensive
+    // inventory join, so the fact side is cut ~30x first; the
+    // promotion and catalog_returns left joins are kept.
     // Scale shape: inventory is pre-joined to its week so the fact
     // join is a pure equi join on (item, week) — never item-only with
     // a post-filter, which would fan every sale out to all 105 weeks.
@@ -950,7 +951,13 @@ object DsRealPack extends QueryPack {
           $"d_week_seq".as("d2_week"))), $"inv_date_sk" === $"d2_sk")
       val cr = DsTables.catalogReturns(s, d)
         .select($"cr_item_sk", $"cr_order_number")
+      val cdD = DsTables.customerDemographics(s)
+        .filter($"cd_marital_status" === "D").select($"cd_demo_sk")
+      val hdHi = DsTables.householdDemographics(s)
+        .filter($"hd_buy_potential" === ">10000").select($"hd_demo_sk")
       DsTables.catalogSales(s, d)
+        .join(broadcast(cdD), $"cs_bill_cdemo_sk" === $"cd_demo_sk")
+        .join(broadcast(hdHi), $"cs_bill_hdemo_sk" === $"hd_demo_sk")
         .join(broadcast(d1), $"cs_sold_date_sk" === $"d1_sk")
         .join(broadcast(d3), $"cs_ship_date_sk" === $"d3_sk")
         .filter($"d3_date" > date_add($"d1_date", 5))
@@ -1074,7 +1081,288 @@ object DsRealPack extends QueryPack {
             .as("average_e6"))
         .orderBy($"item_id", $"ss_item_rev")
         .limit(100)
+    }),
+
+    // query10.sql: the demographic profile of customers in five target
+    // counties who bought in-store AND (web OR catalog) inside the
+    // same four-month window. The EXISTS subqueries are left-semi
+    // joins on the customer key; the web-OR-catalog disjunction is ONE
+    // semi join against the union of the two channels' activity keys
+    // (a second semi join would be an AND). cnt1..cnt6 replicate the
+    // group count exactly as the reference text does.
+    "q_dsreal_q10" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy".between(1, 4))
+        .select($"d_date_sk")
+      val (ss, ws, cs) = chanCustomers(s, d, dd)
+      DsTables.customerDim(s, d)
+        .join(ss, $"c_customer_sk" === $"act_sk", "left_semi")
+        .join(ws.union(cs), $"c_customer_sk" === $"act_sk", "left_semi")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .filter($"ca_county".isin("County_1", "County_5", "County_12",
+            "County_21", "County_28"))
+          .select($"ca_address_sk")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.customerDemographics(s)),
+          $"c_current_cdemo_sk" === $"cd_demo_sk")
+        .groupBy($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cd_purchase_estimate", $"cd_credit_rating", $"cd_dep_count",
+          $"cd_dep_employed_count", $"cd_dep_college_count")
+        .agg(count(lit(1)).as("cnt1"))
+        .select($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cnt1", $"cd_purchase_estimate", $"cnt1".as("cnt2"),
+          $"cd_credit_rating", $"cnt1".as("cnt3"), $"cd_dep_count",
+          $"cnt1".as("cnt4"), $"cd_dep_employed_count", $"cnt1".as("cnt5"),
+          $"cd_dep_college_count", $"cnt1".as("cnt6"))
+        .orderBy($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cd_purchase_estimate", $"cd_credit_rating", $"cd_dep_count",
+          $"cd_dep_employed_count", $"cd_dep_college_count")
+        .limit(100)
+    }),
+
+    // query35.sql: q10's three-quarter variant with per-state grouping
+    // and the dep-count min/max/avg profile. Averages are exact
+    // integer micro-units ((sum * 1e6) div count) on both engines —
+    // never a floating avg().
+    "q_dsreal_q35" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_qoy" < 4)
+        .select($"d_date_sk")
+      val (ss, ws, cs) = chanCustomers(s, d, dd)
+      DsTables.customerDim(s, d)
+        .join(ss, $"c_customer_sk" === $"act_sk", "left_semi")
+        .join(ws.union(cs), $"c_customer_sk" === $"act_sk", "left_semi")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_state")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.customerDemographics(s)),
+          $"c_current_cdemo_sk" === $"cd_demo_sk")
+        .groupBy($"ca_state", $"cd_gender", $"cd_marital_status",
+          $"cd_dep_count", $"cd_dep_employed_count",
+          $"cd_dep_college_count")
+        .agg(count(lit(1)).as("cnt1"),
+          min($"cd_dep_count").as("min_dep"),
+          max($"cd_dep_count").as("max_dep"),
+          sum($"cd_dep_count").as("sdep"),
+          min($"cd_dep_employed_count").as("min_emp"),
+          max($"cd_dep_employed_count").as("max_emp"),
+          sum($"cd_dep_employed_count").as("semp"),
+          min($"cd_dep_college_count").as("min_col"),
+          max($"cd_dep_college_count").as("max_col"),
+          sum($"cd_dep_college_count").as("scol"))
+        .select($"ca_state", $"cd_gender", $"cd_marital_status",
+          $"cd_dep_count", $"cnt1", $"min_dep", $"max_dep",
+          expr("(sdep * 1000000) div cnt1").as("avg_dep_e6"),
+          $"cd_dep_employed_count", $"cnt1".as("cnt2"), $"min_emp",
+          $"max_emp", expr("(semp * 1000000) div cnt1").as("avg_emp_e6"),
+          $"cd_dep_college_count", $"cnt1".as("cnt3"), $"min_col",
+          $"max_col", expr("(scol * 1000000) div cnt1").as("avg_col_e6"))
+        .orderBy($"ca_state", $"cd_gender", $"cd_marital_status",
+          $"cd_dep_count", $"cd_dep_employed_count",
+          $"cd_dep_college_count")
+        .limit(100)
+    }),
+
+    // query69.sql: q10's complement — store-active customers in three
+    // states with NO web and NO catalog activity in the window: the
+    // NOT EXISTS pair is two left-anti joins (each must independently
+    // be empty, so no union here, unlike q10's OR).
+    "q_dsreal_q69" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy".between(4, 6))
+        .select($"d_date_sk")
+      val (ss, ws, cs) = chanCustomers(s, d, dd)
+      DsTables.customerDim(s, d)
+        .join(ss, $"c_customer_sk" === $"act_sk", "left_semi")
+        .join(ws, $"c_customer_sk" === $"act_sk", "left_anti")
+        .join(cs, $"c_customer_sk" === $"act_sk", "left_anti")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .filter($"ca_state".isin("KY", "GA", "NM"))
+          .select($"ca_address_sk")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.customerDemographics(s)),
+          $"c_current_cdemo_sk" === $"cd_demo_sk")
+        .groupBy($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cd_purchase_estimate", $"cd_credit_rating")
+        .agg(count(lit(1)).as("cnt1"))
+        .select($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cnt1", $"cd_purchase_estimate", $"cnt1".as("cnt2"),
+          $"cd_credit_rating", $"cnt1".as("cnt3"))
+        .orderBy($"cd_gender", $"cd_marital_status", $"cd_education_status",
+          $"cd_purchase_estimate", $"cd_credit_rating")
+        .limit(100)
+    }),
+
+    // query13.sql: single-pass store-sales aggregate under the classic
+    // OR-of-ANDs demographic x address gate pairs. Every OR branch
+    // repeats the same equi-join keys (cd/hd/ca), so the joins
+    // factorize into plain broadcast equi joins and the branches
+    // become a residual disjunctive filter — one fact scan, no
+    // join-condition explosion. Averages are exact micro-units.
+    "q_dsreal_q13" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk")
+      val cd = DsTables.customerDemographics(s)
+        .select($"cd_demo_sk", $"cd_marital_status", $"cd_education_status")
+      val hd = DsTables.householdDemographics(s)
+        .select($"hd_demo_sk", $"hd_dep_count")
+      val ca = DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_state", $"ca_country")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s).select($"s_store_sk")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(cd), $"ss_cdemo_sk" === $"cd_demo_sk")
+        .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+        .join(broadcast(ca), $"ss_addr_sk" === $"ca_address_sk")
+        .filter(
+          ($"cd_marital_status" === "M" &&
+            $"cd_education_status" === "Advanced Degree" &&
+            $"ss_sales_price_cents".between(100000L, 300000L) &&
+            $"hd_dep_count" === 3) ||
+          ($"cd_marital_status" === "S" &&
+            $"cd_education_status" === "College" &&
+            $"ss_sales_price_cents".between(20000L, 200000L) &&
+            $"hd_dep_count" === 1) ||
+          ($"cd_marital_status" === "W" &&
+            $"cd_education_status" === "2 yr Degree" &&
+            $"ss_sales_price_cents".between(50000L, 400000L) &&
+            $"hd_dep_count" === 1))
+        .filter($"ca_country" === "United States" && (
+          ($"ca_state".isin("TX", "OH", "NY") &&
+            $"ss_net_profit_cents".between(50000L, 400000L)) ||
+          ($"ca_state".isin("OR", "NM", "KY") &&
+            $"ss_net_profit_cents".between(100000L, 600000L)) ||
+          ($"ca_state".isin("WA", "TX", "GA") &&
+            $"ss_net_profit_cents".between(20000L, 500000L))))
+        .agg(count(lit(1)).as("n"), sum($"ss_quantity").as("sq"),
+          sum($"ss_ext_sales_price_cents").as("se"),
+          sum($"ss_wholesale_cost_cents").as("sw"))
+        .select(expr("(sq * 1000000) div n").as("avg_qty_e6"),
+          expr("(se * 1000000) div n").as("avg_ext_e6"),
+          expr("(sw * 1000000) div n").as("avg_whole_e6"),
+          $"sw".as("sum_whole"))
+    }),
+
+    // query48.sql: q13's simpler sibling — total quantity under the
+    // marital/education x state/profit OR-branch gates, no household
+    // leg. Same factorized-joins + residual-disjunction shape.
+    "q_dsreal_q48" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk")
+      val cd = DsTables.customerDemographics(s)
+        .select($"cd_demo_sk", $"cd_marital_status", $"cd_education_status")
+      val ca = DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_state", $"ca_country")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s).select($"s_store_sk")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(cd), $"ss_cdemo_sk" === $"cd_demo_sk")
+        .join(broadcast(ca), $"ss_addr_sk" === $"ca_address_sk")
+        .filter(
+          ($"cd_marital_status" === "M" &&
+            $"cd_education_status" === "4 yr Degree" &&
+            $"ss_sales_price_cents".between(100000L, 300000L)) ||
+          ($"cd_marital_status" === "D" &&
+            $"cd_education_status" === "2 yr Degree" &&
+            $"ss_sales_price_cents".between(20000L, 200000L)) ||
+          ($"cd_marital_status" === "S" &&
+            $"cd_education_status" === "College" &&
+            $"ss_sales_price_cents".between(50000L, 400000L)))
+        .filter($"ca_country" === "United States" && (
+          ($"ca_state".isin("CA", "OH", "TX") &&
+            $"ss_net_profit_cents".between(0L, 400000L)) ||
+          ($"ca_state".isin("OR", "NM", "KY") &&
+            $"ss_net_profit_cents".between(100000L, 600000L)) ||
+          ($"ca_state".isin("WA", "CA", "GA") &&
+            $"ss_net_profit_cents".between(20000L, 500000L))))
+        .agg(sum($"ss_quantity").as("sum_qty"))
+    }),
+
+    // query85.sql: per-reason return profile of web sales whose refund
+    // carries matching sale-time vs returning-party demographics. The
+    // cd1 = cd2 marital/education equality is deterministic over the
+    // derived 210-cycle (cdemo = 1+t%210 vs ret_cdemo = 1+(3t+1)%210):
+    // only the (M, Primary) and (U, Unknown) combos are feasible, so
+    // the reference's three OR branches are re-pointed at those (the
+    // third branch keeps the reference's (W, 2 yr Degree) — provably
+    // empty here, retained for the gate structure). Averages are exact
+    // micro-units; the ws<->wr join is the only shuffle (all six dims
+    // broadcast).
+    "q_dsreal_q85" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk")
+      val cd1 = DsTables.customerDemographics(s)
+        .select($"cd_demo_sk".as("cd1_sk"), $"cd_marital_status".as("ms1"),
+          $"cd_education_status".as("es1"))
+      val cd2 = DsTables.customerDemographics(s)
+        .select($"cd_demo_sk".as("cd2_sk"), $"cd_marital_status".as("ms2"),
+          $"cd_education_status".as("es2"))
+      val ca = DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_state", $"ca_country")
+      DsTables.webSales(s, d)
+        .join(DsTables.webReturns(s, d),
+          $"ws_item_sk" === $"wr_item_sk" &&
+            $"ws_order_number" === $"wr_order_number")
+        .join(broadcast(DsTables.webPage(s)),
+          $"ws_web_page_sk" === $"wp_web_page_sk")
+        .join(broadcast(dd), $"ws_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(cd1), $"wr_refunded_cdemo_sk" === $"cd1_sk")
+        .join(broadcast(cd2), $"wr_returning_cdemo_sk" === $"cd2_sk")
+        .join(broadcast(ca), $"wr_refunded_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.reason(s)),
+          $"wr_reason_sk" === $"r_reason_sk")
+        .filter(
+          ($"ms1" === "M" && $"ms1" === $"ms2" && $"es1" === "Primary" &&
+            $"es1" === $"es2" &&
+            $"ws_sales_price_cents".between(20000L, 900000L)) ||
+          ($"ms1" === "U" && $"ms1" === $"ms2" && $"es1" === "Unknown" &&
+            $"es1" === $"es2" &&
+            $"ws_sales_price_cents".between(20000L, 900000L)) ||
+          ($"ms1" === "W" && $"ms1" === $"ms2" &&
+            $"es1" === "2 yr Degree" && $"es1" === $"es2" &&
+            $"ws_sales_price_cents".between(11000L, 2000000L)))
+        .filter($"ca_country" === "United States" && (
+          ($"ca_state".isin("TN", "OH", "NY") &&
+            $"ws_net_profit_cents".between(11000L, 2000000L)) ||
+          ($"ca_state".isin("WA", "CA", "KY") &&
+            $"ws_net_profit_cents".between(50000L, 4200000L)) ||
+          ($"ca_state".isin("OR", "NM", "GA") &&
+            $"ws_net_profit_cents".between(11000L, 3000000L))))
+        .groupBy($"r_reason_desc")
+        .agg(count(lit(1)).as("n"), sum($"ws_quantity").as("sq"),
+          sum($"wr_refunded_cash_cents").as("sc"),
+          sum($"wr_fee_cents").as("sf"))
+        .select(substring($"r_reason_desc", 1, 20).as("reason_desc"),
+          expr("(sq * 1000000) div n").as("avg_qty_e6"),
+          expr("(sc * 1000000) div n").as("avg_refunded_e6"),
+          expr("(sf * 1000000) div n").as("avg_fee_e6"))
+        .orderBy($"reason_desc", $"avg_qty_e6", $"avg_refunded_e6",
+          $"avg_fee_e6")
+        .limit(100)
     }))
+
+  /** query10/35/69's per-channel activity key sets: the DISTINCT-free
+    * customer keys active in each channel inside the broadcast date
+    * window (semi/anti joins dedup implicitly, so no distinct here).
+    * Shared by the three EXISTS-family queries. */
+  private def chanCustomers(s: SparkSession, d: String,
+      dd: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    def act(f: DataFrame, dc: String, cc: String) =
+      f.join(broadcast(dd), col(dc) === col("d_date_sk"))
+        .select(col(cc).as("act_sk"))
+    (act(DsTables.storeSales(s, d), "ss_sold_date_sk", "ss_customer_sk"),
+      act(DsTables.webSales(s, d), "ws_sold_date_sk", "ws_bill_customer_sk"),
+      act(DsTables.catalogSales(s, d), "cs_sold_date_sk",
+        "cs_ship_customer_sk"))
+  }
 
   /** q39's per warehouse x item x month variability frame: exact
     * integer (n, sum, sum-of-squares) per group, gated at cov > 1 via
@@ -2155,6 +2443,8 @@ FROM catalog_sales
 JOIN inventory ON (cs_item_sk = inv_item_sk)
 JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
 JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
 JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
 JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
 JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
@@ -2164,9 +2454,206 @@ LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
 WHERE d1.d_week_seq = d2.d_week_seq
   AND inv_quantity_on_hand < cs_quantity
   AND d3.d_date > d1.d_date + INTERVAL 5 DAY
+  AND hd_buy_potential = '>10000'
   AND d1.d_year = 1999
+  AND cd_marital_status = 'D'
 GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
 ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+LIMIT 100"""),
+      "q_dsreal_q10" -> (P + """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       count(*) AS cnt1, cd_purchase_estimate, count(*) AS cnt2,
+       cd_credit_rating, count(*) AS cnt3, cd_dep_count, count(*) AS cnt4,
+       cd_dep_employed_count, count(*) AS cnt5,
+       cd_dep_college_count, count(*) AS cnt6
+FROM customer_dim c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('County_1','County_5','County_12','County_21',
+                    'County_28')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_ship_customer_sk
+                 AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""),
+      "q_dsreal_q35" -> (P + """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       count(*) AS cnt1,
+       CAST(min(cd_dep_count) AS INT) AS min_dep,
+       CAST(max(cd_dep_count) AS INT) AS max_dep,
+       CAST((sum(cd_dep_count) * 1000000) // count(*) AS BIGINT)
+         AS avg_dep_e6,
+       cd_dep_employed_count, count(*) AS cnt2,
+       CAST(min(cd_dep_employed_count) AS INT) AS min_emp,
+       CAST(max(cd_dep_employed_count) AS INT) AS max_emp,
+       CAST((sum(cd_dep_employed_count) * 1000000) // count(*) AS BIGINT)
+         AS avg_emp_e6,
+       cd_dep_college_count, count(*) AS cnt3,
+       CAST(min(cd_dep_college_count) AS INT) AS min_col,
+       CAST(max(cd_dep_college_count) AS INT) AS max_col,
+       CAST((sum(cd_dep_college_count) * 1000000) // count(*) AS BIGINT)
+         AS avg_col_e6
+FROM customer_dim c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_qoy < 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_ship_customer_sk
+                 AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""),
+      "q_dsreal_q69" -> (P + """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       count(*) AS cnt1, cd_purchase_estimate, count(*) AS cnt2,
+       cd_credit_rating, count(*) AS cnt3
+FROM customer_dim c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('KY','GA','NM')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+                  WHERE c.c_customer_sk = ws_bill_customer_sk
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100"""),
+      "q_dsreal_q13" -> (P + """
+SELECT CAST((sum(ss_quantity) * 1000000) // count(*) AS BIGINT)
+         AS avg_qty_e6,
+       CAST((sum(ss_ext_sales_price_cents) * 1000000) // count(*)
+         AS BIGINT) AS avg_ext_e6,
+       CAST((sum(ss_wholesale_cost_cents) * 1000000) // count(*)
+         AS BIGINT) AS avg_whole_e6,
+       CAST(sum(ss_wholesale_cost_cents) AS BIGINT) AS sum_whole
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price_cents BETWEEN 100000 AND 300000
+        AND hd_dep_count = 3)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price_cents BETWEEN 20000 AND 200000
+        AND hd_dep_count = 1)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'W'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price_cents BETWEEN 50000 AND 400000
+        AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX','OH','NY')
+        AND ss_net_profit_cents BETWEEN 50000 AND 400000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR','NM','KY')
+        AND ss_net_profit_cents BETWEEN 100000 AND 600000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('WA','TX','GA')
+        AND ss_net_profit_cents BETWEEN 20000 AND 500000))"""),
+      "q_dsreal_q48" -> (P + """
+SELECT CAST(sum(ss_quantity) AS BIGINT) AS sum_qty
+FROM store_sales, store, customer_demographics, customer_address,
+     date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price_cents BETWEEN 100000 AND 300000)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'D'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price_cents BETWEEN 20000 AND 200000)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price_cents BETWEEN 50000 AND 400000))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('CA','OH','TX')
+        AND ss_net_profit_cents BETWEEN 0 AND 400000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR','NM','KY')
+        AND ss_net_profit_cents BETWEEN 100000 AND 600000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('WA','CA','GA')
+        AND ss_net_profit_cents BETWEEN 20000 AND 500000))"""),
+      "q_dsreal_q85" -> (P + """
+SELECT substr(r_reason_desc, 1, 20) AS reason_desc,
+       CAST((sum(ws_quantity) * 1000000) // count(*) AS BIGINT)
+         AS avg_qty_e6,
+       CAST((sum(wr_refunded_cash_cents) * 1000000) // count(*)
+         AS BIGINT) AS avg_refunded_e6,
+       CAST((sum(wr_fee_cents) * 1000000) // count(*) AS BIGINT)
+         AS avg_fee_e6
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Primary'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price_cents BETWEEN 20000 AND 900000)
+    OR (cd1.cd_marital_status = 'U'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Unknown'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price_cents BETWEEN 20000 AND 900000)
+    OR (cd1.cd_marital_status = 'W'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = '2 yr Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price_cents BETWEEN 11000 AND 2000000))
+  AND ((ca_country = 'United States' AND ca_state IN ('TN','OH','NY')
+        AND ws_net_profit_cents BETWEEN 11000 AND 2000000)
+    OR (ca_country = 'United States' AND ca_state IN ('WA','CA','KY')
+        AND ws_net_profit_cents BETWEEN 50000 AND 4200000)
+    OR (ca_country = 'United States' AND ca_state IN ('OR','NM','GA')
+        AND ws_net_profit_cents BETWEEN 11000 AND 3000000))
+GROUP BY r_reason_desc
+ORDER BY substr(r_reason_desc, 1, 20), avg_qty_e6, avg_refunded_e6,
+         avg_fee_e6
 LIMIT 100"""),
       "q_dsreal_q1" -> (P + """
 , ctr AS (

@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsreal_q72" -> (2, 2, "cs fact + cr returns left join; " +
       s"$dsrealChan (inventory/warehouse/item scan part, not lineitem)"),
     "q_dsreal_q58" -> (3, 3, s"3 channel item-revenue branches; $dsrealChan"),
+    "q_dsreal_q10" -> (3, 3, "store EXISTS + web/catalog EXISTS union; " +
+      dsrealChan),
+    "q_dsreal_q35" -> (3, 3, "store EXISTS + web/catalog EXISTS union; " +
+      dsrealChan),
+    "q_dsreal_q69" -> (3, 3, "store EXISTS + web/catalog NOT EXISTS x2; " +
+      dsrealChan),
+    "q_dsreal_q85" -> (2, 2, s"ws fact + wr returns; $dsrealChan"),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_salesgap" -> (2, 2, disjoint),
