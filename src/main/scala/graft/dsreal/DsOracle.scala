@@ -41,6 +41,12 @@ item AS (
          CAST(round(p_retailprice * 100) AS BIGINT) AS i_current_price_cents,
          p_type AS i_category,
          CAST(p_partkey % 50 AS INT) AS i_manufact_id,
+         CASE p_size % 4 WHEN 0 THEN 'Each' WHEN 1 THEN 'Dozen'
+              WHEN 2 THEN 'Case' ELSE 'Pallet' END AS i_units,
+         CAST(p_size AS INT) AS i_size,
+         CAST(1 + p_partkey % 20 AS INT) AS i_manager_id,
+         CAST(round(p_retailprice * 100) AS BIGINT)
+           * (60 + p_partkey % 30) // 100 AS i_wholesale_cost_cents,
          CASE split_part(p_name, ' ', 2)
               WHEN 'anvil' THEN 1 WHEN 'bolt' THEN 2 WHEN 'gear' THEN 3
               WHEN 'gizmo' THEN 4 WHEN 'plate' THEN 5 WHEN 'ring' THEN 6
@@ -58,7 +64,10 @@ customer_dim AS (
          (c_custkey * 7) % 2557 AS c_first_shipto_date_sk,
          c_custkey AS c_current_addr_sk,
          1 + c_custkey % 210 AS c_current_cdemo_sk,
-         1 + c_custkey % 72 AS c_current_hdemo_sk
+         1 + c_custkey % 72 AS c_current_hdemo_sk,
+         CASE c_custkey % 4 WHEN 0 THEN 'UNITED STATES'
+              WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY'
+              ELSE 'JAPAN' END AS c_birth_country
   FROM customer),
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
@@ -118,7 +127,9 @@ store AS (
          CASE i % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
               WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state,
          'Z' || CAST(i % 5 AS VARCHAR) AS s_zip,
-         'Company_' || CAST(1 + i % 2 AS VARCHAR) AS s_company_name
+         'Company_' || CAST(1 + i % 2 AS VARCHAR) AS s_company_name,
+         CAST(1 + i % 3 AS INT) AS s_market_id,
+         'County_' || CAST(i % 30 AS VARCHAR) AS s_county
   FROM range(1, 11) t(i)),
 call_center AS (
   SELECT i AS cc_call_center_sk, 'CC' || CAST(i AS VARCHAR)

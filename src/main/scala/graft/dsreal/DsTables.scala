@@ -84,7 +84,18 @@ object DsTables {
       round($"p_retailprice" * 100).cast("long")
         .as("i_current_price_cents"),
       $"p_type".as("i_category"),
-      ($"p_partkey" % 50).cast("int").as("i_manufact_id"))
+      ($"p_partkey" % 50).cast("int").as("i_manufact_id"),
+      // q24's grouping attributes: units cycles 4 packagings off
+      // p_size (the driver's part table carries no container column),
+      // size <- p_size; the wholesale cost mirrors the facts' margin
+      // formula (60-89% of price, varying BY ITEM)
+      when($"p_size" % 4 === 0, "Each").when($"p_size" % 4 === 1, "Dozen")
+        .when($"p_size" % 4 === 2, "Case").otherwise("Pallet")
+        .as("i_units"),
+      $"p_size".cast("int").as("i_size"),
+      (lit(1) + $"p_partkey" % 20).cast("int").as("i_manager_id"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT) " +
+        "* (60 + p_partkey % 30) div 100").as("i_wholesale_cost_cents"))
       .withColumn("i_class_id",
         when($"i_class" === "anvil", 1).when($"i_class" === "bolt", 2)
           .when($"i_class" === "gear", 3).when($"i_class" === "gizmo", 4)
@@ -114,7 +125,14 @@ object DsTables {
       // demographics cycle the small enumerated dims
       $"c_custkey".as("c_current_addr_sk"),
       (lit(1) + $"c_custkey" % 210).as("c_current_cdemo_sk"),
-      (lit(1) + $"c_custkey" % 72).as("c_current_hdemo_sk"))
+      (lit(1) + $"c_custkey" % 72).as("c_current_hdemo_sk"),
+      // q24's birth-country gate (<> upper(ca_country)): 1/4 of
+      // customers are born in 'UNITED STATES' = upper of the constant
+      // ca_country, the rest elsewhere
+      when($"c_custkey" % 4 === 0, "UNITED STATES")
+        .when($"c_custkey" % 4 === 1, "CANADA")
+        .when($"c_custkey" % 4 === 2, "GERMANY")
+        .otherwise("JAPAN").as("c_birth_country"))
   }
 
   /** customer_address: 1:1 with customer (ca_address_sk = c_custkey =
@@ -234,7 +252,13 @@ object DsTables {
       concat(lit("Z"), ($"id" % 5).cast("string")).as("s_zip"),
       // two companies so q47's partition key is non-trivial
       concat(lit("Company_"), (lit(1) + $"id" % 2).cast("string"))
-        .as("s_company_name"))
+        .as("s_company_name"),
+      // q24's market gate (3 markets, ~3 stores each, so a one-market
+      // gate keeps several stores) and q54's county/state co-location
+      // key (County_1..County_10 — a strict subset of
+      // customer_address's 30 counties)
+      (lit(1) + $"id" % 3).cast("int").as("s_market_id"),
+      concat(lit("County_"), ($"id" % 30).cast("string")).as("s_county"))
   }
 
   /** catalog_page / web_site: the catalog and web channels' id dims

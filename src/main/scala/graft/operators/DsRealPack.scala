@@ -1347,6 +1347,246 @@ object DsRealPack extends QueryPack {
         .orderBy($"reason_desc", $"avg_qty_e6", $"avg_refunded_e6",
           $"avg_fee_e6")
         .limit(100)
+    }),
+
+    // query6.sql: states whose customers bought items priced above
+    // their category's average in one target month. The correlated
+    // avg subquery is a per-category (sum, count) aggregate joined
+    // back to item, with the 1.04x gate cross-multiplied exact
+    // (price * 25 * n > 26 * sum — the reference's 1.2x would be
+    // vacuous here: derived prices live in 90000..99990 cents, so
+    // max/avg ~ 1.05; the count >= 10 HAVING is scaled to >= 2 at
+    // test SF for the same reason).
+    "q_dsreal_q6" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_moy" === 1).select($"d_date_sk")
+      val it = DsTables.item(s, d)
+        .select($"i_item_sk", $"i_category", $"i_current_price_cents")
+      val catAvg = it.groupBy($"i_category".as("cat"))
+        .agg(sum($"i_current_price_cents").as("sp"),
+          count(lit(1)).as("nc"))
+      val pricey = it.join(broadcast(catAvg), $"i_category" === $"cat")
+        .filter($"i_current_price_cents" * 25 * $"nc" > $"sp" * 26)
+        .select($"i_item_sk")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(pricey), $"ss_item_sk" === $"i_item_sk",
+          "left_semi")
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_state")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .groupBy($"ca_state".as("state"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2)
+        .orderBy($"cnt", $"state")
+        .limit(100)
+    }),
+
+    // query15.sql: catalog revenue per customer zip in one quarter,
+    // kept when the zip is targeted OR the state is targeted OR the
+    // single sale is big — a residual tri-disjunction over two
+    // broadcast dims and the fact itself.
+    "q_dsreal_q15" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_qoy" === 2 && $"d_year" === 2000).select($"d_date_sk")
+      DsTables.catalogSales(s, d)
+        .join(broadcast(dd), $"cs_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk")),
+          $"cs_bill_customer_sk" === $"c_customer_sk")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_zip", $"ca_state")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .filter(substring($"ca_zip", 1, 5)
+          .isin("Z1", "Z7", "Z13", "Z21", "Z33", "Z41") ||
+          $"ca_state".isin("CA", "WA", "GA") ||
+          $"cs_sales_price_cents" > 500000L)
+        .groupBy($"ca_zip")
+        .agg(sum($"cs_sales_price_cents").as("sum_sales"))
+        .orderBy($"ca_zip")
+        .limit(100)
+    }),
+
+    // query24a.sql: the returned-sale snowflake (store_sales x
+    // store_returns x store x item x customer x address) with the
+    // cross-column gates (birth country <> upper(residence country),
+    // store zip = customer zip, one market), grouped to per-customer x
+    // store x item-attribute netpaid — consumed twice (the color
+    // slice and its own grand total for the 5% HAVING), so pinned
+    // once. The HAVING is cross-multiplied exact: paid * 20 * n_all >
+    // sum_all <=> paid > 0.05 * avg(netpaid).
+    "q_dsreal_q24a" -> ((s, d) => {
+      import s.implicits._
+      val ssales = pin(DsTables.storeSales(s, d)
+        .join(DsTables.storeReturns(s, d),
+          $"ss_item_sk" === $"sr_item_sk" &&
+            $"ss_ticket_number" === $"sr_ticket_number")
+        .join(broadcast(DsTables.store(s).filter($"s_market_id" === 2)
+          .select($"s_store_sk", $"s_store_name", $"s_state", $"s_zip")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk",
+            $"c_first_name", $"c_last_name", $"c_birth_country")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_state", $"ca_zip",
+            $"ca_country")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .filter($"c_birth_country" =!= upper($"ca_country") &&
+          $"s_zip" === $"ca_zip")
+        .join(broadcast(DsTables.item(s, d)
+          .select($"i_item_sk", $"i_color", $"i_current_price_cents",
+            $"i_manager_id", $"i_units", $"i_size")),
+          $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"c_last_name", $"c_first_name", $"s_store_name",
+          $"ca_state", $"s_state", $"i_color", $"i_current_price_cents",
+          $"i_manager_id", $"i_units", $"i_size")
+        .agg(sum($"ss_ext_sales_price_cents").as("netpaid")))
+      val tot = ssales.agg(sum($"netpaid").as("sall"),
+        count(lit(1)).as("nall"))
+      ssales.filter($"i_color" === "small")
+        .groupBy($"c_last_name", $"c_first_name", $"s_store_name")
+        .agg(sum($"netpaid").as("paid"))
+        .crossJoin(broadcast(tot))
+        .filter($"paid" * 20 * $"nall" > $"sall")
+        .select($"c_last_name", $"c_first_name", $"s_store_name", $"paid")
+        .orderBy($"c_last_name", $"c_first_name", $"s_store_name")
+    }),
+
+    // query31.sql: counties where web revenue grew faster than store
+    // revenue across BOTH 2000 quarter pairs. The reference's 6-way
+    // self-join of two grouped CTEs is one conditional aggregation per
+    // channel (sum filtered per quarter; a missing quarter leaves a
+    // NULL, and the isNotNull filter replays the inner self-join's
+    // row-dropping) — one shuffle per channel instead of six join
+    // probes. Ratio gates are cross-multiplied exact; ratio outputs
+    // are micro-unit integers.
+    "q_dsreal_q31" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_year" === 2000 && $"d_qoy".between(1, 3))
+        .select($"d_date_sk", $"d_qoy")
+      val ca = DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_county")
+      def quarters(f: DataFrame, dateCol: String, addrCol: String,
+          extCol: String) =
+        f.join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+          .join(broadcast(ca), col(addrCol) === col("ca_address_sk"))
+          .groupBy(col("ca_county"))
+          .agg(sum(when(col("d_qoy") === 1, col(extCol))).as("q1"),
+            sum(when(col("d_qoy") === 2, col(extCol))).as("q2"),
+            sum(when(col("d_qoy") === 3, col(extCol))).as("q3"))
+          .filter(col("q1").isNotNull && col("q2").isNotNull &&
+            col("q3").isNotNull)
+      val ss = quarters(DsTables.storeSales(s, d), "ss_sold_date_sk",
+        "ss_addr_sk", "ss_ext_sales_price_cents")
+      val ws = quarters(DsTables.webSales(s, d), "ws_sold_date_sk",
+        "ws_bill_addr_sk", "ws_ext_sales_price_cents")
+        .select($"ca_county".as("wc"), $"q1".as("w1"), $"q2".as("w2"),
+          $"q3".as("w3"))
+      ss.join(ws, $"ca_county" === $"wc")
+        .filter($"w2" * $"q1" > $"q2" * $"w1" &&
+          $"w3" * $"q2" > $"q3" * $"w2")
+        .select($"ca_county", lit(2000).as("d_year"),
+          expr("(w2 * 1000000) div w1").as("web_q1_q2_increase_e6"),
+          expr("(q2 * 1000000) div q1").as("store_q1_q2_increase_e6"),
+          expr("(w3 * 1000000) div w2").as("web_q2_q3_increase_e6"),
+          expr("(q3 * 1000000) div q2").as("store_q2_q3_increase_e6"))
+        .orderBy($"ca_county")
+    }),
+
+    // query54.sql: revenue segmentation of customers seeded by a
+    // cross-channel (catalog UNION ALL web) purchase in one month,
+    // their store revenue taken over the following quarter near a
+    // co-located store. Two adaptations, both oracle-mirrored: the
+    // item gate keeps i_category only (the category x class pair
+    // starves the seed below test-SF density), and the store
+    // co-location is state-level (county + state selects ~3% of
+    // customers — empty at sf0.01). The store join's multiplicity (2
+    // stores per state) is the reference's own quasi-cross-join
+    // semantics and is preserved, not deduped.
+    "q_dsreal_q54" -> ((s, d) => {
+      import s.implicits._
+      val ddDec = DsTables.dateDim(s)
+        .filter($"d_year" === 1998 && $"d_moy" === 12).select($"d_date_sk")
+      val seed = DsTables.catalogSales(s, d)
+        .select($"cs_sold_date_sk".as("sold"),
+          $"cs_bill_customer_sk".as("cust"), $"cs_item_sk".as("itm"))
+        .unionByName(DsTables.webSales(s, d)
+          .select($"ws_sold_date_sk".as("sold"),
+            $"ws_bill_customer_sk".as("cust"), $"ws_item_sk".as("itm")))
+      val myCustomers = seed
+        .join(broadcast(ddDec), $"sold" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_category" === "PROMO").select($"i_item_sk")),
+          $"itm" === $"i_item_sk", "left_semi")
+        .join(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk"),
+          $"cust" === $"c_customer_sk")
+        .select($"c_customer_sk", $"c_current_addr_sk").distinct()
+      // months (1998-12)+1 .. +3: exact month_seq arithmetic, 48..50
+      val ddWin = DsTables.dateDim(s)
+        .filter($"d_month_seq".between(48, 50)).select($"d_date_sk")
+      val located = myCustomers
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_state")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.store(s).select($"s_state")),
+          $"ca_state" === $"s_state")
+        .select($"c_customer_sk")
+      located
+        .join(DsTables.storeSales(s, d),
+          $"c_customer_sk" === $"ss_customer_sk")
+        .join(broadcast(ddWin), $"ss_sold_date_sk" === $"d_date_sk")
+        .groupBy($"c_customer_sk")
+        .agg(sum($"ss_ext_sales_price_cents").as("revenue"))
+        .select(expr("revenue div 5000").as("segment"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("num_customers"))
+        .select($"segment", $"num_customers",
+          ($"segment" * 5000).as("segment_base"))
+        .orderBy($"segment", $"num_customers")
+        .limit(100)
+    }),
+
+    // query65.sql: per-store slow movers — (store, item) revenue at or
+    // below a tenth of the store's average item revenue over one year.
+    // The per-(store, item) frame feeds both itself and its per-store
+    // average, so it is pinned once; the 0.1x gate is cross-multiplied
+    // exact (rev * 10 * n_items <= store_sum). i_item_desc (TPC-H
+    // p_name) is not unique, so the LIMIT cut carries
+    // revenue/brand/price/item_sk tiebreaks, item_sk dropped after.
+    "q_dsreal_q65" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_month_seq".between(36, 47)).select($"d_date_sk")
+      val sc = pin(DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .groupBy($"ss_store_sk", $"ss_item_sk")
+        .agg(sum($"ss_sales_price_cents").as("revenue")))
+      val sb = sc.groupBy($"ss_store_sk".as("sb_store"))
+        .agg(sum($"revenue").as("srev"), count(lit(1)).as("nitems"))
+      sc.join(broadcast(sb), $"ss_store_sk" === $"sb_store")
+        .filter($"revenue" * 10 * $"nitems" <= $"srev")
+        .join(broadcast(DsTables.store(s)
+          .select($"s_store_sk", $"s_store_name")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .select($"i_item_sk", $"i_item_desc", $"i_current_price_cents",
+            $"i_wholesale_cost_cents", $"i_brand")),
+          $"ss_item_sk" === $"i_item_sk")
+        .select($"s_store_name", $"i_item_desc", $"revenue",
+          $"i_current_price_cents", $"i_wholesale_cost_cents", $"i_brand",
+          $"ss_item_sk")
+        .orderBy($"s_store_name", $"i_item_desc", $"revenue", $"i_brand",
+          $"i_current_price_cents", $"ss_item_sk")
+        .limit(100)
+        .drop("ss_item_sk")
     }))
 
   /** query10/35/69's per-channel activity key sets: the DISTINCT-free
@@ -2654,6 +2894,159 @@ WHERE ws_web_page_sk = wp_web_page_sk
 GROUP BY r_reason_desc
 ORDER BY substr(r_reason_desc, 1, 20), avg_qty_e6, avg_refunded_e6,
          avg_fee_e6
+LIMIT 100"""),
+      "q_dsreal_q6" -> (P + """
+SELECT a.ca_state AS state, count(*) AS cnt
+FROM customer_address a, customer_dim c, store_sales s, date_dim d,
+     item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
+                       WHERE d_year = 2000 AND d_moy = 1)
+  AND i.i_current_price_cents * 25
+      * (SELECT count(*) FROM item j WHERE j.i_category = i.i_category)
+      > 26 * (SELECT sum(j.i_current_price_cents) FROM item j
+              WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING count(*) >= 2
+ORDER BY cnt, a.ca_state
+LIMIT 100"""),
+      "q_dsreal_q15" -> (P + """
+SELECT ca_zip, CAST(sum(cs_sales_price_cents) AS BIGINT) AS sum_sales
+FROM catalog_sales, customer_dim, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('Z1','Z7','Z13','Z21','Z33','Z41')
+       OR ca_state IN ('CA','WA','GA')
+       OR cs_sales_price_cents > 500000)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2000
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100"""),
+      "q_dsreal_q24a" -> (P + """
+, ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price_cents, i_manager_id, i_units, i_size,
+         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS netpaid
+  FROM store_sales, store_returns, store, item, customer_dim,
+       customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country)
+    AND s_zip = ca_zip
+    AND s_market_id = 2
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price_cents, i_manager_id, i_units,
+           i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(sum(netpaid) AS BIGINT) AS paid
+FROM ssales
+WHERE i_color = 'small'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) * 20 * (SELECT count(*) FROM ssales)
+       > (SELECT sum(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name"""),
+      "q_dsreal_q31" -> (P + """
+, ssq AS (
+  SELECT ca_county, d_qoy, d_year,
+         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+wsq AS (
+  SELECT ca_county, d_qoy, d_year,
+         CAST(sum(ws_ext_sales_price_cents) AS BIGINT) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       CAST((ws2.web_sales * 1000000) // ws1.web_sales AS BIGINT)
+         AS web_q1_q2_increase_e6,
+       CAST((ss2.store_sales * 1000000) // ss1.store_sales AS BIGINT)
+         AS store_q1_q2_increase_e6,
+       CAST((ws3.web_sales * 1000000) // ws2.web_sales AS BIGINT)
+         AS web_q2_q3_increase_e6,
+       CAST((ss3.store_sales * 1000000) // ss2.store_sales AS BIGINT)
+         AS store_q2_q3_increase_e6
+FROM ssq ss1, ssq ss2, ssq ss3, wsq ws1, wsq ws2, wsq ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+  AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+  AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county
+  AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county
+  AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county
+  AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+  AND ws2.web_sales * ss1.store_sales > ss2.store_sales * ws1.web_sales
+  AND ws3.web_sales * ss2.store_sales > ss3.store_sales * ws2.web_sales
+ORDER BY ss1.ca_county"""),
+      "q_dsreal_q54" -> (P + """
+, my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer_dim
+  WHERE sold_date_sk = d_date_sk
+    AND item_sk = i_item_sk
+    AND i_category = 'PROMO'
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_moy = 12 AND d_year = 1998),
+my_revenue AS (
+  SELECT c_customer_sk,
+         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_state = s_state
+    AND ss_sold_date_sk = d_date_sk
+    AND c_customer_sk = ss_customer_sk
+    AND d_month_seq BETWEEN
+        (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+         WHERE d_year = 1998 AND d_moy = 12)
+        AND
+        (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+         WHERE d_year = 1998 AND d_moy = 12)
+  GROUP BY c_customer_sk),
+segments AS (SELECT CAST(revenue // 5000 AS BIGINT) AS segment
+             FROM my_revenue)
+SELECT segment, count(*) AS num_customers,
+       CAST(segment * 5000 AS BIGINT) AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100"""),
+      "q_dsreal_q65" -> (P + """
+, sc AS (
+  SELECT ss_store_sk, ss_item_sk,
+         CAST(sum(ss_sales_price_cents) AS BIGINT) AS revenue
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
+  GROUP BY ss_store_sk, ss_item_sk),
+sb AS (
+  SELECT ss_store_sk, CAST(sum(revenue) AS BIGINT) AS srev,
+         CAST(count(*) AS BIGINT) AS nitems
+  FROM sc GROUP BY ss_store_sk)
+SELECT s_store_name, i_item_desc, sc.revenue, i_current_price_cents,
+       i_wholesale_cost_cents, i_brand
+FROM store, item, sb, sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue * 10 * sb.nitems <= sb.srev
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc, revenue, i_brand,
+         i_current_price_cents, sc.ss_item_sk
 LIMIT 100"""),
       "q_dsreal_q1" -> (P + """
 , ctr AS (

@@ -123,6 +123,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsreal_q69" -> (3, 3, "store EXISTS + web/catalog NOT EXISTS x2; " +
       dsrealChan),
     "q_dsreal_q85" -> (2, 2, s"ws fact + wr returns; $dsrealChan"),
+    "q_dsreal_q31" -> (2, 2, s"store + web quarter branches; $dsrealChan"),
+    "q_dsreal_q54" -> (3, 3, "catalog + web seed union + store revenue; " +
+      dsrealChan),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_salesgap" -> (2, 2, disjoint),
