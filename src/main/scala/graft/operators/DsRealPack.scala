@@ -906,8 +906,13 @@ object DsRealPack extends QueryPack {
             $"i_class", $"i_category")),
           $"inv_item_sk" === $"i_item_sk")
         .rollup($"i_product_name", $"i_brand", $"i_class", $"i_category")
-        .agg(expr("(sum(inv_quantity_on_hand) * 1000000) div count(*)")
-          .as("qoh_e6"))
+        // overflow-safe exact micro-mean: (S*1e6) div n would push the
+        // grand-total sum*1e6 toward Long range by ~sf1000, so divide
+        // first and scale the remainder separately —
+        // (S div n)*1e6 + ((S mod n)*1e6) div n, exact for S,n >= 0
+        .agg(expr("(sum(inv_quantity_on_hand) div count(*)) * 1000000" +
+          " + ((sum(inv_quantity_on_hand) % count(*)) * 1000000)" +
+          " div count(*)").as("qoh_e6"))
         .orderBy($"qoh_e6", $"i_product_name", $"i_brand", $"i_class",
           $"i_category")
         .limit(100)
@@ -2631,8 +2636,9 @@ ORDER BY w_warehouse_name, i_item_id
 LIMIT 100"""),
       "q_dsreal_q22" -> (P + """
 SELECT i_product_name, i_brand, i_class, i_category,
-       CAST((sum(inv_quantity_on_hand) * 1000000)
-            // count(*) AS BIGINT) AS qoh_e6
+       CAST((sum(inv_quantity_on_hand) // count(*)) * 1000000
+            + ((sum(inv_quantity_on_hand) % count(*)) * 1000000)
+              // count(*) AS BIGINT) AS qoh_e6
 FROM inventory, date_dim, item
 WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
   AND d_month_seq BETWEEN 48 AND 59
