@@ -278,6 +278,8 @@ inventory AS (
 promotion AS (
   SELECT i AS p_promo_sk, 'P' || CAST(i AS VARCHAR) AS p_promo_id,
          'Promo_' || CAST(i AS VARCHAR) AS p_promo_name,
-         CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
+         CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+         CASE WHEN i % 3 = 1 THEN 'N' ELSE 'Y' END AS p_channel_event
   FROM range(1, 11) t(i))"""
 }

@@ -432,7 +432,12 @@ object DsTables {
       $"id".as("p_promo_sk"),
       concat(lit("P"), $"id".cast("string")).as("p_promo_id"),
       concat(lit("Promo_"), $"id".cast("string")).as("p_promo_name"),
-      when($"id" % 2 === 0, "Y").otherwise("N").as("p_channel_dmail"))
+      when($"id" % 2 === 0, "Y").otherwise("N").as("p_channel_dmail"),
+      // q7/q26's channel disjunction (email = 'N' OR event = 'N'):
+      // offset mod-3 cycles keep 2/3 of promotions — selective but
+      // never empty
+      when($"id" % 3 === 0, "N").otherwise("Y").as("p_channel_email"),
+      when($"id" % 3 === 1, "N").otherwise("Y").as("p_channel_event"))
   }
 
   /** warehouse: 5 synthetic rows (TpcdsSchemaProvider.java warehouse),

@@ -1592,7 +1592,501 @@ object DsRealPack extends QueryPack {
           $"i_current_price_cents", $"ss_item_sk")
         .limit(100)
         .drop("ss_item_sk")
+    }),
+
+    // query3.sql: brand revenue for one manufacturer across all
+    // Novembers — the simplest star shape, kept pure: two broadcast
+    // dims and one fact pass into one shuffle.
+    "q_dsreal_q3" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_moy" === 11)
+        .select($"d_date_sk", $"d_year")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_manufact_id" === 28)
+          .select($"i_item_sk", $"i_brand_id", $"i_brand")),
+          $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"d_year", $"i_brand_id".as("brand_id"),
+          $"i_brand".as("brand"))
+        .agg(sum($"ss_ext_sales_price_cents").as("sum_agg"))
+        .orderBy($"d_year", $"sum_agg".desc, $"brand_id")
+        .limit(100)
+    }),
+
+    // query42.sql: category revenue for one manager's items in one
+    // November.
+    "q_dsreal_q42" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_moy" === 11 && $"d_year" === 2000)
+        .select($"d_date_sk", $"d_year")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_manager_id" === 1)
+          .select($"i_item_sk", $"i_category_id", $"i_category")),
+          $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"d_year", $"i_category_id", $"i_category")
+        .agg(sum($"ss_ext_sales_price_cents").as("sum_agg"))
+        .orderBy($"sum_agg".desc, $"d_year", $"i_category_id",
+          $"i_category")
+        .limit(100)
+    }),
+
+    // query52.sql: q42's brand-grained sibling.
+    "q_dsreal_q52" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_moy" === 11 && $"d_year" === 2000)
+        .select($"d_date_sk", $"d_year")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_manager_id" === 1)
+          .select($"i_item_sk", $"i_brand_id", $"i_brand")),
+          $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"d_year", $"i_brand_id".as("brand_id"),
+          $"i_brand".as("brand"))
+        .agg(sum($"ss_ext_sales_price_cents").as("ext_price"))
+        .orderBy($"d_year", $"ext_price".desc, $"brand_id")
+        .limit(100)
+    }),
+
+    // query55.sql: q52 without the year output column (manager 8,
+    // November 1999).
+    "q_dsreal_q55" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_moy" === 11 && $"d_year" === 1999)
+        .select($"d_date_sk")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_manager_id" === 8)
+          .select($"i_item_sk", $"i_brand_id", $"i_brand")),
+          $"ss_item_sk" === $"i_item_sk")
+        .groupBy($"i_brand_id".as("brand_id"), $"i_brand".as("brand"))
+        .agg(sum($"ss_ext_sales_price_cents").as("ext_price"))
+        .orderBy($"ext_price".desc, $"brand_id")
+        .limit(100)
+    }),
+
+    // query12/20/98.sql: 30-day item revenue within 3 categories plus
+    // each item's share of its class (revenueratio) via a window over
+    // the grouped frame — one fact pass, one group shuffle, one
+    // class-partitioned window. The percent share is exact micro-units
+    // via the two-step overflow-safe split (see [[ratioShareE6]]).
+    "q_dsreal_q12" -> ((s, d) => q12Family(s, d, DsTables.webSales(s, d),
+      "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price_cents")),
+    "q_dsreal_q20" -> ((s, d) => q12Family(s, d,
+      DsTables.catalogSales(s, d),
+      "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price_cents")),
+    "q_dsreal_q98" -> ((s, d) => q12Family(s, d, DsTables.storeSales(s, d),
+      "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price_cents")),
+
+    // query7.sql: per-item micro-means of quantity/list/profit/sales
+    // price for one demographic slice, promotions restricted by the
+    // email-or-event channel disjunction. (agg3's coupon_amt, absent
+    // from the derived facts, is stood in by net_profit —
+    // oracle-mirrored.)
+    "q_dsreal_q7" -> ((s, d) => q7Family(s, d, DsTables.storeSales(s, d),
+      "ss_item_sk", "ss_sold_date_sk", "ss_cdemo_sk", "ss_promo_sk",
+      "ss")),
+
+    // query26.sql: q7 on the catalog channel (bill-side demographics).
+    "q_dsreal_q26" -> ((s, d) => q7Family(s, d,
+      DsTables.catalogSales(s, d),
+      "cs_item_sk", "cs_sold_date_sk", "cs_bill_cdemo_sk", "cs_promo_sk",
+      "cs")),
+
+    // query27.sql: q7's micro-means over a (item, state) ROLLUP in TN
+    // stores, grouping(s_state) exposed.
+    "q_dsreal_q27" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk")
+      val cd = DsTables.customerDemographics(s)
+        .filter($"cd_gender" === "M" && $"cd_marital_status" === "S" &&
+          $"cd_education_status" === "College")
+        .select($"cd_demo_sk")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(cd), $"ss_cdemo_sk" === $"cd_demo_sk")
+        .join(broadcast(DsTables.store(s).filter($"s_state" === "TN")
+          .select($"s_store_sk", $"s_state")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .select($"i_item_sk", $"i_item_id")),
+          $"ss_item_sk" === $"i_item_sk")
+        .rollup($"i_item_id", $"s_state")
+        .agg(grouping($"s_state").cast("int").as("g_state"),
+          mmE6("ss_quantity").as("agg1_e6"),
+          mmE6("ss_list_price_cents").as("agg2_e6"),
+          mmE6("ss_net_profit_cents").as("agg3_e6"),
+          mmE6("ss_sales_price_cents").as("agg4_e6"))
+        .orderBy($"i_item_id", $"s_state")
+        .limit(100)
+    }),
+
+    // query28.sql: six quantity-bucketed list-price profiles
+    // (micro-mean, count, dollar-grained distinct count). The
+    // reference's six self-joined scalar subqueries are ONE fact pass
+    // of conditional aggregates here — at 100 TB that is 6x less scan
+    // I/O for the identical single-row result. (cntd is distinct at
+    // dollar grain: cents-grained list prices are near-unique in the
+    // derivation, which would degenerate the distinct to the count.)
+    "q_dsreal_q28" -> ((s, d) => {
+      def bkt(i: Int, qlo: Int, qhi: Int, lp: Long, np: Long,
+          wc: Long): Seq[Column] = {
+        val f = s"ss_quantity BETWEEN $qlo AND $qhi AND " +
+          s"(ss_list_price_cents BETWEEN $lp AND ${lp + 1000000} OR " +
+          s"ss_net_profit_cents BETWEEN $np AND ${np + 100000} OR " +
+          s"ss_wholesale_cost_cents BETWEEN $wc AND ${wc + 2000000})"
+        val sm = s"sum(CASE WHEN $f THEN ss_list_price_cents END)"
+        val ct = s"count(CASE WHEN $f THEN 1 END)"
+        Seq(
+          expr(s"($sm div $ct) * 1000000 + (($sm % $ct) * 1000000) div $ct")
+            .as(s"b${i}_lp_e6"),
+          expr(ct).as(s"b${i}_cnt"),
+          expr(s"count(DISTINCT CASE WHEN $f THEN " +
+            "ss_list_price_cents div 1000 END)").as(s"b${i}_cntd"))
+      }
+      val cols = bkt(1, 0, 5, 800000L, 50000L, 5700000L) ++
+        bkt(2, 6, 10, 900000L, 230000L, 3100000L) ++
+        bkt(3, 11, 15, 1400000L, 1220000L, 7900000L) ++
+        bkt(4, 16, 20, 1300000L, 600000L, 3800000L) ++
+        bkt(5, 21, 25, 1200000L, 830000L, 1700000L) ++
+        bkt(6, 26, 30, 1500000L, 730000L, 700000L)
+      DsTables.storeSales(s, d).agg(cols.head, cols.tail: _*)
+    }),
+
+    // query41.sql: distinct product names whose manufacturer makes at
+    // least one item matching an 8-branch attribute disjunction — the
+    // correlated count(*) > 0 is a broadcast semi-join on
+    // i_manufact_id against the pre-filtered item side.
+    "q_dsreal_q41" -> ((s, d) => {
+      import s.implicits._
+      def blk(cat: String, c1: String, c2: String, u1: String,
+          u2: String, szLo: Int, szHi: Int): Column =
+        $"i_category" === cat &&
+          ($"i_color" === c1 || $"i_color" === c2) &&
+          ($"i_units" === u1 || $"i_units" === u2) &&
+          $"i_size".between(szLo, szHi)
+      val inner = DsTables.item(s, d)
+        .filter(
+          blk("MEDIUM", "powder", "red", "Each", "Dozen", 10, 20) ||
+          blk("LARGE", "blue", "hot", "Case", "Pallet", 1, 9) ||
+          blk("SMALL", "old", "new", "Each", "Case", 21, 35) ||
+          blk("PROMO", "cold", "small", "Dozen", "Pallet", 36, 50) ||
+          blk("STANDARD", "red", "cold", "Each", "Pallet", 10, 20) ||
+          blk("ECONOMY", "large", "blue", "Dozen", "Case", 1, 9) ||
+          blk("MEDIUM", "hot", "old", "Case", "Each", 21, 35) ||
+          blk("LARGE", "new", "small", "Pallet", "Dozen", 36, 50))
+        .select($"i_manufact_id".as("m2"))
+      DsTables.item(s, d).filter($"i_manufact_id".between(20, 40))
+        .join(broadcast(inner), $"i_manufact_id" === $"m2", "left_semi")
+        .select($"i_product_name").distinct()
+        .orderBy($"i_product_name")
+        .limit(100)
+    }),
+
+    // query43.sql: per-store weekday revenue pivot over one year (TN
+    // stores standing in for the reference's gmt_offset slice; d_dow 0
+    // IS Sunday by the calendar derivation).
+    "q_dsreal_q43" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+        .select($"d_date_sk", $"d_dow")
+      def dow(n: Int, nm: String) =
+        sum(when($"d_dow" === n, $"ss_sales_price_cents"))
+          .as(s"${nm}_sales")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s).filter($"s_state" === "TN")
+          .select($"s_store_sk", $"s_store_name", $"s_store_id")),
+          $"ss_store_sk" === $"s_store_sk")
+        .groupBy($"s_store_name", $"s_store_id")
+        .agg(dow(0, "sun"), dow(1, "mon"), dow(2, "tue"), dow(3, "wed"),
+          dow(4, "thu"), dow(5, "fri"), dow(6, "sat"))
+        .orderBy($"s_store_name", $"s_store_id")
+        .limit(100)
+    }),
+
+    // query53.sql: quarterly manufacturer sales vs the manufacturer's
+    // average quarter, kept when off by >10% — the avg-deviation gate
+    // is cross-multiplied by the window count (abs(s*n - T)*10 > T*n),
+    // exact and overflow-safe where (sum*1e6)-style scaling is not.
+    "q_dsreal_q53" -> ((s, d) => q53Family(s, d, "i_manufact_id", "d_qoy",
+      "avg_quarterly_sales_e6", orderByIdFirst = false)),
+
+    // query63.sql: q53 at (manager, month) grain, ordered id-first.
+    "q_dsreal_q63" -> ((s, d) => q53Family(s, d, "i_manager_id", "d_moy",
+      "avg_monthly_sales_e6", orderByIdFirst = true)),
+
+    // query89.sql: monthly (category, brand, store, company) sales vs
+    // that slice's average month, kept when off by >10%; ordered by
+    // the deviation itself (exact milli-cent integer, see scaladoc on
+    // [[q53Family]] for the overflow argument).
+    "q_dsreal_q89" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dd = DsTables.dateDim(s).filter($"d_year" === 1999)
+        .select($"d_date_sk", $"d_moy")
+      val gate =
+        ($"i_category".isin("MEDIUM", "STANDARD", "LARGE") &&
+          $"i_class".isin("anvil", "gear", "widget")) ||
+        ($"i_category".isin("SMALL", "PROMO", "ECONOMY") &&
+          $"i_class".isin("bolt", "ring", "rod"))
+      val w = Window.partitionBy($"i_category", $"i_brand",
+        $"s_store_name", $"s_company_name")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d).filter(gate)
+          .select($"i_item_sk", $"i_category", $"i_class", $"i_brand")),
+          $"ss_item_sk" === $"i_item_sk")
+        .join(broadcast(DsTables.store(s)
+          .select($"s_store_sk", $"s_store_name", $"s_company_name")),
+          $"ss_store_sk" === $"s_store_sk")
+        .groupBy($"i_category", $"i_class", $"i_brand", $"s_store_name",
+          $"s_company_name", $"d_moy")
+        .agg(sum($"ss_sales_price_cents").as("sum_sales"))
+        .withColumn("t", sum($"sum_sales").over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(expr("abs(sum_sales * n - t) * 10 > t * n"))
+        .withColumn("avg_monthly_sales_e6",
+          expr("(t div n) * 1000000 + ((t % n) * 1000000) div n"))
+        .withColumn("ord", expr("sum_sales * 1000 - " +
+          "((t div n) * 1000 + ((t % n) * 1000) div n)"))
+        .orderBy($"ord", $"s_store_name", $"i_category", $"i_class",
+          $"i_brand", $"s_company_name", $"d_moy")
+        .limit(100)
+        .select($"i_category", $"i_class", $"i_brand", $"s_store_name",
+          $"s_company_name", $"d_moy", $"sum_sales",
+          $"avg_monthly_sales_e6")
+    }),
+
+    // query86.sql: web revenue over the (category, class) ROLLUP with
+    // rank-within-hierarchy-parent — q36's grouping()-partitioned rank
+    // shape on the web channel.
+    "q_dsreal_q86" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dd = DsTables.dateDim(s).filter($"d_month_seq".between(48, 59))
+        .select($"d_date_sk")
+      DsTables.webSales(s, d)
+        .join(broadcast(dd), $"ws_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .select($"i_item_sk", $"i_category", $"i_class")),
+          $"ws_item_sk" === $"i_item_sk")
+        .rollup($"i_category", $"i_class")
+        .agg(sum($"ws_ext_sales_price_cents").as("total_sum"),
+          grouping($"i_category").as("g_cat"),
+          grouping($"i_class").as("g_class"))
+        .withColumn("lochierarchy", ($"g_cat" + $"g_class").cast("int"))
+        .withColumn("rank_within_parent", rank().over(
+          Window.partitionBy($"g_cat" + $"g_class",
+              when($"g_class" === 0, $"i_category"))
+            .orderBy($"total_sum".desc)).cast("long"))
+        .select($"total_sum", $"i_category", $"i_class", $"lochierarchy",
+          $"rank_within_parent")
+        .orderBy($"lochierarchy".desc,
+          when($"lochierarchy" === 0, $"i_category"),
+          $"rank_within_parent", $"i_category", $"i_class")
+        .limit(100)
     }))
+
+  /** Overflow-safe exact micro-mean (the q22 discipline): scaling the
+    * sum by 1e6 before dividing would overflow Long once group sums
+    * pass ~9.2e12 cents; dividing first and scaling the remainder —
+    * (S div n)*1e6 + ((S mod n)*1e6) div n — is exact for
+    * non-negative operands and agrees bit-for-bit with the oracle's
+    * `//`-based twin. */
+  private def mmE6(c: String): Column =
+    expr(s"(sum($c) div count(*)) * 1000000" +
+      s" + ((sum($c) % count(*)) * 1000000) div count(*)")
+
+  /** query12/20/98's shared shape: 30-day item revenue in 3 categories
+    * with each item's percent share of its class as exact micro-units
+    * (two-step remainder split keeps every intermediate below ~1e17
+    * even at 100 TB class totals). */
+  private def q12Family(s: SparkSession, d: String, fact: DataFrame,
+      itemCol: String, dateCol: String, extCol: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dd = DsTables.dateDim(s)
+      .filter($"d_date".between(lit("1999-02-22").cast("date"),
+        date_add(lit("1999-02-22").cast("date"), 30)))
+      .select($"d_date_sk")
+    fact
+      .join(broadcast(dd), col(dateCol) === $"d_date_sk")
+      .join(broadcast(DsTables.item(s, d)
+        .filter($"i_category".isin("SMALL", "MEDIUM", "LARGE"))
+        .select($"i_item_sk", $"i_item_id", $"i_item_desc",
+          $"i_category", $"i_class", $"i_current_price_cents")),
+        col(itemCol) === $"i_item_sk")
+      .groupBy($"i_item_id", $"i_item_desc", $"i_category", $"i_class",
+        $"i_current_price_cents")
+      .agg(sum(col(extCol)).as("itemrevenue"))
+      .withColumn("t", sum($"itemrevenue")
+        .over(Window.partitionBy($"i_class")))
+      .withColumn("revenueratio_e6", expr(
+        "((itemrevenue*100) div t) * 1000000" +
+          " + ((itemrevenue*100) % t) * 1000 div t * 1000" +
+          " + (((itemrevenue*100) % t) * 1000 % t) * 1000 div t"))
+      .drop("t")
+      .orderBy($"i_category", $"i_class", $"i_item_id", $"i_item_desc",
+        $"revenueratio_e6")
+      .limit(100)
+  }
+
+  /** query7/26's shared shape: demographic + promotion-channel gated
+    * per-item micro-means (quantity, list, profit, sales price). */
+  private def q7Family(s: SparkSession, d: String, fact: DataFrame,
+      itemCol: String, dateCol: String, cdemoCol: String,
+      promoCol: String, p: String): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+      .select($"d_date_sk")
+    val cd = DsTables.customerDemographics(s)
+      .filter($"cd_gender" === "M" && $"cd_marital_status" === "S" &&
+        $"cd_education_status" === "College")
+      .select($"cd_demo_sk")
+    val pr = DsTables.promotion(s)
+      .filter($"p_channel_email" === "N" || $"p_channel_event" === "N")
+      .select($"p_promo_sk")
+    fact
+      .join(broadcast(dd), col(dateCol) === $"d_date_sk")
+      .join(broadcast(cd), col(cdemoCol) === $"cd_demo_sk")
+      .join(broadcast(pr), col(promoCol) === $"p_promo_sk")
+      .join(broadcast(DsTables.item(s, d)
+        .select($"i_item_sk", $"i_item_id")),
+        col(itemCol) === $"i_item_sk")
+      .groupBy($"i_item_id")
+      .agg(mmE6(s"${p}_quantity").as("agg1_e6"),
+        mmE6(s"${p}_list_price_cents").as("agg2_e6"),
+        mmE6(s"${p}_net_profit_cents").as("agg3_e6"),
+        mmE6(s"${p}_sales_price_cents").as("agg4_e6"))
+      .orderBy($"i_item_id")
+      .limit(100)
+  }
+
+  /** query53/63's shared shape: (id, period) sales vs the id's average
+    * period. The >10% deviation gate is abs(s*n - T)*10 > T*n — exact
+    * cross-multiplication by the window count, whose operands stay
+    * ~1e15 where (sum*1e6) scaling would overflow; the OUTPUT average
+    * uses the remainder-split micro-mean. */
+  private def q53Family(s: SparkSession, d: String, idCol: String,
+      periodCol: String, avgName: String,
+      orderByIdFirst: Boolean): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dd = DsTables.dateDim(s).filter($"d_month_seq".between(48, 59))
+      .select($"d_date_sk", col(periodCol))
+    val gate =
+      ($"i_category".isin("MEDIUM", "STANDARD", "LARGE") &&
+        $"i_class".isin("anvil", "bolt", "gear", "gizmo") &&
+        $"i_brand".isin("Brand#11", "Brand#21", "Brand#31", "Brand#41")) ||
+      ($"i_category".isin("SMALL", "PROMO", "ECONOMY") &&
+        $"i_class".isin("plate", "ring", "rod", "widget") &&
+        $"i_brand".isin("Brand#12", "Brand#22", "Brand#32", "Brand#42"))
+    val base = DsTables.storeSales(s, d)
+      .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(DsTables.item(s, d).filter(gate)
+        .select($"i_item_sk", col(idCol))),
+        $"ss_item_sk" === $"i_item_sk")
+      .join(broadcast(DsTables.store(s).select($"s_store_sk")),
+        $"ss_store_sk" === $"s_store_sk")
+      .groupBy(col(idCol), col(periodCol))
+      .agg(sum($"ss_sales_price_cents").as("sum_sales"))
+      .withColumn("t", sum($"sum_sales")
+        .over(Window.partitionBy(col(idCol))))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col(idCol))))
+      .filter(expr("abs(sum_sales * n - t) * 10 > t * n"))
+      .withColumn(avgName,
+        expr("(t div n) * 1000000 + ((t % n) * 1000000) div n"))
+      .select(col(idCol), $"sum_sales", col(avgName))
+    (if (orderByIdFirst)
+      base.orderBy(col(idCol), col(avgName), $"sum_sales")
+    else base.orderBy(col(avgName), $"sum_sales", col(idCol)))
+      .limit(100)
+  }
+
+  /** Oracle-side twin of [[mmE6]] (DuckDB `//` = Spark `div` for the
+    * non-negative operands used here). */
+  private def mmE6Sql(c: String): String =
+    s"CAST((sum($c) // count(*)) * 1000000" +
+      s" + ((sum($c) % count(*)) * 1000000) // count(*) AS BIGINT)"
+
+  /** Oracle-side twin of [[q12Family]]. */
+  private def q12FamilySql(fact: String, itemCol: String,
+      dateCol: String, extCol: String): String = s"""
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       i_current_price_cents, itemrevenue,
+       CAST(((itemrevenue*100) // t) * 1000000
+            + ((itemrevenue*100) % t) * 1000 // t * 1000
+            + (((itemrevenue*100) % t) * 1000 % t) * 1000 // t AS BIGINT)
+         AS revenueratio_e6
+FROM (
+  SELECT i_item_id, i_item_desc, i_category, i_class,
+         i_current_price_cents,
+         CAST(sum($extCol) AS BIGINT) AS itemrevenue,
+         sum(sum($extCol)) OVER (PARTITION BY i_class) AS t
+  FROM $fact, item, date_dim
+  WHERE $itemCol = i_item_sk
+    AND i_category IN ('SMALL','MEDIUM','LARGE')
+    AND $dateCol = d_date_sk
+    AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                   AND CAST('1999-02-22' AS DATE) + INTERVAL 30 DAY
+  GROUP BY i_item_id, i_item_desc, i_category, i_class,
+           i_current_price_cents) g
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio_e6
+LIMIT 100"""
+
+  /** Oracle-side twin of [[q7Family]]. */
+  private def q7FamilySql(fact: String, itemCol: String, dateCol: String,
+      cdemoCol: String, promoCol: String, p: String): String = s"""
+SELECT i_item_id, ${mmE6Sql(s"${p}_quantity")} AS agg1_e6,
+       ${mmE6Sql(s"${p}_list_price_cents")} AS agg2_e6,
+       ${mmE6Sql(s"${p}_net_profit_cents")} AS agg3_e6,
+       ${mmE6Sql(s"${p}_sales_price_cents")} AS agg4_e6
+FROM $fact, customer_demographics, date_dim, item, promotion
+WHERE $dateCol = d_date_sk AND $itemCol = i_item_sk
+  AND $cdemoCol = cd_demo_sk AND $promoCol = p_promo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100"""
+
+  /** Oracle-side twin of [[q53Family]]. */
+  private def q53FamilySql(idCol: String, periodCol: String,
+      avgName: String, orderClause: String): String = s"""
+SELECT $idCol, sum_sales,
+       CAST((t // n) * 1000000 + ((t % n) * 1000000) // n AS BIGINT)
+         AS $avgName
+FROM (
+  SELECT $idCol, CAST(sum(ss_sales_price_cents) AS BIGINT) AS sum_sales,
+         sum(sum(ss_sales_price_cents)) OVER w AS t,
+         count(*) OVER w AS n
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq BETWEEN 48 AND 59
+    AND ((i_category IN ('MEDIUM','STANDARD','LARGE')
+          AND i_class IN ('anvil','bolt','gear','gizmo')
+          AND i_brand IN ('Brand#11','Brand#21','Brand#31','Brand#41'))
+      OR (i_category IN ('SMALL','PROMO','ECONOMY')
+          AND i_class IN ('plate','ring','rod','widget')
+          AND i_brand IN ('Brand#12','Brand#22','Brand#32','Brand#42')))
+  GROUP BY $idCol, $periodCol
+  WINDOW w AS (PARTITION BY $idCol)) tmp1
+WHERE abs(sum_sales * n - t) * 10 > t * n
+$orderClause
+LIMIT 100"""
 
   /** query10/35/69's per-channel activity key sets: the DISTINCT-free
     * customer keys active in each channel inside the broadcast date
@@ -3053,6 +3547,203 @@ WHERE sb.ss_store_sk = sc.ss_store_sk
   AND i_item_sk = sc.ss_item_sk
 ORDER BY s_store_name, i_item_desc, revenue, i_brand,
          i_current_price_cents, sc.ss_item_sk
+LIMIT 100"""),
+      "q_dsreal_q3" -> (P + """
+SELECT dt.d_year, i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manufact_id = 28 AND dt.d_moy = 11
+GROUP BY dt.d_year, i_brand, i_brand_id
+ORDER BY dt.d_year, sum_agg DESC, brand_id
+LIMIT 100"""),
+      "q_dsreal_q42" -> (P + """
+SELECT dt.d_year, i_category_id, i_category,
+       CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY dt.d_year, i_category_id, i_category
+ORDER BY sum_agg DESC, dt.d_year, i_category_id, i_category
+LIMIT 100"""),
+      "q_dsreal_q52" -> (P + """
+SELECT dt.d_year, i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY dt.d_year, i_brand, i_brand_id
+ORDER BY dt.d_year, ext_price DESC, brand_id
+LIMIT 100"""),
+      "q_dsreal_q55" -> (P + """
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS ext_price
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1999
+GROUP BY i_brand, i_brand_id
+ORDER BY ext_price DESC, brand_id
+LIMIT 100"""),
+      "q_dsreal_q12" -> (P + q12FamilySql("web_sales", "ws_item_sk",
+        "ws_sold_date_sk", "ws_ext_sales_price_cents")),
+      "q_dsreal_q20" -> (P + q12FamilySql("catalog_sales", "cs_item_sk",
+        "cs_sold_date_sk", "cs_ext_sales_price_cents")),
+      "q_dsreal_q98" -> (P + q12FamilySql("store_sales", "ss_item_sk",
+        "ss_sold_date_sk", "ss_ext_sales_price_cents")),
+      "q_dsreal_q7" -> (P + q7FamilySql("store_sales", "ss_item_sk",
+        "ss_sold_date_sk", "ss_cdemo_sk", "ss_promo_sk", "ss")),
+      "q_dsreal_q26" -> (P + q7FamilySql("catalog_sales", "cs_item_sk",
+        "cs_sold_date_sk", "cs_bill_cdemo_sk", "cs_promo_sk", "cs")),
+      "q_dsreal_q27" -> (P + s"""
+SELECT i_item_id, s_state,
+       CAST(grouping(s_state) AS INT) AS g_state,
+       ${mmE6Sql("ss_quantity")} AS agg1_e6,
+       ${mmE6Sql("ss_list_price_cents")} AS agg2_e6,
+       ${mmE6Sql("ss_net_profit_cents")} AS agg3_e6,
+       ${mmE6Sql("ss_sales_price_cents")} AS agg4_e6
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 2000 AND s_state IN ('TN')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100"""),
+      "q_dsreal_q28" -> (P + """
+SELECT """ + Seq(
+        (1, 0, 5, 800000L, 50000L, 5700000L),
+        (2, 6, 10, 900000L, 230000L, 3100000L),
+        (3, 11, 15, 1400000L, 1220000L, 7900000L),
+        (4, 16, 20, 1300000L, 600000L, 3800000L),
+        (5, 21, 25, 1200000L, 830000L, 1700000L),
+        (6, 26, 30, 1500000L, 730000L, 700000L))
+        .map { case (i, qlo, qhi, lp, np, wc) =>
+          val f = s"ss_quantity BETWEEN $qlo AND $qhi AND " +
+            s"(ss_list_price_cents BETWEEN $lp AND ${lp + 1000000} OR " +
+            s"ss_net_profit_cents BETWEEN $np AND ${np + 100000} OR " +
+            s"ss_wholesale_cost_cents BETWEEN $wc AND ${wc + 2000000})"
+          val sm = s"sum(CASE WHEN $f THEN ss_list_price_cents END)"
+          val ct = s"count(CASE WHEN $f THEN 1 END)"
+          s"""CAST(($sm // $ct) * 1000000
+            + (($sm % $ct) * 1000000) // $ct AS BIGINT) AS b${i}_lp_e6,
+       CAST($ct AS BIGINT) AS b${i}_cnt,
+       CAST(count(DISTINCT CASE WHEN $f
+            THEN ss_list_price_cents // 1000 END) AS BIGINT) AS b${i}_cntd"""
+        }.mkString(",\n       ") + """
+FROM store_sales"""),
+      "q_dsreal_q41" -> (P + """
+SELECT DISTINCT i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 20 AND 40
+  AND (SELECT count(*) FROM item
+       WHERE i_manufact_id = i1.i_manufact_id AND
+             ((i_category = 'MEDIUM'
+               AND (i_color = 'powder' OR i_color = 'red')
+               AND (i_units = 'Each' OR i_units = 'Dozen')
+               AND i_size BETWEEN 10 AND 20)
+           OR (i_category = 'LARGE'
+               AND (i_color = 'blue' OR i_color = 'hot')
+               AND (i_units = 'Case' OR i_units = 'Pallet')
+               AND i_size BETWEEN 1 AND 9)
+           OR (i_category = 'SMALL'
+               AND (i_color = 'old' OR i_color = 'new')
+               AND (i_units = 'Each' OR i_units = 'Case')
+               AND i_size BETWEEN 21 AND 35)
+           OR (i_category = 'PROMO'
+               AND (i_color = 'cold' OR i_color = 'small')
+               AND (i_units = 'Dozen' OR i_units = 'Pallet')
+               AND i_size BETWEEN 36 AND 50)
+           OR (i_category = 'STANDARD'
+               AND (i_color = 'red' OR i_color = 'cold')
+               AND (i_units = 'Each' OR i_units = 'Pallet')
+               AND i_size BETWEEN 10 AND 20)
+           OR (i_category = 'ECONOMY'
+               AND (i_color = 'large' OR i_color = 'blue')
+               AND (i_units = 'Dozen' OR i_units = 'Case')
+               AND i_size BETWEEN 1 AND 9)
+           OR (i_category = 'MEDIUM'
+               AND (i_color = 'hot' OR i_color = 'old')
+               AND (i_units = 'Case' OR i_units = 'Each')
+               AND i_size BETWEEN 21 AND 35)
+           OR (i_category = 'LARGE'
+               AND (i_color = 'new' OR i_color = 'small')
+               AND (i_units = 'Pallet' OR i_units = 'Dozen')
+               AND i_size BETWEEN 36 AND 50))) > 0
+ORDER BY i_product_name
+LIMIT 100"""),
+      "q_dsreal_q43" -> (P + """
+SELECT s_store_name, s_store_id,
+  CAST(sum(CASE WHEN d_dow = 0 THEN ss_sales_price_cents END) AS BIGINT)
+    AS sun_sales,
+  CAST(sum(CASE WHEN d_dow = 1 THEN ss_sales_price_cents END) AS BIGINT)
+    AS mon_sales,
+  CAST(sum(CASE WHEN d_dow = 2 THEN ss_sales_price_cents END) AS BIGINT)
+    AS tue_sales,
+  CAST(sum(CASE WHEN d_dow = 3 THEN ss_sales_price_cents END) AS BIGINT)
+    AS wed_sales,
+  CAST(sum(CASE WHEN d_dow = 4 THEN ss_sales_price_cents END) AS BIGINT)
+    AS thu_sales,
+  CAST(sum(CASE WHEN d_dow = 5 THEN ss_sales_price_cents END) AS BIGINT)
+    AS fri_sales,
+  CAST(sum(CASE WHEN d_dow = 6 THEN ss_sales_price_cents END) AS BIGINT)
+    AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_state = 'TN' AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id
+LIMIT 100"""),
+      "q_dsreal_q53" -> (P + q53FamilySql("i_manufact_id", "d_qoy",
+        "avg_quarterly_sales_e6",
+        "ORDER BY avg_quarterly_sales_e6, sum_sales, i_manufact_id")),
+      "q_dsreal_q63" -> (P + q53FamilySql("i_manager_id", "d_moy",
+        "avg_monthly_sales_e6",
+        "ORDER BY i_manager_id, avg_monthly_sales_e6, sum_sales")),
+      "q_dsreal_q89" -> (P + """
+SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+       d_moy, sum_sales,
+       CAST((t // n) * 1000000 + ((t % n) * 1000000) // n AS BIGINT)
+         AS avg_monthly_sales_e6
+FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         d_moy,
+         CAST(sum(ss_sales_price_cents) AS BIGINT) AS sum_sales,
+         sum(sum(ss_sales_price_cents)) OVER w AS t,
+         count(*) OVER w AS n
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk AND d_year = 1999
+    AND ((i_category IN ('MEDIUM','STANDARD','LARGE')
+          AND i_class IN ('anvil','gear','widget'))
+      OR (i_category IN ('SMALL','PROMO','ECONOMY')
+          AND i_class IN ('bolt','ring','rod')))
+  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+           d_moy
+  WINDOW w AS (PARTITION BY i_category, i_brand, s_store_name,
+               s_company_name)) tmp1
+WHERE abs(sum_sales * n - t) * 10 > t * n
+ORDER BY sum_sales * 1000 - ((t // n) * 1000 + ((t % n) * 1000) // n),
+         s_store_name, i_category, i_class, i_brand, s_company_name,
+         d_moy
+LIMIT 100"""),
+      "q_dsreal_q86" -> (P + """
+SELECT CAST(sum(ws_ext_sales_price_cents) AS BIGINT) AS total_sum,
+       i_category, i_class,
+       CAST(grouping(i_category) + grouping(i_class) AS INT)
+         AS lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+           CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY sum(ws_ext_sales_price_cents) DESC) AS BIGINT)
+         AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 48 AND 59
+  AND d1.d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
 LIMIT 100"""),
       "q_dsreal_q1" -> (P + """
 , ctr AS (
