@@ -119,8 +119,24 @@ reason AS (
          'Reason_' || CAST(i AS VARCHAR) AS r_reason_desc
   FROM range(1, 11) t(i)),
 web_page AS (
-  SELECT i AS wp_web_page_sk, 'WP' || CAST(i AS VARCHAR) AS wp_web_page_id
+  SELECT i AS wp_web_page_sk, 'WP' || CAST(i AS VARCHAR) AS wp_web_page_id,
+         CAST(4900 + i * 40 AS INT) AS wp_char_count
   FROM range(1, 11) t(i)),
+time_dim AS (
+  SELECT i AS t_time_sk, CAST(i // 3600 AS INT) AS t_hour,
+         CAST((i % 3600) // 60 AS INT) AS t_minute,
+         CASE WHEN i // 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+              WHEN i // 3600 BETWEEN 11 AND 13 THEN 'lunch'
+              WHEN i // 3600 BETWEEN 17 AND 19 THEN 'dinner' END
+           AS t_meal_time
+  FROM range(0, 86400) t(i)),
+ship_mode AS (
+  SELECT i AS sm_ship_mode_sk,
+         'SM' || CAST(i AS VARCHAR) AS sm_ship_mode_id,
+         CASE i WHEN 1 THEN 'EXPRESS' WHEN 2 THEN 'OVERNIGHT'
+              WHEN 3 THEN 'REGULAR' WHEN 4 THEN 'TWO DAY'
+              ELSE 'LIBRARY' END AS sm_type
+  FROM range(1, 6) t(i)),
 store AS (
   SELECT i AS s_store_sk, 'S' || CAST(i AS VARCHAR) AS s_store_id,
          'Store_' || CAST(i AS VARCHAR) AS s_store_name,
@@ -141,7 +157,8 @@ catalog_page AS (
          'CP' || CAST(i AS VARCHAR) AS cp_catalog_page_id
   FROM range(1, 11) t(i)),
 web_site AS (
-  SELECT i AS web_site_sk, 'WS' || CAST(i AS VARCHAR) AS web_site_id
+  SELECT i AS web_site_sk, 'WS' || CAST(i AS VARCHAR) AS web_site_id,
+         'Site_' || CAST(i AS VARCHAR) AS web_name
   FROM range(1, 11) t(i)),
 ds_base AS (
   SELECT *,
@@ -173,6 +190,13 @@ ds_base AS (
                1 + ((l_orderkey * 8 + l_linenumber) * 3 + 1) % 210
                  AS ret_cdemo_sk,
                1 + (l_orderkey * 8 + l_linenumber) % 10 AS reason_sk,
+               (l_orderkey * 8 + l_linenumber) * 7919 % 86400
+                 AS sold_time_sk,
+               1 + (l_orderkey * 8 + l_linenumber) % 5 AS ship_mode_sk,
+               1 + (l_partkey + l_orderkey * 8 + l_linenumber) % 5
+                 AS warehouse_sk,
+               1 + ((l_orderkey * 8 + l_linenumber) * 3 + 2) % 72
+                 AS ship_hdemo_sk,
                CAST(l_quantity AS BIGINT) AS qty,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
                l_returnflag = 'R' AS returned
@@ -181,7 +205,7 @@ store_sales AS (
   SELECT sold_date_sk AS ss_sold_date_sk, item_sk AS ss_item_sk,
          customer_sk AS ss_customer_sk, store_sk AS ss_store_sk,
          cdemo_sk AS ss_cdemo_sk, hdemo_sk AS ss_hdemo_sk,
-         customer_sk AS ss_addr_sk,
+         customer_sk AS ss_addr_sk, sold_time_sk AS ss_sold_time_sk,
          ticket AS ss_ticket_number, promo_sk AS ss_promo_sk,
          qty AS ss_quantity,
          sales_price_cents AS ss_sales_price_cents,
@@ -198,6 +222,9 @@ catalog_sales AS (
          cdemo_sk AS cs_bill_cdemo_sk, hdemo_sk AS cs_bill_hdemo_sk,
          customer_sk AS cs_bill_addr_sk,
          customer_sk AS cs_ship_customer_sk,
+         sold_time_sk AS cs_sold_time_sk,
+         ship_mode_sk AS cs_ship_mode_sk,
+         warehouse_sk AS cs_warehouse_sk,
          ticket AS cs_order_number, promo_sk AS cs_promo_sk,
          qty AS cs_quantity,
          sales_price_cents AS cs_sales_price_cents,
@@ -213,6 +240,11 @@ web_sales AS (
          cdemo_sk AS ws_bill_cdemo_sk, hdemo_sk AS ws_bill_hdemo_sk,
          customer_sk AS ws_bill_addr_sk,
          store_sk AS ws_web_page_sk,
+         sold_time_sk AS ws_sold_time_sk,
+         ship_mode_sk AS ws_ship_mode_sk,
+         warehouse_sk AS ws_warehouse_sk,
+         ship_hdemo_sk AS ws_ship_hdemo_sk,
+         1 + (store_sk * 3) % 10 AS ws_web_site_sk,
          ticket AS ws_order_number, promo_sk AS ws_promo_sk,
          qty AS ws_quantity,
          sales_price_cents AS ws_sales_price_cents,

@@ -237,7 +237,36 @@ object DsTables {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("wp_web_page_sk"),
-      concat(lit("WP"), $"id".cast("string")).as("wp_web_page_id"))
+      concat(lit("WP"), $"id".cast("string")).as("wp_web_page_id"),
+      // q90's char-count band (5000..5200 keeps pages 3..7)
+      (lit(4900) + $"id" * 40).cast("int").as("wp_char_count"))
+  }
+
+  /** time_dim: one row per second of day (TpcdsSchemaProvider
+    * time_dim); meal-time bands breakfast 6-8, lunch 11-13, dinner
+    * 17-19, NULL otherwise — broadcast-sized (86400 rows). */
+  def timeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0, 86400).select(
+      $"id".as("t_time_sk"),
+      expr("id div 3600").cast("int").as("t_hour"),
+      expr("(id % 3600) div 60").cast("int").as("t_minute"),
+      when(expr("id div 3600").between(6, 8), "breakfast")
+        .when(expr("id div 3600").between(11, 13), "lunch")
+        .when(expr("id div 3600").between(17, 19), "dinner")
+        .as("t_meal_time"))
+  }
+
+  /** ship_mode: the 5 shipping classes (TpcdsSchemaProvider
+    * ship_mode). */
+  def shipMode(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(1, 6).select(
+      $"id".as("sm_ship_mode_sk"),
+      concat(lit("SM"), $"id".cast("string")).as("sm_ship_mode_id"),
+      when($"id" === 1, "EXPRESS").when($"id" === 2, "OVERNIGHT")
+        .when($"id" === 3, "REGULAR").when($"id" === 4, "TWO DAY")
+        .otherwise("LIBRARY").as("sm_type"))
   }
 
   def store(s: SparkSession): DataFrame = {
@@ -274,7 +303,8 @@ object DsTables {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("web_site_sk"),
-      concat(lit("WS"), $"id".cast("string")).as("web_site_id"))
+      concat(lit("WS"), $"id".cast("string")).as("web_site_id"),
+      concat(lit("Site_"), $"id".cast("string")).as("web_name"))
   }
 
   /** lineitem x orders with the channel split key and every derived
@@ -310,6 +340,17 @@ object DsTables {
           .as("ret_cdemo_sk"),
         (lit(1) + ($"l_orderkey" * 8 + $"l_linenumber") % 10)
           .as("reason_sk"),
+        // second-of-day sold time (multiplier spreads tickets across
+        // the 86400-second time_dim), ship mode, warehouse, and the
+        // web ship-side household demographics role
+        (($"l_orderkey" * 8 + $"l_linenumber") * 7919 % 86400)
+          .as("sold_time_sk"),
+        (lit(1) + ($"l_orderkey" * 8 + $"l_linenumber") % 5)
+          .as("ship_mode_sk"),
+        (lit(1) + ($"l_partkey" + $"l_orderkey" * 8 + $"l_linenumber") % 5)
+          .as("warehouse_sk"),
+        (lit(1) + (($"l_orderkey" * 8 + $"l_linenumber") * 3 + 2) % 72)
+          .as("ship_hdemo_sk"),
         $"l_quantity".cast("long").as("qty"),
         round($"l_extendedprice" * 100).cast("long").as("ext_cents"),
         ($"l_returnflag" === "R").as("returned"))
@@ -345,8 +386,15 @@ object DsTables {
     // the ship-to customer (= the buyer in this derivation)
     val ccCols = if (p == "cs")
       Seq(col("store_sk").as("cs_call_center_sk"),
-        col("customer_sk").as("cs_ship_customer_sk"))
-    else if (p == "ws") Seq(col("store_sk").as("ws_web_page_sk"))
+        col("customer_sk").as("cs_ship_customer_sk"),
+        col("ship_mode_sk").as("cs_ship_mode_sk"),
+        col("warehouse_sk").as("cs_warehouse_sk"))
+    else if (p == "ws")
+      Seq(col("store_sk").as("ws_web_page_sk"),
+        col("ship_mode_sk").as("ws_ship_mode_sk"),
+        col("warehouse_sk").as("ws_warehouse_sk"),
+        col("ship_hdemo_sk").as("ws_ship_hdemo_sk"),
+        (lit(1) + col("store_sk") * 3 % 10).as("ws_web_site_sk"))
     else Nil
     val demoPrefix = if (p == "ss") "ss" else s"${p}_bill"
     base(s, d).filter(col("chan") === chan).select(Seq(
@@ -357,6 +405,7 @@ object DsTables {
       col("cdemo_sk").as(s"${demoPrefix}_cdemo_sk"),
       col("hdemo_sk").as(s"${demoPrefix}_hdemo_sk"),
       col("customer_sk").as(s"${demoPrefix}_addr_sk"),
+      col("sold_time_sk").as(s"${p}_sold_time_sk"),
       col("ticket").as(orderCol),
       col("promo_sk").as(s"${p}_promo_sk"),
       col("qty").as(s"${p}_quantity"),

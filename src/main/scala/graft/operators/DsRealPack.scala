@@ -1894,6 +1894,168 @@ object DsRealPack extends QueryPack {
           when($"lochierarchy" === 0, $"i_category"),
           $"rank_within_parent", $"i_category", $"i_class")
         .limit(100)
+    }),
+
+    // query96.sql: count of one store's half-hour demographic slice —
+    // three broadcast dims into one fact pass.
+    "q_dsreal_q96" -> ((s, d) => {
+      import s.implicits._
+      val td = DsTables.timeDim(s)
+        .filter($"t_hour" === 20 && $"t_minute" >= 30)
+        .select($"t_time_sk")
+      val hd = DsTables.householdDemographics(s)
+        .filter($"hd_dep_count" === 7).select($"hd_demo_sk")
+      DsTables.storeSales(s, d)
+        .join(broadcast(td), $"ss_sold_time_sk" === $"t_time_sk")
+        .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+        .join(broadcast(DsTables.store(s)
+          .filter($"s_store_name" === "Store_5").select($"s_store_sk")),
+          $"ss_store_sk" === $"s_store_sk")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // query88.sql: eight half-hour traffic counters. The reference
+    // cross-joins eight scalar subqueries — eight fact scans; here the
+    // eight slots are conditional counts over ONE fact pass with the
+    // shared demographic/store gates applied once (8x less scan I/O
+    // at 100 TB).
+    "q_dsreal_q88" -> ((s, d) => {
+      import s.implicits._
+      val td = DsTables.timeDim(s)
+        .filter($"t_hour".between(8, 12))
+        .select($"t_time_sk", $"t_hour", $"t_minute")
+      val hd = DsTables.householdDemographics(s)
+        .filter(($"hd_dep_count" === 4 && $"hd_vehicle_count" <= 6) ||
+          ($"hd_dep_count" === 2 && $"hd_vehicle_count" <= 4) ||
+          ($"hd_dep_count" === 0 && $"hd_vehicle_count" <= 2))
+        .select($"hd_demo_sk")
+      val slots = Seq((8, true, "h8_30_to_9"), (9, false, "h9_to_9_30"),
+        (9, true, "h9_30_to_10"), (10, false, "h10_to_10_30"),
+        (10, true, "h10_30_to_11"), (11, false, "h11_to_11_30"),
+        (11, true, "h11_30_to_12"), (12, false, "h12_to_12_30"))
+      val aggs = slots.map { case (h, late, nm) =>
+        val mins = if (late) $"t_minute" >= 30 else $"t_minute" < 30
+        count(when($"t_hour" === h && mins, 1)).as(nm)
+      }
+      DsTables.storeSales(s, d)
+        .join(broadcast(td), $"ss_sold_time_sk" === $"t_time_sk")
+        .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+        .join(broadcast(DsTables.store(s)
+          .filter($"s_store_name" === "Store_5").select($"s_store_sk")),
+          $"ss_store_sk" === $"s_store_sk")
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // query90.sql: morning/evening web traffic ratio for one
+    // demographic + page-size slice — the reference's two scalar
+    // subqueries are one conditional-count fact pass; the ratio is the
+    // exact remainder-split micro-quotient.
+    "q_dsreal_q90" -> ((s, d) => {
+      import s.implicits._
+      val td = DsTables.timeDim(s)
+        .filter($"t_hour".between(8, 9) || $"t_hour".between(19, 20))
+        .select($"t_time_sk", $"t_hour")
+      val hd = DsTables.householdDemographics(s)
+        .filter($"hd_dep_count" === 6).select($"hd_demo_sk")
+      val wp = DsTables.webPage(s)
+        .filter($"wp_char_count".between(5000, 5200))
+        .select($"wp_web_page_sk")
+      DsTables.webSales(s, d)
+        .join(broadcast(td), $"ws_sold_time_sk" === $"t_time_sk")
+        .join(broadcast(hd), $"ws_ship_hdemo_sk" === $"hd_demo_sk")
+        .join(broadcast(wp), $"ws_web_page_sk" === $"wp_web_page_sk")
+        .agg(count(when($"t_hour".between(8, 9), 1)).as("amc"),
+          count(when($"t_hour".between(19, 20), 1)).as("pmc"))
+        .select(expr("(amc div pmc) * 1000000" +
+          " + ((amc % pmc) * 1000000) div pmc").as("am_pm_ratio_e6"))
+    }),
+
+    // query71.sql: brand revenue by minute over all three channels'
+    // November sales at breakfast/dinner hours — the 3-channel UNION
+    // ALL feeds one grouped aggregate; time_dim broadcasts despite its
+    // 86400 rows.
+    "q_dsreal_q71" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_moy" === 11 && $"d_year" === 1999)
+        .select($"d_date_sk")
+      def chan(f: DataFrame, ext: String, item: String, time: String,
+          date: String) =
+        f.join(broadcast(dd), col(date) === $"d_date_sk")
+          .select(col(ext).as("ext_price"), col(item).as("sold_item_sk"),
+            col(time).as("time_sk"))
+      val tmp = chan(DsTables.webSales(s, d), "ws_ext_sales_price_cents",
+        "ws_item_sk", "ws_sold_time_sk", "ws_sold_date_sk")
+        .unionByName(chan(DsTables.catalogSales(s, d),
+          "cs_ext_sales_price_cents", "cs_item_sk", "cs_sold_time_sk",
+          "cs_sold_date_sk"))
+        .unionByName(chan(DsTables.storeSales(s, d),
+          "ss_ext_sales_price_cents", "ss_item_sk", "ss_sold_time_sk",
+          "ss_sold_date_sk"))
+      tmp
+        .join(broadcast(DsTables.item(s, d).filter($"i_manager_id" === 1)
+          .select($"i_item_sk", $"i_brand_id", $"i_brand")),
+          $"sold_item_sk" === $"i_item_sk")
+        .join(broadcast(DsTables.timeDim(s)
+          .filter($"t_meal_time" === "breakfast" ||
+            $"t_meal_time" === "dinner")
+          .select($"t_time_sk", $"t_hour", $"t_minute")),
+          $"time_sk" === $"t_time_sk")
+        .groupBy($"i_brand_id".as("brand_id"), $"i_brand".as("brand"),
+          $"t_hour", $"t_minute")
+        .agg(sum($"ext_price").as("ext_price"))
+        .orderBy($"ext_price".desc, $"brand_id", $"t_hour", $"t_minute")
+        .limit(100)
+    }),
+
+    // query62.sql: web shipping-lag buckets per warehouse x ship mode
+    // x site (date role = SHIP date).
+    "q_dsreal_q62" -> ((s, d) => q62Family(s, d, DsTables.webSales(s, d),
+      "ws", DsTables.webSite(s).select(col("web_site_sk").as("dim_sk"),
+        col("web_name").as("dim_name")), "ws_web_site_sk", "web_name")),
+
+    // query99.sql: q62 on the catalog channel per call center.
+    "q_dsreal_q99" -> ((s, d) => q62Family(s, d,
+      DsTables.catalogSales(s, d), "cs",
+      DsTables.callCenter(s).select(col("cc_call_center_sk").as("dim_sk"),
+        col("cc_name").as("dim_name")), "cs_call_center_sk", "cc_name")),
+
+    // query40.sql: catalog net sales (minus refunded cash) before vs
+    // after a pivot date per warehouse state x item, returns joined on
+    // (order, item) as a left outer.
+    "q_dsreal_q40" -> ((s, d) => {
+      import s.implicits._
+      val pivot = lit("2000-03-11").cast("date")
+      val dd = DsTables.dateDim(s)
+        .filter($"d_date".between(date_sub(pivot, 30),
+          date_add(pivot, 30)))
+        .select($"d_date_sk", $"d_date")
+      DsTables.catalogSales(s, d)
+        .join(DsTables.catalogReturns(s, d)
+          .select($"cr_order_number", $"cr_item_sk",
+            $"cr_refunded_cash_cents"),
+          $"cs_order_number" === $"cr_order_number" &&
+            $"cs_item_sk" === $"cr_item_sk", "left_outer")
+        .join(broadcast(DsTables.warehouse(s)
+          .select($"w_warehouse_sk", $"w_state")),
+          $"cs_warehouse_sk" === $"w_warehouse_sk")
+        .join(broadcast(DsTables.item(s, d)
+          .filter($"i_current_price_cents".between(95000, 97000))
+          .select($"i_item_sk", $"i_item_id")),
+          $"cs_item_sk" === $"i_item_sk")
+        .join(broadcast(dd), $"cs_sold_date_sk" === $"d_date_sk")
+        .groupBy($"w_state", $"i_item_id")
+        .agg(
+          sum(when($"d_date" < pivot,
+            $"cs_sales_price_cents" -
+              coalesce($"cr_refunded_cash_cents", lit(0L)))
+            .otherwise(0L)).as("sales_before"),
+          sum(when($"d_date" >= pivot,
+            $"cs_sales_price_cents" -
+              coalesce($"cr_refunded_cash_cents", lit(0L)))
+            .otherwise(0L)).as("sales_after"))
+        .orderBy($"w_state", $"i_item_id")
+        .limit(100)
     }))
 
   /** Overflow-safe exact micro-mean (the q22 discipline): scaling the
@@ -2011,6 +2173,62 @@ object DsRealPack extends QueryPack {
       base.orderBy(col(idCol), col(avgName), $"sum_sales")
     else base.orderBy(col(avgName), $"sum_sales", col(idCol)))
       .limit(100)
+  }
+
+  /** query62/99's shared shape: shipping-lag day buckets per
+    * warehouse x ship mode x channel dimension, the date role bound
+    * to the SHIP date. One fact pass; every dim broadcasts. */
+  private def q62Family(s: SparkSession, d: String, fact: DataFrame,
+      p: String, dim: DataFrame, factDimCol: String,
+      dimName: String): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s).filter($"d_month_seq".between(48, 59))
+      .select($"d_date_sk")
+    val lag = col(s"${p}_ship_date_sk") - col(s"${p}_sold_date_sk")
+    fact
+      .join(broadcast(dd), col(s"${p}_ship_date_sk") === $"d_date_sk")
+      .join(broadcast(DsTables.warehouse(s)
+        .select($"w_warehouse_sk", $"w_warehouse_name")),
+        col(s"${p}_warehouse_sk") === $"w_warehouse_sk")
+      .join(broadcast(DsTables.shipMode(s)
+        .select($"sm_ship_mode_sk", $"sm_type")),
+        col(s"${p}_ship_mode_sk") === $"sm_ship_mode_sk")
+      .join(broadcast(dim), col(factDimCol) === $"dim_sk")
+      .groupBy(substring($"w_warehouse_name", 1, 20).as("wh"),
+        $"sm_type", $"dim_name".as(dimName))
+      .agg(
+        sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).as("d31_60"),
+        sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).as("d61_90"),
+        sum(when(lag > 90 && lag <= 120, 1).otherwise(0)).as("d91_120"),
+        sum(when(lag > 120, 1).otherwise(0)).as("d120p"))
+      .orderBy($"wh", $"sm_type", col(dimName))
+      .limit(100)
+  }
+
+  /** Oracle-side twin of [[q62Family]]. */
+  private def q62FamilySql(fact: String, p: String, dim: String,
+      dimKey: String, dimName: String, factDimCol: String): String = {
+    val lag = s"${p}_ship_date_sk - ${p}_sold_date_sk"
+    s"""
+SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, $dimName,
+  CAST(sum(CASE WHEN $lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(sum(CASE WHEN $lag > 30 AND $lag <= 60 THEN 1 ELSE 0 END)
+    AS BIGINT) AS d31_60,
+  CAST(sum(CASE WHEN $lag > 60 AND $lag <= 90 THEN 1 ELSE 0 END)
+    AS BIGINT) AS d61_90,
+  CAST(sum(CASE WHEN $lag > 90 AND $lag <= 120 THEN 1 ELSE 0 END)
+    AS BIGINT) AS d91_120,
+  CAST(sum(CASE WHEN $lag > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+FROM $fact, warehouse, ship_mode, $dim, date_dim
+WHERE d_month_seq BETWEEN 48 AND 59
+  AND ${p}_ship_date_sk = d_date_sk
+  AND ${p}_warehouse_sk = w_warehouse_sk
+  AND ${p}_ship_mode_sk = sm_ship_mode_sk
+  AND $factDimCol = $dimKey
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, $dimName
+ORDER BY wh, sm_type, $dimName
+LIMIT 100"""
   }
 
   /** Oracle-side twin of [[mmE6]] (DuckDB `//` = Spark `div` for the
@@ -3744,6 +3962,99 @@ GROUP BY ROLLUP (i_category, i_class)
 ORDER BY lochierarchy DESC,
          CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
          rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100"""),
+      "q_dsreal_q96" -> (P + """
+SELECT count(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND t_hour = 20 AND t_minute >= 30
+  AND hd_dep_count = 7 AND s_store_name = 'Store_5'
+ORDER BY cnt
+LIMIT 100"""),
+      "q_dsreal_q88" -> (P + """
+SELECT """ + Seq((8, true, "h8_30_to_9"), (9, false, "h9_to_9_30"),
+        (9, true, "h9_30_to_10"), (10, false, "h10_to_10_30"),
+        (10, true, "h10_30_to_11"), (11, false, "h11_to_11_30"),
+        (11, true, "h11_30_to_12"), (12, false, "h12_to_12_30"))
+        .map { case (h, late, nm) =>
+          val mc = if (late) "t_minute >= 30" else "t_minute < 30"
+          s"CAST(count(CASE WHEN t_hour = $h AND $mc THEN 1 END)" +
+            s" AS BIGINT) AS $nm"
+        }.mkString(",\n       ") + """
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6) OR
+       (hd_dep_count = 2 AND hd_vehicle_count <= 4) OR
+       (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+  AND s_store_name = 'Store_5'"""),
+      "q_dsreal_q90" -> (P + """
+SELECT CAST((amc // pmc) * 1000000 + ((amc % pmc) * 1000000) // pmc
+       AS BIGINT) AS am_pm_ratio_e6
+FROM (SELECT count(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = t_time_sk
+        AND ws_ship_hdemo_sk = hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND t_hour BETWEEN 8 AND 9 AND hd_dep_count = 6
+        AND wp_char_count BETWEEN 5000 AND 5200) a,
+     (SELECT count(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = t_time_sk
+        AND ws_ship_hdemo_sk = hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND t_hour BETWEEN 19 AND 20 AND hd_dep_count = 6
+        AND wp_char_count BETWEEN 5000 AND 5200) p
+ORDER BY am_pm_ratio_e6
+LIMIT 100"""),
+      "q_dsreal_q71" -> (P + """
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       CAST(sum(ext_price) AS BIGINT) AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price_cents AS ext_price,
+             ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price_cents, cs_item_sk, cs_sold_time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price_cents, ss_item_sk, ss_sold_time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999
+     ) tmp, time_dim
+WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, brand_id, t_hour, t_minute
+LIMIT 100"""),
+      "q_dsreal_q62" -> (P + q62FamilySql("web_sales", "ws", "web_site",
+        "web_site_sk", "web_name", "ws_web_site_sk")),
+      "q_dsreal_q99" -> (P + q62FamilySql("catalog_sales", "cs",
+        "call_center", "cc_call_center_sk", "cc_name",
+        "cs_call_center_sk")),
+      "q_dsreal_q40" -> (P + """
+SELECT w_state, i_item_id,
+  CAST(sum(CASE WHEN d_date < DATE '2000-03-11'
+           THEN cs_sales_price_cents - coalesce(cr_refunded_cash_cents, 0)
+           ELSE 0 END) AS BIGINT) AS sales_before,
+  CAST(sum(CASE WHEN d_date >= DATE '2000-03-11'
+           THEN cs_sales_price_cents - coalesce(cr_refunded_cash_cents, 0)
+           ELSE 0 END) AS BIGINT) AS sales_after
+FROM catalog_sales LEFT JOIN catalog_returns
+       ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk,
+     warehouse, item, date_dim
+WHERE i_current_price_cents BETWEEN 95000 AND 97000
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-03-11' - INTERVAL 30 DAY
+                 AND DATE '2000-03-11' + INTERVAL 30 DAY
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
 LIMIT 100"""),
       "q_dsreal_q1" -> (P + """
 , ctr AS (

@@ -124,6 +124,9 @@ class PlanAuditSpec extends AnyFunSuite {
       dsrealChan),
     "q_dsreal_q85" -> (2, 2, s"ws fact + wr returns; $dsrealChan"),
     "q_dsreal_q31" -> (2, 2, s"store + web quarter branches; $dsrealChan"),
+    "q_dsreal_q71" -> (3, 3, s"3-channel meal-time union; $dsrealChan"),
+    "q_dsreal_q40" -> (2, 2, "cs fact + cr returns left join; " +
+      dsrealChan),
     "q_dsreal_q54" -> (3, 3, "catalog + web seed union + store revenue; " +
       dsrealChan),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
