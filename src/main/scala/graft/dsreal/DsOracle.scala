@@ -150,7 +150,8 @@ store AS (
 call_center AS (
   SELECT i AS cc_call_center_sk, 'CC' || CAST(i AS VARCHAR)
            AS cc_call_center_id,
-         'CallCenter_' || CAST(i AS VARCHAR) AS cc_name
+         'CallCenter_' || CAST(i AS VARCHAR) AS cc_name,
+         'County_' || CAST(i % 30 AS VARCHAR) AS cc_county
   FROM range(1, 11) t(i)),
 catalog_page AS (
   SELECT i AS cp_catalog_page_sk,
@@ -158,7 +159,8 @@ catalog_page AS (
   FROM range(1, 11) t(i)),
 web_site AS (
   SELECT i AS web_site_sk, 'WS' || CAST(i AS VARCHAR) AS web_site_id,
-         'Site_' || CAST(i AS VARCHAR) AS web_name
+         'Site_' || CAST(i AS VARCHAR) AS web_name,
+         'Company_' || CAST(1 + i % 2 AS VARCHAR) AS web_company_name
   FROM range(1, 11) t(i)),
 ds_base AS (
   SELECT *,
@@ -222,6 +224,7 @@ catalog_sales AS (
          cdemo_sk AS cs_bill_cdemo_sk, hdemo_sk AS cs_bill_hdemo_sk,
          customer_sk AS cs_bill_addr_sk,
          customer_sk AS cs_ship_customer_sk,
+         customer_sk AS cs_ship_addr_sk,
          sold_time_sk AS cs_sold_time_sk,
          ship_mode_sk AS cs_ship_mode_sk,
          warehouse_sk AS cs_warehouse_sk,
@@ -239,6 +242,7 @@ web_sales AS (
          customer_sk AS ws_bill_customer_sk, store_sk AS ws_store_sk,
          cdemo_sk AS ws_bill_cdemo_sk, hdemo_sk AS ws_bill_hdemo_sk,
          customer_sk AS ws_bill_addr_sk,
+         customer_sk AS ws_ship_addr_sk,
          store_sk AS ws_web_page_sk,
          sold_time_sk AS ws_sold_time_sk,
          ship_mode_sk AS ws_ship_mode_sk,

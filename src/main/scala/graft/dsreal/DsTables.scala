@@ -304,7 +304,10 @@ object DsTables {
     s.range(1, 11).select(
       $"id".as("web_site_sk"),
       concat(lit("WS"), $"id".cast("string")).as("web_site_id"),
-      concat(lit("Site_"), $"id".cast("string")).as("web_name"))
+      concat(lit("Site_"), $"id".cast("string")).as("web_name"),
+      // q94's company gate key — the store dim's 2-company split
+      concat(lit("Company_"), (lit(1) + $"id" % 2).cast("string"))
+        .as("web_company_name"))
   }
 
   /** lineitem x orders with the channel split key and every derived
@@ -387,10 +390,14 @@ object DsTables {
     val ccCols = if (p == "cs")
       Seq(col("store_sk").as("cs_call_center_sk"),
         col("customer_sk").as("cs_ship_customer_sk"),
+        // ship-to address = the buyer's (the ship-to customer IS the
+        // buyer in this derivation), q16's ca_state gate key
+        col("customer_sk").as("cs_ship_addr_sk"),
         col("ship_mode_sk").as("cs_ship_mode_sk"),
         col("warehouse_sk").as("cs_warehouse_sk"))
     else if (p == "ws")
       Seq(col("store_sk").as("ws_web_page_sk"),
+        col("customer_sk").as("ws_ship_addr_sk"),
         col("ship_mode_sk").as("ws_ship_mode_sk"),
         col("warehouse_sk").as("ws_warehouse_sk"),
         col("ship_hdemo_sk").as("ws_ship_hdemo_sk"),
@@ -470,7 +477,10 @@ object DsTables {
     s.range(1, 11).select(
       $"id".as("cc_call_center_sk"),
       concat(lit("CC"), $"id".cast("string")).as("cc_call_center_id"),
-      concat(lit("CallCenter_"), $"id".cast("string")).as("cc_name"))
+      concat(lit("CallCenter_"), $"id".cast("string")).as("cc_name"),
+      // q16's county gate key — same County_0..29 namespace as
+      // store.s_county / customer_address.ca_county
+      concat(lit("County_"), ($"id" % 30).cast("string")).as("cc_county"))
   }
 
   /** promotion: 10 synthetic rows (TpcdsSchemaProvider.java promotion);

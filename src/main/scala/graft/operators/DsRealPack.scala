@@ -1425,43 +1425,12 @@ object DsRealPack extends QueryPack {
     // slice and its own grand total for the 5% HAVING), so pinned
     // once. The HAVING is cross-multiplied exact: paid * 20 * n_all >
     // sum_all <=> paid > 0.05 * avg(netpaid).
-    "q_dsreal_q24a" -> ((s, d) => {
-      import s.implicits._
-      val ssales = pin(DsTables.storeSales(s, d)
-        .join(DsTables.storeReturns(s, d),
-          $"ss_item_sk" === $"sr_item_sk" &&
-            $"ss_ticket_number" === $"sr_ticket_number")
-        .join(broadcast(DsTables.store(s).filter($"s_market_id" === 2)
-          .select($"s_store_sk", $"s_store_name", $"s_state", $"s_zip")),
-          $"ss_store_sk" === $"s_store_sk")
-        .join(broadcast(DsTables.customerDim(s, d)
-          .select($"c_customer_sk", $"c_current_addr_sk",
-            $"c_first_name", $"c_last_name", $"c_birth_country")),
-          $"ss_customer_sk" === $"c_customer_sk")
-        .join(broadcast(DsTables.customerAddress(s, d)
-          .select($"ca_address_sk", $"ca_state", $"ca_zip",
-            $"ca_country")),
-          $"c_current_addr_sk" === $"ca_address_sk")
-        .filter($"c_birth_country" =!= upper($"ca_country") &&
-          $"s_zip" === $"ca_zip")
-        .join(broadcast(DsTables.item(s, d)
-          .select($"i_item_sk", $"i_color", $"i_current_price_cents",
-            $"i_manager_id", $"i_units", $"i_size")),
-          $"ss_item_sk" === $"i_item_sk")
-        .groupBy($"c_last_name", $"c_first_name", $"s_store_name",
-          $"ca_state", $"s_state", $"i_color", $"i_current_price_cents",
-          $"i_manager_id", $"i_units", $"i_size")
-        .agg(sum($"ss_ext_sales_price_cents").as("netpaid")))
-      val tot = ssales.agg(sum($"netpaid").as("sall"),
-        count(lit(1)).as("nall"))
-      ssales.filter($"i_color" === "small")
-        .groupBy($"c_last_name", $"c_first_name", $"s_store_name")
-        .agg(sum($"netpaid").as("paid"))
-        .crossJoin(broadcast(tot))
-        .filter($"paid" * 20 * $"nall" > $"sall")
-        .select($"c_last_name", $"c_first_name", $"s_store_name", $"paid")
-        .orderBy($"c_last_name", $"c_first_name", $"s_store_name")
-    }),
+    "q_dsreal_q24a" -> ((s, d) => q24Family(s, d, "small")),
+
+    // query24b.sql: q24a's sibling — same market-2 sale-with-return
+    // snowflake and 5%-of-overall-average HAVING, probed for a
+    // different color.
+    "q_dsreal_q24b" -> ((s, d) => q24Family(s, d, "red")),
 
     // query31.sql: counties where web revenue grew faster than store
     // revenue across BOTH 2000 quarter pairs. The reference's 6-way
@@ -2056,6 +2025,120 @@ object DsRealPack extends QueryPack {
             .otherwise(0L)).as("sales_after"))
         .orderBy($"w_state", $"i_item_id")
         .limit(100)
+    }),
+
+    // query16.sql: catalog orders in a 121-day ship window, shipped to
+    // one state from MORE THAN ONE warehouse, never returned, sold via
+    // a county-gated call center.
+    "q_dsreal_q16" -> ((s, d) => {
+      import s.implicits._
+      q16Family(s, d, DsTables.catalogSales(s, d),
+        DsTables.catalogReturns(s, d).select($"cr_order_number"), "cs",
+        f => f.join(broadcast(DsTables.callCenter(s)
+          .filter($"cc_county".isin("County_1", "County_2", "County_3",
+            "County_4", "County_5")).select($"cc_call_center_sk")),
+          $"cs_call_center_sk" === $"cc_call_center_sk"),
+        "cs_ship_addr_sk", "2000-02-01", 120)
+    }),
+
+    // query94.sql: q16 on the web channel — the location gate is the
+    // site's company instead of the call center's county, window
+    // widened to 241 days (the reference's 60 is near-empty at
+    // sf0.01).
+    "q_dsreal_q94" -> ((s, d) => {
+      import s.implicits._
+      q16Family(s, d, DsTables.webSales(s, d),
+        DsTables.webReturns(s, d).select($"wr_order_number"), "ws",
+        f => f.join(broadcast(DsTables.webSite(s)
+          .filter($"web_company_name" === "Company_1")
+          .select($"web_site_sk")),
+          $"ws_web_site_sk" === $"web_site_sk"),
+        "ws_ship_addr_sk", "2000-02-01", 240)
+    }),
+
+    // query30.sql: web-returns customers whose year's return total
+    // exceeds 1.2x their state's per-customer average
+    // (cross-multiplied exact), gated to one current-address state.
+    "q_dsreal_q30" -> ((s, d) => {
+      import s.implicits._
+      val ctr = pin(ctrByState(s, d, DsTables.webReturns(s, d),
+        "wr_returned_date_sk", "wr_refunded_addr_sk",
+        "wr_returning_customer_sk", "wr_return_amt_cents"))
+      aboveStateAvg(s, d, ctr)
+        .select($"c_customer_id", $"c_first_name", $"c_last_name",
+          $"c_birth_country", $"ctr_total_return")
+        .orderBy($"c_customer_id", $"c_first_name", $"c_last_name",
+          $"c_birth_country", $"ctr_total_return")
+        .limit(100)
+    }),
+
+    // query81.sql: q30 on catalog returns, carrying the customer's
+    // full current address through the output (catalog returns carry
+    // no address role, so the state is the returning customer's
+    // current one — the 1:1 derivation makes that the reference's
+    // semantics too).
+    "q_dsreal_q81" -> ((s, d) => {
+      import s.implicits._
+      val cr = DsTables.catalogReturns(s, d)
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk")),
+          $"cr_returning_customer_sk" === $"c_customer_sk")
+      val ctr = pin(ctrByState(s, d, cr, "cr_returned_date_sk",
+        "c_current_addr_sk", "cr_returning_customer_sk",
+        "cr_return_amt_cents"))
+      aboveStateAvg(s, d, ctr)
+        .select($"c_customer_id", $"c_first_name", $"c_last_name",
+          $"ca_street_number", $"ca_street_name", $"ca_city",
+          $"ca_county", $"ca_state", $"ca_zip", $"ca_country",
+          $"ctr_total_return")
+        .orderBy($"c_customer_id", $"c_first_name", $"c_last_name",
+          $"ca_street_number", $"ca_street_name", $"ca_city",
+          $"ca_county", $"ca_state", $"ca_zip", $"ca_country",
+          $"ctr_total_return")
+        .limit(100)
+    }),
+
+    // query37.sql: catalog items in a price/manufacturer slice with
+    // 100-500 on hand in a 61-day window AND at least one sale — the
+    // reference's join-then-GROUP-BY dedup is item-distinct + one
+    // semi-join fact probe (no inventory x sales fanout at 100 TB).
+    "q_dsreal_q37" -> ((s, d) => q37Family(s, d,
+      DsTables.catalogSales(s, d), "cs_item_sk", 68000L, 98000L,
+      Seq(10, 21, 32, 43), "2000-02-01")),
+
+    // query82.sql: q37 on the store channel with its own price band.
+    "q_dsreal_q82" -> ((s, d) => q37Family(s, d,
+      DsTables.storeSales(s, d), "ss_item_sk", 99000L, 129000L,
+      Seq(4, 15, 26, 37), "2000-05-25")),
+
+    // query32.sql: excess catalog discount — discount (list - ext,
+    // the derivation's discount decomposition) above 1.3x the item's
+    // 91-day average, cross-multiplied exact; the reference's
+    // correlated scalar subquery is a per-item window over ONE fact
+    // pass.
+    "q_dsreal_q32" -> ((s, d) => q32Family(s, d,
+      DsTables.catalogSales(s, d), "cs", 7, "2000-01-27")),
+
+    // query92.sql: q32 on the web channel.
+    "q_dsreal_q92" -> ((s, d) => q32Family(s, d,
+      DsTables.webSales(s, d), "ws", 9, "2000-03-05")),
+
+    // query56.sql: q33's 3-channel re-aggregation keyed by item id,
+    // seeded by a color set.
+    "q_dsreal_q56" -> ((s, d) => {
+      import s.implicits._
+      chanItemFamily(s, d,
+        DsTables.item(s, d)
+          .filter($"i_color".isin("red", "blue", "cold"))
+          .select($"i_item_id"), 2000, 2)
+    }),
+
+    // query60.sql: q56 seeded by a category instead of colors.
+    "q_dsreal_q60" -> ((s, d) => {
+      import s.implicits._
+      chanItemFamily(s, d,
+        DsTables.item(s, d).filter($"i_category" === "MEDIUM")
+          .select($"i_item_id"), 2000, 9)
     }))
 
   /** Overflow-safe exact micro-mean (the q22 discipline): scaling the
@@ -2067,6 +2150,206 @@ object DsRealPack extends QueryPack {
   private def mmE6(c: String): Column =
     expr(s"(sum($c) div count(*)) * 1000000" +
       s" + ((sum($c) % count(*)) * 1000000) div count(*)")
+
+  /** query24a/24b's shared body: market-2 store sales WITH a matching
+    * return, customer's current address vs the store (same zip,
+    * foreign birth country), per-customer-store net paid for one
+    * color kept when above 5% of the overall per-group average
+    * (HAVING cross-multiplied: paid * 20 * n > total). */
+  private def q24Family(s: SparkSession, d: String,
+      color: String): DataFrame = {
+    import s.implicits._
+    val ssales = pin(DsTables.storeSales(s, d)
+      .join(DsTables.storeReturns(s, d),
+        $"ss_item_sk" === $"sr_item_sk" &&
+          $"ss_ticket_number" === $"sr_ticket_number")
+      .join(broadcast(DsTables.store(s).filter($"s_market_id" === 2)
+        .select($"s_store_sk", $"s_store_name", $"s_state", $"s_zip")),
+        $"ss_store_sk" === $"s_store_sk")
+      .join(broadcast(DsTables.customerDim(s, d)
+        .select($"c_customer_sk", $"c_current_addr_sk",
+          $"c_first_name", $"c_last_name", $"c_birth_country")),
+        $"ss_customer_sk" === $"c_customer_sk")
+      .join(broadcast(DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_state", $"ca_zip",
+          $"ca_country")),
+        $"c_current_addr_sk" === $"ca_address_sk")
+      .filter($"c_birth_country" =!= upper($"ca_country") &&
+        $"s_zip" === $"ca_zip")
+      .join(broadcast(DsTables.item(s, d)
+        .select($"i_item_sk", $"i_color", $"i_current_price_cents",
+          $"i_manager_id", $"i_units", $"i_size")),
+        $"ss_item_sk" === $"i_item_sk")
+      .groupBy($"c_last_name", $"c_first_name", $"s_store_name",
+        $"ca_state", $"s_state", $"i_color", $"i_current_price_cents",
+        $"i_manager_id", $"i_units", $"i_size")
+      .agg(sum($"ss_ext_sales_price_cents").as("netpaid")))
+    val tot = ssales.agg(sum($"netpaid").as("sall"),
+      count(lit(1)).as("nall"))
+    ssales.filter($"i_color" === color)
+      .groupBy($"c_last_name", $"c_first_name", $"s_store_name")
+      .agg(sum($"netpaid").as("paid"))
+      .crossJoin(broadcast(tot))
+      .filter($"paid" * 20 * $"nall" > $"sall")
+      .select($"c_last_name", $"c_first_name", $"s_store_name", $"paid")
+      .orderBy($"c_last_name", $"c_first_name", $"s_store_name")
+  }
+
+  /** query16/94's shared body: orders in a ship-date window, shipped
+    * to one address state from MORE THAN ONE warehouse (the q95
+    * pinned-self-join shape) and never returned (anti join), with a
+    * channel-specific location gate. */
+  private def q16Family(s: SparkSession, d: String, fact: DataFrame,
+      returns: DataFrame, p: String, locGate: DataFrame => DataFrame,
+      shipAddrCol: String, dateLo: String, days: Int): DataFrame = {
+    import s.implicits._
+    val ordCol = s"${p}_order_number"
+    val multiWh = pin(fact
+      .select(col(ordCol), col(s"${p}_warehouse_sk"))
+      .join(fact.select(col(ordCol).as("o2"),
+        col(s"${p}_warehouse_sk").as("wh2")),
+        col(ordCol) === $"o2" && col(s"${p}_warehouse_sk") =!= $"wh2")
+      .select(col(ordCol).as("won")).distinct())
+    val dd = DsTables.dateDim(s)
+      .filter($"d_date".between(lit(dateLo).cast("date"),
+        date_add(lit(dateLo).cast("date"), days)))
+      .select($"d_date_sk")
+    val ca = DsTables.customerAddress(s, d)
+      .filter($"ca_state" === "GA").select($"ca_address_sk")
+    locGate(fact)
+      .join(broadcast(dd), col(s"${p}_ship_date_sk") === $"d_date_sk")
+      .join(broadcast(ca), col(shipAddrCol) === $"ca_address_sk",
+        "left_semi")
+      .join(broadcast(multiWh), col(ordCol) === $"won", "left_semi")
+      .join(returns, col(ordCol) === col(returns.columns.head),
+        "left_anti")
+      .agg(countDistinct(col(ordCol)).as("order_count"),
+        sum(col(s"${p}_ext_sales_price_cents")).as("total_ship_cost"),
+        sum(col(s"${p}_net_profit_cents")).as("total_net_profit"))
+  }
+
+  /** query30/81's ctr CTE: per (returning customer, address state)
+    * return totals for one year. */
+  private def ctrByState(s: SparkSession, d: String, ret: DataFrame,
+      dateCol: String, addrCol: String, custCol: String,
+      amtCol: String): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s).filter($"d_year" === 2000)
+      .select($"d_date_sk")
+    ret.join(broadcast(dd), col(dateCol) === $"d_date_sk")
+      .join(broadcast(DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_state".as("ctr_state"))),
+        col(addrCol) === $"ca_address_sk")
+      .groupBy(col(custCol).as("ctr_customer_sk"), $"ctr_state")
+      .agg(sum(col(amtCol)).as("ctr_total_return"))
+  }
+
+  /** query30/81's outer query: keep customers whose total exceeds
+    * 1.2x their state's per-customer average (cross-multiplied), then
+    * decorate with the GA-gated current address + name columns. */
+  private def aboveStateAvg(s: SparkSession, d: String,
+      ctr: DataFrame): DataFrame = {
+    import s.implicits._
+    val avgSt = ctr.groupBy($"ctr_state".as("avg_state"))
+      .agg(sum($"ctr_total_return").as("tot"), count(lit(1)).as("n"))
+    ctr.join(broadcast(avgSt), $"ctr_state" === $"avg_state")
+      .filter($"ctr_total_return" * $"n" * 10 > $"tot" * 12)
+      .join(broadcast(DsTables.customerDim(s, d)
+        .select($"c_customer_sk", $"c_customer_id", $"c_first_name",
+          $"c_last_name", $"c_birth_country", $"c_current_addr_sk")),
+        $"ctr_customer_sk" === $"c_customer_sk")
+      .join(broadcast(DsTables.customerAddress(s, d)
+        .filter($"ca_state" === "GA")),
+        $"c_current_addr_sk" === $"ca_address_sk")
+  }
+
+  /** query37/82's shared body: items in a price/manufacturer slice
+    * with 100-500 units on hand in a 61-day window and >= 1 sale;
+    * the existence probe is a semi join (items are the small side —
+    * no inventory x sales fanout). */
+  private def q37Family(s: SparkSession, d: String, fact: DataFrame,
+      itemCol: String, lo: Long, hi: Long, mf: Seq[Int],
+      dateLo: String): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s)
+      .filter($"d_date".between(lit(dateLo).cast("date"),
+        date_add(lit(dateLo).cast("date"), 60)))
+      .select($"d_date_sk")
+    val it = DsTables.item(s, d)
+      .filter($"i_current_price_cents".between(lo, hi) &&
+        $"i_manufact_id".isin(mf: _*))
+      .select($"i_item_sk", $"i_item_id", $"i_item_desc",
+        $"i_current_price_cents")
+    DsTables.inventory(s, d)
+      .join(broadcast(dd), $"inv_date_sk" === $"d_date_sk")
+      .filter($"inv_quantity_on_hand".between(100, 500))
+      .join(broadcast(it), $"inv_item_sk" === $"i_item_sk")
+      .select($"i_item_sk", $"i_item_id", $"i_item_desc",
+        $"i_current_price_cents")
+      .distinct()
+      .join(fact.select(col(itemCol)), $"i_item_sk" === col(itemCol),
+        "left_semi")
+      .select($"i_item_id", $"i_item_desc", $"i_current_price_cents")
+      .orderBy($"i_item_id", $"i_item_desc", $"i_current_price_cents")
+      .limit(100)
+  }
+
+  /** query32/92's shared body: the channel's discount (list - ext,
+    * this derivation's discount decomposition) summed where above
+    * 1.3x the item's window average — the reference's correlated
+    * scalar subquery as a per-item window over one fact pass
+    * (gate cross-multiplied: disc * 10 * n > 13 * tot). */
+  private def q32Family(s: SparkSession, d: String, fact: DataFrame,
+      p: String, mfId: Int, dateLo: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dd = DsTables.dateDim(s)
+      .filter($"d_date".between(lit(dateLo).cast("date"),
+        date_add(lit(dateLo).cast("date"), 90)))
+      .select($"d_date_sk")
+    val it = DsTables.item(s, d).filter($"i_manufact_id" === mfId)
+      .select($"i_item_sk")
+    val w = Window.partitionBy(col(s"${p}_item_sk"))
+    fact
+      .join(broadcast(dd), col(s"${p}_sold_date_sk") === $"d_date_sk")
+      .join(broadcast(it), col(s"${p}_item_sk") === $"i_item_sk",
+        "left_semi")
+      .withColumn("disc",
+        col(s"${p}_list_price_cents") - col(s"${p}_ext_sales_price_cents"))
+      .withColumn("tot", sum($"disc").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"disc" * 10 * $"n" > $"tot" * 13)
+      .agg(sum($"disc").as("excess_discount_amount"))
+  }
+
+  /** query56/60's shared body: q33's three-channel one-month
+    * re-aggregation, keyed by i_item_id and seeded by an item-id set
+    * (color / category). */
+  private def chanItemFamily(s: SparkSession, d: String,
+      idSet: DataFrame, yr: Int, moy: Int): DataFrame = {
+    import s.implicits._
+    val itIds = broadcast(pin(
+      DsTables.item(s, d).select($"i_item_sk", $"i_item_id")
+        .join(broadcast(idSet.distinct()), Seq("i_item_id"),
+          "left_semi")))
+    val ddM = DsTables.dateDim(s)
+      .filter($"d_year" === yr && $"d_moy" === moy).select($"d_date_sk")
+    def chanTotal(f: DataFrame, ic: String, dc: String, ext: String) =
+      f.join(broadcast(ddM), col(dc) === $"d_date_sk")
+        .join(itIds, col(ic) === $"i_item_sk")
+        .groupBy($"i_item_id")
+        .agg(sum(col(ext)).as("total_sales"))
+    chanTotal(DsTables.storeSales(s, d), "ss_item_sk",
+        "ss_sold_date_sk", "ss_ext_sales_price_cents")
+      .union(chanTotal(DsTables.catalogSales(s, d), "cs_item_sk",
+        "cs_sold_date_sk", "cs_ext_sales_price_cents"))
+      .union(chanTotal(DsTables.webSales(s, d), "ws_item_sk",
+        "ws_sold_date_sk", "ws_ext_sales_price_cents"))
+      .groupBy($"i_item_id")
+      .agg(sum($"total_sales").as("total_sales"))
+      .orderBy($"total_sales", $"i_item_id")
+      .limit(100)
+  }
 
   /** query12/20/98's shared shape: 30-day item revenue in 3 categories
     * with each item's percent share of its class as exact micro-units
@@ -3644,33 +3927,7 @@ WHERE cs_bill_customer_sk = c_customer_sk
 GROUP BY ca_zip
 ORDER BY ca_zip
 LIMIT 100"""),
-      "q_dsreal_q24a" -> (P + """
-, ssales AS (
-  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
-         i_color, i_current_price_cents, i_manager_id, i_units, i_size,
-         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS netpaid
-  FROM store_sales, store_returns, store, item, customer_dim,
-       customer_address
-  WHERE ss_ticket_number = sr_ticket_number
-    AND ss_item_sk = sr_item_sk
-    AND ss_customer_sk = c_customer_sk
-    AND ss_item_sk = i_item_sk
-    AND ss_store_sk = s_store_sk
-    AND c_current_addr_sk = ca_address_sk
-    AND c_birth_country <> upper(ca_country)
-    AND s_zip = ca_zip
-    AND s_market_id = 2
-  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
-           i_color, i_current_price_cents, i_manager_id, i_units,
-           i_size)
-SELECT c_last_name, c_first_name, s_store_name,
-       CAST(sum(netpaid) AS BIGINT) AS paid
-FROM ssales
-WHERE i_color = 'small'
-GROUP BY c_last_name, c_first_name, s_store_name
-HAVING sum(netpaid) * 20 * (SELECT count(*) FROM ssales)
-       > (SELECT sum(netpaid) FROM ssales)
-ORDER BY c_last_name, c_first_name, s_store_name"""),
+      "q_dsreal_q24a" -> (P + q24FamilySql("small")),
       "q_dsreal_q31" -> (P + """
 , ssq AS (
   SELECT ca_county, d_qoy, d_year,
@@ -4180,8 +4437,205 @@ WHERE ss_items.item_id = cs_items.item_id
   AND 2 * ss_item_rev >= ws_item_rev AND ss_item_rev <= 2 * ws_item_rev
   AND 2 * cs_item_rev >= ws_item_rev AND cs_item_rev <= 2 * ws_item_rev
 ORDER BY item_id, ss_item_rev
-LIMIT 100"""))
+LIMIT 100"""),
+      "q_dsreal_q24b" -> (P + q24FamilySql("red")),
+      "q_dsreal_q16" -> (P + """
+, cs_wh AS (
+  SELECT cs1.cs_order_number
+  FROM catalog_sales cs1, catalog_sales cs2
+  WHERE cs1.cs_order_number = cs2.cs_order_number
+    AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+SELECT count(DISTINCT cs_order_number) AS order_count,
+       CAST(sum(cs_ext_sales_price_cents) AS BIGINT) AS total_ship_cost,
+       CAST(sum(cs_net_profit_cents) AS BIGINT) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '2000-02-01'
+                 AND DATE '2000-02-01' + INTERVAL 120 DAY
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('County_1', 'County_2', 'County_3', 'County_4',
+                    'County_5')
+  AND cs1.cs_order_number IN (SELECT cs_order_number FROM cs_wh)
+  AND cs1.cs_order_number NOT IN (SELECT cr_order_number
+                                  FROM catalog_returns)"""),
+      "q_dsreal_q94" -> (P + """
+, ws_wh2 AS (
+  SELECT ws1.ws_order_number
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT count(DISTINCT ws_order_number) AS order_count,
+       CAST(sum(ws_ext_sales_price_cents) AS BIGINT) AS total_ship_cost,
+       CAST(sum(ws_net_profit_cents) AS BIGINT) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '2000-02-01'
+                 AND DATE '2000-02-01' + INTERVAL 240 DAY
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk AND ca_state = 'GA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'Company_1'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh2)
+  AND ws1.ws_order_number NOT IN (SELECT wr_order_number
+                                  FROM web_returns)"""),
+      "q_dsreal_q30" -> (P + """
+, ctr AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         CAST(sum(wr_return_amt_cents) AS BIGINT) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_refunded_addr_sk = ca_address_sk
+  GROUP BY 1, 2),
+ctr_avg AS (
+  SELECT ctr_state AS avg_state,
+         CAST(sum(ctr_total_return) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ctr GROUP BY 1)
+SELECT c_customer_id, c_first_name, c_last_name, c_birth_country,
+       ctr_total_return
+FROM ctr ctr1, ctr_avg, customer_dim, customer_address
+WHERE ctr1.ctr_state = avg_state
+  AND ctr1.ctr_total_return * n * 10 > tot * 12
+  AND ctr1.ctr_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk AND ca_state = 'GA'
+ORDER BY c_customer_id, c_first_name, c_last_name, c_birth_country,
+         ctr_total_return
+LIMIT 100"""),
+      "q_dsreal_q81" -> (P + """
+, ctr AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         CAST(sum(cr_return_amt_cents) AS BIGINT) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND cr_returning_customer_sk = c_customer_sk
+    AND c_current_addr_sk = ca_address_sk
+  GROUP BY 1, 2),
+ctr_avg AS (
+  SELECT ctr_state AS avg_state,
+         CAST(sum(ctr_total_return) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ctr GROUP BY 1)
+SELECT c_customer_id, c_first_name, c_last_name, ca_street_number,
+       ca_street_name, ca_city, ca_county, ca_state, ca_zip, ca_country,
+       ctr_total_return
+FROM ctr ctr1, ctr_avg, customer_dim, customer_address
+WHERE ctr1.ctr_state = avg_state
+  AND ctr1.ctr_total_return * n * 10 > tot * 12
+  AND ctr1.ctr_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk AND ca_state = 'GA'
+ORDER BY c_customer_id, c_first_name, c_last_name, ca_street_number,
+         ca_street_name, ca_city, ca_county, ca_state, ca_zip,
+         ca_country, ctr_total_return
+LIMIT 100"""),
+      "q_dsreal_q37" -> (P + q37FamilySql("catalog_sales", "cs_item_sk",
+        68000, 98000, "10, 21, 32, 43", "2000-02-01")),
+      "q_dsreal_q82" -> (P + q37FamilySql("store_sales", "ss_item_sk",
+        99000, 129000, "4, 15, 26, 37", "2000-05-25")),
+      "q_dsreal_q32" -> (P + q32FamilySql("catalog_sales", "cs", 7,
+        "2000-01-27")),
+      "q_dsreal_q92" -> (P + q32FamilySql("web_sales", "ws", 9,
+        "2000-03-05")),
+      "q_dsreal_q56" -> (P + chanItemFamilySql(
+        "i_color IN ('red', 'blue', 'cold')", 2000, 2)),
+      "q_dsreal_q60" -> (P + chanItemFamilySql(
+        "i_category IN ('MEDIUM')", 2000, 9)))
   }
+
+  private def q24FamilySql(color: String): String = s"""
+, ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price_cents, i_manager_id, i_units, i_size,
+         CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS netpaid
+  FROM store_sales, store_returns, store, item, customer_dim,
+       customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country)
+    AND s_zip = ca_zip
+    AND s_market_id = 2
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price_cents, i_manager_id, i_units,
+           i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(sum(netpaid) AS BIGINT) AS paid
+FROM ssales
+WHERE i_color = '$color'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) * 20 * (SELECT count(*) FROM ssales)
+       > (SELECT sum(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name"""
+
+  private def q37FamilySql(fact: String, itemCol: String, lo: Long,
+      hi: Long, mf: String, dateLo: String): String = s"""
+SELECT i_item_id, i_item_desc, i_current_price_cents
+FROM item, inventory, date_dim, $fact
+WHERE i_current_price_cents BETWEEN $lo AND $hi
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '$dateLo'
+                 AND DATE '$dateLo' + INTERVAL 60 DAY
+  AND i_manufact_id IN ($mf)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND $itemCol = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price_cents
+ORDER BY i_item_id, i_item_desc, i_current_price_cents
+LIMIT 100"""
+
+  private def q32FamilySql(fact: String, p: String, mfId: Int,
+      dateLo: String): String = s"""
+SELECT CAST(sum(${p}_list_price_cents - ${p}_ext_sales_price_cents)
+            AS BIGINT) AS excess_discount_amount
+FROM (
+  SELECT ${p}_list_price_cents, ${p}_ext_sales_price_cents,
+         CAST(sum(${p}_list_price_cents - ${p}_ext_sales_price_cents)
+              OVER (PARTITION BY ${p}_item_sk) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY ${p}_item_sk) AS BIGINT) AS n
+  FROM $fact, item, date_dim
+  WHERE i_manufact_id = $mfId
+    AND i_item_sk = ${p}_item_sk
+    AND d_date BETWEEN DATE '$dateLo'
+                   AND DATE '$dateLo' + INTERVAL 90 DAY
+    AND d_date_sk = ${p}_sold_date_sk) t
+WHERE (${p}_list_price_cents - ${p}_ext_sales_price_cents) * 10 * n
+      > 13 * tot"""
+
+  private def chanItemFamilySql(itemGate: String, yr: Int,
+      moy: Int): String = s"""
+, iset AS (
+  SELECT i_item_id FROM item WHERE $itemGate),
+ss AS (
+  SELECT i_item_id, sum(ss_ext_sales_price_cents) AS total_sales
+  FROM store_sales, date_dim, item
+  WHERE i_item_id IN (SELECT i_item_id FROM iset)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = $yr AND d_moy = $moy
+  GROUP BY i_item_id),
+cs AS (
+  SELECT i_item_id, sum(cs_ext_sales_price_cents) AS total_sales
+  FROM catalog_sales, date_dim, item
+  WHERE i_item_id IN (SELECT i_item_id FROM iset)
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = $yr AND d_moy = $moy
+  GROUP BY i_item_id),
+ws AS (
+  SELECT i_item_id, sum(ws_ext_sales_price_cents) AS total_sales
+  FROM web_sales, date_dim, item
+  WHERE i_item_id IN (SELECT i_item_id FROM iset)
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = $yr AND d_moy = $moy
+  GROUP BY i_item_id)
+SELECT i_item_id, CAST(sum(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) t
+GROUP BY i_item_id
+ORDER BY total_sales, i_item_id
+LIMIT 100"""
 
   /** q39's shared CTE (oracle side): the reference text's inner
     * stddev/avg group rendered as exact integer (n, sum, sum-sq) with

@@ -98,6 +98,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dsrealChan = "TPC-DS emulation: each scan is a disjoint " +
     "channel slice standing in for a separate fact/return table"
   private val lineitemScanBudget: Map[String, (Int, Int, String)] = Map(
+    "q_dsreal_q16" -> (2, 2, "cs fact + cr returns anti join (the " +
+      s"multi-warehouse self-join is pinned); $dsrealChan"),
+    "q_dsreal_q94" -> (2, 2, "ws fact + wr returns anti join (the " +
+      s"multi-warehouse self-join is pinned); $dsrealChan"),
+    "q_dsreal_q56" -> (3, 3, s"3 channel item-id branches; $dsrealChan"),
+    "q_dsreal_q60" -> (3, 3, s"3 channel item-id branches; $dsrealChan"),
     "q_dsreal_q14a" -> (3, 3, s"3 channel gate branches; $dsrealChan"),
     "q_dsreal_q14b" -> (2, 2, "two store-sales month branches " +
       "(this-year vs last-year) of disjoint date slices"),
