@@ -145,7 +145,8 @@ store AS (
          'Z' || CAST(i % 5 AS VARCHAR) AS s_zip,
          'Company_' || CAST(1 + i % 2 AS VARCHAR) AS s_company_name,
          CAST(1 + i % 3 AS INT) AS s_market_id,
-         'County_' || CAST(i % 30 AS VARCHAR) AS s_county
+         'County_' || CAST(i % 30 AS VARCHAR) AS s_county,
+         'City_' || CAST(i % 60 AS VARCHAR) AS s_city
   FROM range(1, 11) t(i)),
 call_center AS (
   SELECT i AS cc_call_center_sk, 'CC' || CAST(i AS VARCHAR)
@@ -207,7 +208,10 @@ store_sales AS (
   SELECT sold_date_sk AS ss_sold_date_sk, item_sk AS ss_item_sk,
          customer_sk AS ss_customer_sk, store_sk AS ss_store_sk,
          cdemo_sk AS ss_cdemo_sk, hdemo_sk AS ss_hdemo_sk,
-         customer_sk AS ss_addr_sk, sold_time_sk AS ss_sold_time_sk,
+         customer_sk AS ss_addr_sk,
+         CASE WHEN ticket % 4 = 0 THEN 1 + (ticket * 13) % 1400
+              ELSE customer_sk END AS ss_sold_addr_sk,
+         sold_time_sk AS ss_sold_time_sk,
          ticket AS ss_ticket_number, promo_sk AS ss_promo_sk,
          qty AS ss_quantity,
          sales_price_cents AS ss_sales_price_cents,

@@ -287,7 +287,10 @@ object DsTables {
       // key (County_1..County_10 — a strict subset of
       // customer_address's 30 counties)
       (lit(1) + $"id" % 3).cast("int").as("s_market_id"),
-      concat(lit("County_"), ($"id" % 30).cast("string")).as("s_county"))
+      concat(lit("County_"), ($"id" % 30).cast("string")).as("s_county"),
+      // q46/q68/q79's city key — same City_0..59 namespace as
+      // customer_address.ca_city
+      concat(lit("City_"), ($"id" % 60).cast("string")).as("s_city"))
   }
 
   /** catalog_page / web_site: the catalog and web channels' id dims
@@ -404,6 +407,14 @@ object DsTables {
         (lit(1) + col("store_sk") * 3 % 10).as("ws_web_site_sk"))
     else Nil
     val demoPrefix = if (p == "ss") "ss" else s"${p}_bill"
+    // point-of-sale address role for q46/q68's bought-city-vs-home
+    // comparison: 3/4 of store sales ship to the buyer's own address,
+    // 1/4 to a deterministic "gift" address (1..1400 stays a valid
+    // ca_address_sk at sf >= 0.01 and cycles all 60 cities; smaller
+    // SFs drop the missing keys identically on both sides)
+    val soldAddrCols = if (p != "ss") Nil else Seq(
+      when(col("ticket") % 4 === 0, lit(1) + (col("ticket") * 13) % 1400)
+        .otherwise(col("customer_sk")).as("ss_sold_addr_sk"))
     base(s, d).filter(col("chan") === chan).select(Seq(
       col("sold_date_sk").as(s"${p}_sold_date_sk"),
       col("item_sk").as(s"${p}_item_sk"),
@@ -421,7 +432,7 @@ object DsTables {
       col("ext_cents").as(s"${p}_ext_sales_price_cents"),
       col("wholesale_cost_cents").as(s"${p}_wholesale_cost_cents"),
       col("net_profit_cents").as(s"${p}_net_profit_cents"))
-      ++ shipCols ++ ccCols: _*)
+      ++ shipCols ++ ccCols ++ soldAddrCols: _*)
   }
 
   private def returns(s: SparkSession, d: String, chan: Int, p: String,

@@ -2139,6 +2139,225 @@ object DsRealPack extends QueryPack {
       chanItemFamily(s, d,
         DsTables.item(s, d).filter($"i_category" === "MEDIUM")
           .select($"i_item_id"), 2000, 9)
+    }),
+
+    // query17.sql: items sold, returned, then re-bought on catalog by
+    // the same customer — per (item, state) quantity count / exact
+    // micro-mean / integer variance numerator
+    // (n*sum(q^2) - sum(q)^2, the q39 discipline) for all three legs.
+    // Date windows widened to years (the reference's single-quarter
+    // roles are empty at this cross-channel sparsity).
+    "q_dsreal_q17" -> ((s, d) => {
+      import s.implicits._
+      def stats(c: String, out: String) = Seq(
+        count(col(c)).as(s"${out}count"),
+        mmE6(c).as(s"${out}ave_e6"),
+        expr(s"count(*) * sum($c * $c) - sum($c) * sum($c)")
+          .as(s"${out}varnum"))
+      q17Core(s, d, 1996, 1999)
+        .groupBy($"i_item_id", $"i_item_desc", $"s_state")
+        .agg(stats("ss_quantity", "store_sales_quantity").head,
+          (stats("ss_quantity", "store_sales_quantity").tail ++
+            stats("sr_return_quantity", "store_returns_quantity") ++
+            stats("cs_quantity", "catalog_sales_quantity")): _*)
+        .orderBy($"i_item_id", $"i_item_desc", $"s_state")
+        .limit(100)
+    }),
+
+    // query25.sql: the q17 triple with profit/loss sums per
+    // (item, store).
+    "q_dsreal_q25" -> ((s, d) => {
+      import s.implicits._
+      q17Core(s, d, 1996, 1997)
+        .groupBy($"i_item_id", $"i_item_desc", $"s_store_id",
+          $"s_store_name")
+        .agg(sum($"ss_net_profit_cents").as("store_sales_profit"),
+          sum($"sr_net_loss_cents").as("store_returns_loss"),
+          sum($"cs_net_profit_cents").as("catalog_sales_profit"))
+        .orderBy($"i_item_id", $"i_item_desc", $"s_store_id",
+          $"s_store_name")
+        .limit(100)
+    }),
+
+    // query29.sql: the q17 triple with quantity sums per (item, store).
+    "q_dsreal_q29" -> ((s, d) => {
+      import s.implicits._
+      q17Core(s, d, 1998, 1999)
+        .groupBy($"i_item_id", $"i_item_desc", $"s_store_id",
+          $"s_store_name")
+        .agg(sum($"ss_quantity").as("store_sales_quantity"),
+          sum($"sr_return_quantity").as("store_returns_quantity"),
+          sum($"cs_quantity").as("catalog_sales_quantity"))
+        .orderBy($"i_item_id", $"i_item_desc", $"s_store_id",
+          $"s_store_name")
+        .limit(100)
+    }),
+
+    // query34.sql: month-boundary baskets of 2-3 gated lines (basket =
+    // the sale's order, ticket div 8; the reference's 15-20 band is
+    // impossible at <= 7 lines per order) for high-buy-potential
+    // households, decorated with the customer's name.
+    "q_dsreal_q34" -> ((s, d) => {
+      import s.implicits._
+      basketCounts(s, d,
+        $"d_dom".between(1, 3) || $"d_dom".between(25, 28),
+        Seq(">10000", "Unknown"), 5, 6,
+        Seq("County_1", "County_2", "County_3", "County_4", "County_5",
+          "County_6", "County_7", "County_8"))
+        .filter($"cnt".between(2, 3))
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_last_name", $"c_first_name")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .select($"c_last_name", $"c_first_name", $"basket_number",
+          $"cnt")
+        .orderBy($"c_last_name", $"c_first_name", $"basket_number",
+          $"cnt")
+        .limit(100)
+    }),
+
+    // query73.sql: q34's sibling — start-of-month baskets of 1-3
+    // lines for low-buy-potential households, count-descending.
+    "q_dsreal_q73" -> ((s, d) => {
+      import s.implicits._
+      basketCounts(s, d, $"d_dom".between(1, 2),
+        Seq("1001-5000", "0-500"), 1, 1,
+        Seq("County_1", "County_2", "County_3", "County_4"))
+        .filter($"cnt".between(1, 3))
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_last_name", $"c_first_name")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .select($"c_last_name", $"c_first_name", $"basket_number",
+          $"cnt")
+        .orderBy($"cnt".desc, $"c_last_name", $"c_first_name",
+          $"basket_number")
+        .limit(100)
+    }),
+
+    // query46.sql: weekend baskets bought in a gated store city and
+    // shipped to a different city than the customer's current one;
+    // amt = the discount decomposition (list - ext) standing in for
+    // the coupon column this derivation lacks.
+    "q_dsreal_q46" -> ((s, d) => {
+      import s.implicits._
+      q46Family(s, d,
+        $"hd_dep_count" === 5 || $"hd_vehicle_count" === 3,
+        $"d_dow".isin(6, 0),
+        Seq("City_1", "City_2", "City_3", "City_4", "City_5"),
+        Seq(sum($"ss_list_price_cents" - $"ss_ext_sales_price_cents")
+          .as("amt"),
+          sum($"ss_net_profit_cents").as("profit")),
+        Seq("amt", "profit"))
+    }),
+
+    // query68.sql: q46's sibling — start-of-month baskets with
+    // extended/list price sums.
+    "q_dsreal_q68" -> ((s, d) => {
+      import s.implicits._
+      q46Family(s, d,
+        $"hd_dep_count" === 4 || $"hd_vehicle_count" === 2,
+        $"d_dom".between(1, 4),
+        Seq("City_5", "City_6", "City_7", "City_8"),
+        Seq(sum($"ss_ext_sales_price_cents").as("extended_price"),
+          sum($"ss_list_price_cents").as("list_price")),
+        Seq("extended_price", "list_price"))
+    }),
+
+    // query79.sql: Monday baskets per customer x store city for
+    // market 2 (standing in for the reference's employee-count store
+    // band), discount amt + profit.
+    "q_dsreal_q79" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_dow" === 1 && $"d_year".isin(1999, 2000, 2001))
+        .select($"d_date_sk")
+      val hd = DsTables.householdDemographics(s)
+        .filter($"hd_dep_count" === 6 || $"hd_vehicle_count" > 2)
+        .select($"hd_demo_sk")
+      val st = DsTables.store(s).filter($"s_market_id" === 2)
+        .select($"s_store_sk", $"s_city")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+        .join(broadcast(st), $"ss_store_sk" === $"s_store_sk")
+        .groupBy(expr("ss_ticket_number div 8").as("basket_number"),
+          $"ss_customer_sk", $"s_city")
+        .agg(sum($"ss_list_price_cents" - $"ss_ext_sales_price_cents")
+          .as("amt"),
+          sum($"ss_net_profit_cents").as("profit"))
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_last_name", $"c_first_name")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .select($"c_last_name", $"c_first_name", $"s_city",
+          $"basket_number", $"amt", $"profit")
+        .orderBy($"c_last_name", $"c_first_name", $"s_city",
+          $"basket_number", $"amt", $"profit")
+        .limit(100)
+    }),
+
+    // query8.sql: store net profit for stores whose zip prefix is in
+    // the intersection of a literal prefix list and prefixes where
+    // >10 US-born customers live (the preferred-flag stand-in).
+    "q_dsreal_q8" -> ((s, d) => {
+      import s.implicits._
+      val zipA = DsTables.customerAddress(s, d)
+        .select(substring($"ca_zip", 1, 2).as("zip_prefix"))
+        .filter($"zip_prefix".isin("Z1", "Z2", "Z3", "Z4"))
+        .distinct()
+      val zipB = DsTables.customerDim(s, d)
+        .filter($"c_birth_country" === "UNITED STATES")
+        .join(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_zip"),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .groupBy(substring($"ca_zip", 1, 2).as("zip_prefix"))
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" > 10)
+        .select($"zip_prefix")
+      val zips = zipA.intersect(zipB)
+      val dd = DsTables.dateDim(s)
+        .filter($"d_qoy" === 2 && $"d_year" === 1999)
+        .select($"d_date_sk")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s)
+          .select($"s_store_sk", $"s_store_name", $"s_zip")),
+          $"ss_store_sk" === $"s_store_sk")
+        .join(broadcast(zips),
+          substring($"s_zip", 1, 2) === $"zip_prefix", "left_semi")
+        .groupBy($"s_store_name")
+        .agg(sum($"ss_net_profit_cents").as("net_profit"))
+        .orderBy($"s_store_name")
+        .limit(100)
+    }),
+
+    // query19.sql: brand revenue for one manager's items in one
+    // month, kept only when the buyer's current zip differs from the
+    // store's.
+    "q_dsreal_q19" -> ((s, d) => {
+      import s.implicits._
+      val dd = DsTables.dateDim(s)
+        .filter($"d_moy" === 11 && $"d_year" === 1999)
+        .select($"d_date_sk")
+      val it = DsTables.item(s, d).filter($"i_manager_id" === 7)
+        .select($"i_item_sk", $"i_brand_id", $"i_brand", $"i_manufact_id")
+      DsTables.storeSales(s, d)
+        .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
+        .join(broadcast(DsTables.customerDim(s, d)
+          .select($"c_customer_sk", $"c_current_addr_sk")),
+          $"ss_customer_sk" === $"c_customer_sk")
+        .join(broadcast(DsTables.customerAddress(s, d)
+          .select($"ca_address_sk", $"ca_zip")),
+          $"c_current_addr_sk" === $"ca_address_sk")
+        .join(broadcast(DsTables.store(s)
+          .select($"s_store_sk", $"s_zip")),
+          $"ss_store_sk" === $"s_store_sk")
+        .filter(substring($"ca_zip", 1, 5) =!= substring($"s_zip", 1, 5))
+        .groupBy($"i_brand_id".as("brand_id"), $"i_brand".as("brand"),
+          $"i_manufact_id")
+        .agg(sum($"ss_ext_sales_price_cents").as("ext_price"))
+        .orderBy($"ext_price".desc, $"brand_id", $"brand",
+          $"i_manufact_id")
+        .limit(100)
     }))
 
   /** Overflow-safe exact micro-mean (the q22 discipline): scaling the
@@ -2348,6 +2567,102 @@ object DsRealPack extends QueryPack {
       .groupBy($"i_item_id")
       .agg(sum($"total_sales").as("total_sales"))
       .orderBy($"total_sales", $"i_item_id")
+      .limit(100)
+  }
+
+  /** query17/25/29's shared triple: store sales in the d1 window,
+    * their store return (same customer/item/ticket), and a catalog
+    * re-purchase by the same customer of the same item — three
+    * broadcast date roles, store + item decorations. */
+  private def q17Core(s: SparkSession, d: String, d1Lo: Int,
+      d1Hi: Int): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s).select($"d_date_sk", $"d_year")
+    val ss = DsTables.storeSales(s, d)
+      .join(broadcast(dd.filter($"d_year".between(d1Lo, d1Hi))
+        .select($"d_date_sk")), $"ss_sold_date_sk" === $"d_date_sk")
+    val sr = DsTables.storeReturns(s, d)
+      .join(broadcast(dd.filter($"d_year".between(1996, 2001))
+        .select($"d_date_sk".as("d2_sk"))),
+        $"sr_returned_date_sk" === $"d2_sk")
+    val cs = DsTables.catalogSales(s, d)
+      .join(broadcast(dd.filter($"d_year".between(1996, 2001))
+        .select($"d_date_sk".as("d3_sk"))),
+        $"cs_sold_date_sk" === $"d3_sk")
+    ss.join(sr, $"ss_customer_sk" === $"sr_customer_sk" &&
+        $"ss_item_sk" === $"sr_item_sk" &&
+        $"ss_ticket_number" === $"sr_ticket_number")
+      .join(cs, $"sr_customer_sk" === $"cs_bill_customer_sk" &&
+        $"sr_item_sk" === $"cs_item_sk")
+      .join(broadcast(DsTables.store(s).select($"s_store_sk",
+        $"s_state", $"s_store_id", $"s_store_name")),
+        $"ss_store_sk" === $"s_store_sk")
+      .join(broadcast(DsTables.item(s, d)
+        .select($"i_item_sk", $"i_item_id", $"i_item_desc")),
+        $"ss_item_sk" === $"i_item_sk")
+  }
+
+  /** query34/73's shared inner: per-(basket, customer) gated line
+    * counts; basket = the sale's order (ticket div 8). */
+  private def basketCounts(s: SparkSession, d: String, domFilter: Column,
+      buyPots: Seq[String], depMul: Int, vehMul: Int,
+      counties: Seq[String]): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s)
+      .filter(domFilter && $"d_year".isin(1999, 2000, 2001))
+      .select($"d_date_sk")
+    val hd = DsTables.householdDemographics(s)
+      .filter($"hd_buy_potential".isin(buyPots: _*) &&
+        $"hd_vehicle_count" > 0 &&
+        $"hd_dep_count" * depMul > $"hd_vehicle_count" * vehMul)
+      .select($"hd_demo_sk")
+    val st = DsTables.store(s).filter($"s_county".isin(counties: _*))
+      .select($"s_store_sk")
+    DsTables.storeSales(s, d)
+      .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+      .join(broadcast(st), $"ss_store_sk" === $"s_store_sk")
+      .groupBy(expr("ss_ticket_number div 8").as("basket_number"),
+        $"ss_customer_sk")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** query46/68's shared body: gated baskets with the point-of-sale
+    * city (ss_sold_addr_sk), kept when it differs from the buyer's
+    * current city. */
+  private def q46Family(s: SparkSession, d: String, hdFilter: Column,
+      dateFilter: Column, cities: Seq[String], aggs: Seq[Column],
+      outNames: Seq[String]): DataFrame = {
+    import s.implicits._
+    val dd = DsTables.dateDim(s)
+      .filter(dateFilter && $"d_year".isin(1999, 2000, 2001))
+      .select($"d_date_sk")
+    val hd = DsTables.householdDemographics(s).filter(hdFilter)
+      .select($"hd_demo_sk")
+    val st = DsTables.store(s).filter($"s_city".isin(cities: _*))
+      .select($"s_store_sk")
+    val dn = DsTables.storeSales(s, d)
+      .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
+      .join(broadcast(hd), $"ss_hdemo_sk" === $"hd_demo_sk")
+      .join(broadcast(st), $"ss_store_sk" === $"s_store_sk")
+      .join(broadcast(DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_city".as("bought_city"))),
+        $"ss_sold_addr_sk" === $"ca_address_sk")
+      .groupBy(expr("ss_ticket_number div 8").as("basket_number"),
+        $"ss_customer_sk", $"bought_city")
+      .agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq($"c_last_name", $"c_first_name", $"ca_city",
+      $"bought_city", $"basket_number") ++ outNames.map(col)
+    dn.join(broadcast(DsTables.customerDim(s, d)
+        .select($"c_customer_sk", $"c_last_name", $"c_first_name",
+          $"c_current_addr_sk")),
+        $"ss_customer_sk" === $"c_customer_sk")
+      .join(broadcast(DsTables.customerAddress(s, d)
+        .select($"ca_address_sk", $"ca_city")),
+        $"c_current_addr_sk" === $"ca_address_sk")
+      .filter($"ca_city" =!= $"bought_city")
+      .select(outCols: _*)
+      .orderBy(outCols: _*)
       .limit(100)
   }
 
@@ -4540,8 +4855,211 @@ LIMIT 100"""),
       "q_dsreal_q56" -> (P + chanItemFamilySql(
         "i_color IN ('red', 'blue', 'cold')", 2000, 2)),
       "q_dsreal_q60" -> (P + chanItemFamilySql(
-        "i_category IN ('MEDIUM')", 2000, 9)))
+        "i_category IN ('MEDIUM')", 2000, 9)),
+      "q_dsreal_q17" -> (P + """
+SELECT i_item_id, i_item_desc, s_state,
+       CAST(count(ss_quantity) AS BIGINT) AS store_sales_quantitycount,
+       CAST((sum(ss_quantity) // count(*)) * 1000000
+            + ((sum(ss_quantity) % count(*)) * 1000000) // count(*)
+            AS BIGINT) AS store_sales_quantityave_e6,
+       CAST(count(*) * sum(ss_quantity * ss_quantity)
+            - sum(ss_quantity) * sum(ss_quantity) AS BIGINT)
+         AS store_sales_quantityvarnum,
+       CAST(count(sr_return_quantity) AS BIGINT)
+         AS store_returns_quantitycount,
+       CAST((sum(sr_return_quantity) // count(*)) * 1000000
+            + ((sum(sr_return_quantity) % count(*)) * 1000000)
+              // count(*) AS BIGINT) AS store_returns_quantityave_e6,
+       CAST(count(*) * sum(sr_return_quantity * sr_return_quantity)
+            - sum(sr_return_quantity) * sum(sr_return_quantity)
+            AS BIGINT) AS store_returns_quantityvarnum,
+       CAST(count(cs_quantity) AS BIGINT) AS catalog_sales_quantitycount,
+       CAST((sum(cs_quantity) // count(*)) * 1000000
+            + ((sum(cs_quantity) % count(*)) * 1000000) // count(*)
+            AS BIGINT) AS catalog_sales_quantityave_e6,
+       CAST(count(*) * sum(cs_quantity * cs_quantity)
+            - sum(cs_quantity) * sum(cs_quantity) AS BIGINT)
+         AS catalog_sales_quantityvarnum
+""" + q17CoreSql(1996, 1999) + """
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100"""),
+      "q_dsreal_q25" -> (P + """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(sum(ss_net_profit_cents) AS BIGINT) AS store_sales_profit,
+       CAST(sum(sr_net_loss_cents) AS BIGINT) AS store_returns_loss,
+       CAST(sum(cs_net_profit_cents) AS BIGINT) AS catalog_sales_profit
+""" + q17CoreSql(1996, 1997) + """
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""),
+      "q_dsreal_q29" -> (P + """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+""" + q17CoreSql(1998, 1999) + """
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""),
+      "q_dsreal_q34" -> (P + basketSql(
+        "(d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)",
+        "('>10000', 'Unknown')", 5, 6,
+        "('County_1', 'County_2', 'County_3', 'County_4', 'County_5', " +
+          "'County_6', 'County_7', 'County_8')",
+        "cnt BETWEEN 2 AND 3",
+        "c_last_name, c_first_name, basket_number, cnt")),
+      "q_dsreal_q73" -> (P + basketSql(
+        "d_dom BETWEEN 1 AND 2",
+        "('1001-5000', '0-500')", 1, 1,
+        "('County_1', 'County_2', 'County_3', 'County_4')",
+        "cnt BETWEEN 1 AND 3",
+        "cnt DESC, c_last_name, c_first_name, basket_number")),
+      "q_dsreal_q46" -> (P + q46FamilySql(
+        "(hd_dep_count = 5 OR hd_vehicle_count = 3)",
+        "d_dow IN (6, 0)",
+        "('City_1', 'City_2', 'City_3', 'City_4', 'City_5')",
+        """CAST(sum(ss_list_price_cents - ss_ext_sales_price_cents)
+              AS BIGINT) AS amt,
+         CAST(sum(ss_net_profit_cents) AS BIGINT) AS profit""",
+        "amt, profit")),
+      "q_dsreal_q68" -> (P + q46FamilySql(
+        "(hd_dep_count = 4 OR hd_vehicle_count = 2)",
+        "d_dom BETWEEN 1 AND 4",
+        "('City_5', 'City_6', 'City_7', 'City_8')",
+        """CAST(sum(ss_ext_sales_price_cents) AS BIGINT)
+           AS extended_price,
+         CAST(sum(ss_list_price_cents) AS BIGINT) AS list_price""",
+        "extended_price, list_price")),
+      "q_dsreal_q79" -> (P + """
+SELECT c_last_name, c_first_name, s_city, basket_number, amt, profit
+FROM (
+  SELECT ss_ticket_number // 8 AS basket_number, ss_customer_sk,
+         s_city,
+         CAST(sum(ss_list_price_cents - ss_ext_sales_price_cents)
+              AS BIGINT) AS amt,
+         CAST(sum(ss_net_profit_cents) AS BIGINT) AS profit
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+    AND d_dow = 1
+    AND d_year IN (1999, 2000, 2001)
+    AND s_market_id = 2
+  GROUP BY ss_ticket_number // 8, ss_customer_sk, s_city) ms,
+  customer_dim
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, s_city, basket_number, amt, profit
+LIMIT 100"""),
+      "q_dsreal_q8" -> (P + """
+, zip_list AS (
+  SELECT substr(ca_zip, 1, 2) AS zip_prefix
+  FROM customer_address
+  WHERE substr(ca_zip, 1, 2) IN ('Z1', 'Z2', 'Z3', 'Z4')
+  INTERSECT
+  SELECT substr(ca_zip, 1, 2)
+  FROM customer_address, customer_dim
+  WHERE ca_address_sk = c_current_addr_sk
+    AND c_birth_country = 'UNITED STATES'
+  GROUP BY substr(ca_zip, 1, 2)
+  HAVING count(*) > 10)
+SELECT s_store_name, CAST(sum(ss_net_profit_cents) AS BIGINT)
+         AS net_profit
+FROM store_sales, date_dim, store, zip_list
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1999
+  AND substr(s_zip, 1, 2) = zip_prefix
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100"""),
+      "q_dsreal_q19" -> (P + """
+SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+       CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS ext_price
+FROM date_dim, store_sales, item, customer_dim, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 7
+  AND d_moy = 11 AND d_year = 1999
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand_id, i_brand, i_manufact_id
+ORDER BY ext_price DESC, brand_id, brand, i_manufact_id
+LIMIT 100"""))
   }
+
+  /** query17/25/29's shared FROM/WHERE (oracle side). */
+  private def q17CoreSql(d1Lo: Int, d1Hi: Int): String = s"""
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_year BETWEEN $d1Lo AND $d1Hi
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year BETWEEN 1996 AND 2001
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year BETWEEN 1996 AND 2001"""
+
+  /** query34/73's shared text (oracle side). */
+  private def basketSql(domGate: String, buyPots: String, depMul: Int,
+      vehMul: Int, counties: String, cntGate: String,
+      order: String): String = s"""
+SELECT c_last_name, c_first_name, basket_number, cnt
+FROM (
+  SELECT ss_ticket_number // 8 AS basket_number,
+         ss_customer_sk, count(*) AS cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND $domGate
+    AND hd_buy_potential IN $buyPots
+    AND hd_vehicle_count > 0
+    AND hd_dep_count * $depMul > hd_vehicle_count * $vehMul
+    AND d_year IN (1999, 2000, 2001)
+    AND s_county IN $counties
+  GROUP BY ss_ticket_number // 8, ss_customer_sk) dn, customer_dim
+WHERE ss_customer_sk = c_customer_sk
+  AND $cntGate
+ORDER BY $order
+LIMIT 100"""
+
+  /** query46/68's shared text (oracle side). */
+  private def q46FamilySql(hdGate: String, dateGate: String,
+      cities: String, aggCols: String, outCols: String): String = s"""
+SELECT c_last_name, c_first_name, ca_city, bought_city, basket_number,
+       $outCols
+FROM (
+  SELECT ss_ticket_number // 8 AS basket_number,
+         ss_customer_sk, ca_city AS bought_city,
+         $aggCols
+  FROM store_sales, date_dim, store, household_demographics,
+       customer_address
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND ss_sold_addr_sk = ca_address_sk
+    AND $hdGate
+    AND $dateGate
+    AND d_year IN (1999, 2000, 2001)
+    AND s_city IN $cities
+  GROUP BY ss_ticket_number // 8, ss_customer_sk, ca_city) dn,
+  customer_dim, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, basket_number,
+         $outCols
+LIMIT 100"""
 
   private def q24FamilySql(color: String): String = s"""
 , ssales AS (

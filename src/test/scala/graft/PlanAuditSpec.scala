@@ -98,6 +98,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dsrealChan = "TPC-DS emulation: each scan is a disjoint " +
     "channel slice standing in for a separate fact/return table"
   private val lineitemScanBudget: Map[String, (Int, Int, String)] = Map(
+    "q_dsreal_q17" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_dsreal_q25" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_dsreal_q29" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_dsreal_q8" -> (2, 2, "ss fact + the customer-zip intersect " +
+      "side (customer scans, one lineitem-free branch) — the zip " +
+      "set is computed from customer parquet only"),
     "q_dsreal_q16" -> (2, 2, "cs fact + cr returns anti join (the " +
       s"multi-warehouse self-join is pinned); $dsrealChan"),
     "q_dsreal_q94" -> (2, 2, "ws fact + wr returns anti join (the " +
