@@ -36,6 +36,7 @@ object SparkEntry {
     TpcdsShapePack6,
     TpcdsShapePack7,
     DsRealPack,
+    DsRealPack2,
     IteratePack
   )
 

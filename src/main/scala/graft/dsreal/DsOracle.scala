@@ -67,7 +67,9 @@ customer_dim AS (
          1 + c_custkey % 72 AS c_current_hdemo_sk,
          CASE c_custkey % 4 WHEN 0 THEN 'UNITED STATES'
               WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY'
-              ELSE 'JAPAN' END AS c_birth_country
+              ELSE 'JAPAN' END AS c_birth_country,
+         CAST(1924 + c_custkey % 69 AS INT) AS c_birth_year,
+         CAST(1 + c_custkey % 12 AS INT) AS c_birth_month
   FROM customer),
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
@@ -80,7 +82,8 @@ customer_address AS (
               WHEN 5 THEN 'GA' WHEN 6 THEN 'OH' WHEN 7 THEN 'KY'
               WHEN 8 THEN 'NM' ELSE 'OR' END AS ca_state,
          'Z' || CAST(c_custkey % 50 AS VARCHAR) AS ca_zip,
-         'United States' AS ca_country
+         'United States' AS ca_country,
+         CAST(-5 - c_nationkey % 4 AS INT) AS ca_gmt_offset
   FROM customer),
 customer_demographics AS (
   SELECT i AS cd_demo_sk,
@@ -123,7 +126,7 @@ web_page AS (
          CAST(4900 + i * 40 AS INT) AS wp_char_count
   FROM range(1, 11) t(i)),
 time_dim AS (
-  SELECT i AS t_time_sk, CAST(i // 3600 AS INT) AS t_hour,
+  SELECT i AS t_time_sk, i AS t_time, CAST(i // 3600 AS INT) AS t_hour,
          CAST((i % 3600) // 60 AS INT) AS t_minute,
          CASE WHEN i // 3600 BETWEEN 6 AND 8 THEN 'breakfast'
               WHEN i // 3600 BETWEEN 11 AND 13 THEN 'lunch'
@@ -135,7 +138,9 @@ ship_mode AS (
          'SM' || CAST(i AS VARCHAR) AS sm_ship_mode_id,
          CASE i WHEN 1 THEN 'EXPRESS' WHEN 2 THEN 'OVERNIGHT'
               WHEN 3 THEN 'REGULAR' WHEN 4 THEN 'TWO DAY'
-              ELSE 'LIBRARY' END AS sm_type
+              ELSE 'LIBRARY' END AS sm_type,
+         CASE i WHEN 1 THEN 'DHL' WHEN 2 THEN 'BARIAN' WHEN 3 THEN 'UPS'
+              WHEN 4 THEN 'FEDEX' ELSE 'USPS' END AS sm_carrier
   FROM range(1, 6) t(i)),
 store AS (
   SELECT i AS s_store_sk, 'S' || CAST(i AS VARCHAR) AS s_store_id,
@@ -146,13 +151,20 @@ store AS (
          'Company_' || CAST(1 + i % 2 AS VARCHAR) AS s_company_name,
          CAST(1 + i % 3 AS INT) AS s_market_id,
          'County_' || CAST(i % 30 AS VARCHAR) AS s_county,
-         'City_' || CAST(i % 60 AS VARCHAR) AS s_city
+         'City_' || CAST(i % 60 AS VARCHAR) AS s_city,
+         CAST(1 + i % 2 AS INT) AS s_company_id,
+         CAST(i * 10 AS VARCHAR) AS s_street_number,
+         'Street_' || CAST(i % 97 AS VARCHAR) AS s_street_name,
+         CASE WHEN i % 2 = 0 THEN 'Ave' ELSE 'Blvd' END AS s_street_type,
+         'Suite_' || CAST(i % 10 AS VARCHAR) AS s_suite_number,
+         CAST(-5 - i % 3 AS INT) AS s_gmt_offset
   FROM range(1, 11) t(i)),
 call_center AS (
   SELECT i AS cc_call_center_sk, 'CC' || CAST(i AS VARCHAR)
            AS cc_call_center_id,
          'CallCenter_' || CAST(i AS VARCHAR) AS cc_name,
-         'County_' || CAST(i % 30 AS VARCHAR) AS cc_county
+         'County_' || CAST(i % 30 AS VARCHAR) AS cc_county,
+         'Manager_' || CAST(i % 20 AS VARCHAR) AS cc_manager
   FROM range(1, 11) t(i)),
 catalog_page AS (
   SELECT i AS cp_catalog_page_sk,
@@ -165,11 +177,18 @@ web_site AS (
   FROM range(1, 11) t(i)),
 ds_base AS (
   SELECT *,
+         net_paid_cents + net_paid_cents // 20 AS net_paid_inc_tax_cents,
+         CASE WHEN promo_sk IS NOT NULL THEN discount_cents // 2
+              ELSE 0 END AS coupon_cents
+  FROM (
+  SELECT *,
          ext_cents // qty AS sales_price_cents,
          (ext_cents * 11) // 10 AS list_price_cents,
          (ext_cents * (60 + item_sk % 30)) // 100 AS wholesale_cost_cents,
          ext_cents - (ext_cents * (60 + item_sk % 30)) // 100
            AS net_profit_cents,
+         ext_cents * (ticket % 11) // 100 AS discount_cents,
+         ext_cents - ext_cents * (ticket % 11) // 100 AS net_paid_cents,
          (qty + 1) // 2 AS ret_qty,
          ext_cents // 2 AS ret_amt_cents,
          (ext_cents // 2) // 50 + 10 AS ret_fee_cents,
@@ -203,12 +222,13 @@ ds_base AS (
                CAST(l_quantity AS BIGINT) AS qty,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
                l_returnflag = 'R' AS returned
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey))),
 store_sales AS (
   SELECT sold_date_sk AS ss_sold_date_sk, item_sk AS ss_item_sk,
-         customer_sk AS ss_customer_sk, store_sk AS ss_store_sk,
+         customer_sk AS ss_customer_sk,
+         CASE WHEN ticket % 47 <> 11 THEN store_sk END AS ss_store_sk,
          cdemo_sk AS ss_cdemo_sk, hdemo_sk AS ss_hdemo_sk,
-         customer_sk AS ss_addr_sk,
+         CASE WHEN ticket % 23 <> 7 THEN customer_sk END AS ss_addr_sk,
          CASE WHEN ticket % 4 = 0 THEN 1 + (ticket * 13) % 1400
               ELSE customer_sk END AS ss_sold_addr_sk,
          sold_time_sk AS ss_sold_time_sk,
@@ -217,6 +237,9 @@ store_sales AS (
          sales_price_cents AS ss_sales_price_cents,
          list_price_cents AS ss_list_price_cents,
          ext_cents AS ss_ext_sales_price_cents,
+         discount_cents AS ss_ext_discount_amt_cents,
+         net_paid_cents AS ss_net_paid_cents,
+         coupon_cents AS ss_coupon_amt_cents,
          wholesale_cost_cents AS ss_wholesale_cost_cents,
          net_profit_cents AS ss_net_profit_cents
   FROM ds_base WHERE chan = 0),
@@ -228,7 +251,8 @@ catalog_sales AS (
          cdemo_sk AS cs_bill_cdemo_sk, hdemo_sk AS cs_bill_hdemo_sk,
          customer_sk AS cs_bill_addr_sk,
          customer_sk AS cs_ship_customer_sk,
-         customer_sk AS cs_ship_addr_sk,
+         CASE WHEN ticket % 47 <> 11 THEN customer_sk END
+           AS cs_ship_addr_sk,
          sold_time_sk AS cs_sold_time_sk,
          ship_mode_sk AS cs_ship_mode_sk,
          warehouse_sk AS cs_warehouse_sk,
@@ -237,6 +261,10 @@ catalog_sales AS (
          sales_price_cents AS cs_sales_price_cents,
          list_price_cents AS cs_list_price_cents,
          ext_cents AS cs_ext_sales_price_cents,
+         discount_cents AS cs_ext_discount_amt_cents,
+         net_paid_cents AS cs_net_paid_cents,
+         net_paid_inc_tax_cents AS cs_net_paid_inc_tax_cents,
+         coupon_cents AS cs_coupon_amt_cents,
          wholesale_cost_cents AS cs_wholesale_cost_cents,
          net_profit_cents AS cs_net_profit_cents
   FROM ds_base WHERE chan = 1),
@@ -247,6 +275,8 @@ web_sales AS (
          cdemo_sk AS ws_bill_cdemo_sk, hdemo_sk AS ws_bill_hdemo_sk,
          customer_sk AS ws_bill_addr_sk,
          customer_sk AS ws_ship_addr_sk,
+         CASE WHEN ticket % 47 <> 11 THEN customer_sk END
+           AS ws_ship_customer_sk,
          store_sk AS ws_web_page_sk,
          sold_time_sk AS ws_sold_time_sk,
          ship_mode_sk AS ws_ship_mode_sk,
@@ -258,24 +288,28 @@ web_sales AS (
          sales_price_cents AS ws_sales_price_cents,
          list_price_cents AS ws_list_price_cents,
          ext_cents AS ws_ext_sales_price_cents,
+         discount_cents AS ws_ext_discount_amt_cents,
+         net_paid_cents AS ws_net_paid_cents,
+         coupon_cents AS ws_coupon_amt_cents,
          wholesale_cost_cents AS ws_wholesale_cost_cents,
          net_profit_cents AS ws_net_profit_cents
   FROM ds_base WHERE chan = 2),
 store_returns AS (
   SELECT item_sk AS sr_item_sk, ticket AS sr_ticket_number,
          customer_sk AS sr_customer_sk,
-         sold_date_sk + 30 AS sr_returned_date_sk, store_sk AS sr_store_sk,
+         sold_date_sk + 1 + ticket % 146 AS sr_returned_date_sk, store_sk AS sr_store_sk,
          reason_sk AS sr_reason_sk, ret_fee_cents AS sr_fee_cents,
          ret_cash_cents AS sr_refunded_cash_cents,
          ret_charge_cents AS sr_reversed_charge_cents,
          ret_credit_cents AS sr_store_credit_cents,
          ret_qty AS sr_return_quantity, ret_amt_cents AS sr_return_amt_cents,
+         ret_cdemo_sk AS sr_cdemo_sk,
          ret_amt_cents // 10 AS sr_net_loss_cents
   FROM ds_base WHERE chan = 0 AND returned),
 catalog_returns AS (
   SELECT item_sk AS cr_item_sk, ticket AS cr_order_number,
          customer_sk AS cr_returning_customer_sk,
-         sold_date_sk + 30 AS cr_returned_date_sk, store_sk AS cr_store_sk,
+         sold_date_sk + 1 + ticket % 146 AS cr_returned_date_sk, store_sk AS cr_store_sk,
          reason_sk AS cr_reason_sk, ret_fee_cents AS cr_fee_cents,
          ret_cash_cents AS cr_refunded_cash_cents,
          ret_charge_cents AS cr_reversed_charge_cents,
@@ -286,7 +320,7 @@ catalog_returns AS (
 web_returns AS (
   SELECT item_sk AS wr_item_sk, ticket AS wr_order_number,
          customer_sk AS wr_returning_customer_sk,
-         sold_date_sk + 30 AS wr_returned_date_sk, store_sk AS wr_store_sk,
+         sold_date_sk + 1 + ticket % 146 AS wr_returned_date_sk, store_sk AS wr_store_sk,
          reason_sk AS wr_reason_sk, ret_fee_cents AS wr_fee_cents,
          ret_cash_cents AS wr_refunded_cash_cents,
          ret_charge_cents AS wr_reversed_charge_cents,
@@ -301,7 +335,11 @@ warehouse AS (
   SELECT i AS w_warehouse_sk, 'W' || CAST(i AS VARCHAR) AS w_warehouse_id,
          'Warehouse_' || CAST(i AS VARCHAR) AS w_warehouse_name,
          CASE i % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
-              WHEN 3 THEN 'TX' ELSE 'WA' END AS w_state
+              WHEN 3 THEN 'TX' ELSE 'WA' END AS w_state,
+         CAST(i * 1000 + 500 AS INT) AS w_warehouse_sq_ft,
+         'City_' || CAST(i % 60 AS VARCHAR) AS w_city,
+         'County_' || CAST(i % 30 AS VARCHAR) AS w_county,
+         'United States' AS w_country
   FROM range(1, 6) t(i)),
 inventory AS (
   SELECT d.d_date_sk AS inv_date_sk, p.p_partkey AS inv_item_sk,
@@ -320,6 +358,7 @@ promotion AS (
          'Promo_' || CAST(i AS VARCHAR) AS p_promo_name,
          CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
          CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-         CASE WHEN i % 3 = 1 THEN 'N' ELSE 'Y' END AS p_channel_event
+         CASE WHEN i % 3 = 1 THEN 'N' ELSE 'Y' END AS p_channel_event,
+         CASE WHEN i % 4 = 2 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM range(1, 11) t(i))"""
 }

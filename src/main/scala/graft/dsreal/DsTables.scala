@@ -132,7 +132,11 @@ object DsTables {
       when($"c_custkey" % 4 === 0, "UNITED STATES")
         .when($"c_custkey" % 4 === 1, "CANADA")
         .when($"c_custkey" % 4 === 2, "GERMANY")
-        .otherwise("JAPAN").as("c_birth_country"))
+        .otherwise("JAPAN").as("c_birth_country"),
+      // q18's demographic report keys: birth years span 1924-1992,
+      // months cycle all 12
+      (lit(1924) + $"c_custkey" % 69).cast("int").as("c_birth_year"),
+      (lit(1) + $"c_custkey" % 12).cast("int").as("c_birth_month"))
   }
 
   /** customer_address: 1:1 with customer (ca_address_sk = c_custkey =
@@ -160,7 +164,9 @@ object DsTables {
         .when($"c_nationkey" % 10 === 8, "NM")
         .otherwise("OR").as("ca_state"),
       concat(lit("Z"), ($"c_custkey" % 50).cast("string")).as("ca_zip"),
-      lit("United States").as("ca_country"))
+      lit("United States").as("ca_country"),
+      // q61/q91's timezone gate: -5..-8 keyed by nation like ca_state
+      (lit(-5) - $"c_nationkey" % 4).cast("int").as("ca_gmt_offset"))
   }
 
   /** customer_demographics: 210 rows cycling the full 2x5x7
@@ -249,6 +255,9 @@ object DsTables {
     import s.implicits._
     s.range(0, 86400).select(
       $"id".as("t_time_sk"),
+      // t_time = second-of-day = the surrogate itself (real dsdgen
+      // output has the same identity), q66's shift-window gate
+      $"id".as("t_time"),
       expr("id div 3600").cast("int").as("t_hour"),
       expr("(id % 3600) div 60").cast("int").as("t_minute"),
       when(expr("id div 3600").between(6, 8), "breakfast")
@@ -266,7 +275,11 @@ object DsTables {
       concat(lit("SM"), $"id".cast("string")).as("sm_ship_mode_id"),
       when($"id" === 1, "EXPRESS").when($"id" === 2, "OVERNIGHT")
         .when($"id" === 3, "REGULAR").when($"id" === 4, "TWO DAY")
-        .otherwise("LIBRARY").as("sm_type"))
+        .otherwise("LIBRARY").as("sm_type"),
+      // q66's carrier pair gate keeps modes 1-2 of 5
+      when($"id" === 1, "DHL").when($"id" === 2, "BARIAN")
+        .when($"id" === 3, "UPS").when($"id" === 4, "FEDEX")
+        .otherwise("USPS").as("sm_carrier"))
   }
 
   def store(s: SparkSession): DataFrame = {
@@ -290,7 +303,17 @@ object DsTables {
       concat(lit("County_"), ($"id" % 30).cast("string")).as("s_county"),
       // q46/q68/q79's city key — same City_0..59 namespace as
       // customer_address.ca_city
-      concat(lit("City_"), ($"id" % 60).cast("string")).as("s_city"))
+      concat(lit("City_"), ($"id" % 60).cast("string")).as("s_city"),
+      // q50's report columns and q61's timezone gate (-5..-7, same
+      // namespace as ca_gmt_offset's -5..-8)
+      (lit(1) + $"id" % 2).cast("int").as("s_company_id"),
+      ($"id" * 10).cast("string").as("s_street_number"),
+      concat(lit("Street_"), ($"id" % 97).cast("string"))
+        .as("s_street_name"),
+      when($"id" % 2 === 0, "Ave").otherwise("Blvd").as("s_street_type"),
+      concat(lit("Suite_"), ($"id" % 10).cast("string"))
+        .as("s_suite_number"),
+      (lit(-5) - $"id" % 3).cast("int").as("s_gmt_offset"))
   }
 
   /** catalog_page / web_site: the catalog and web channels' id dims
@@ -369,6 +392,18 @@ object DsTables {
         expr("(ext_cents * (60 + item_sk % 30)) div 100"))
       .withColumn("net_profit_cents",
         col("ext_cents") - col("wholesale_cost_cents"))
+      // discount 0-10% varying by ticket (integer-only, no float
+      // rounding), net_paid = ext - discount, catalog's tax-inclusive
+      // variant +5%, coupon = half the discount on promoted sales only
+      .withColumn("discount_cents",
+        expr("ext_cents * (ticket % 11) div 100"))
+      .withColumn("net_paid_cents",
+        col("ext_cents") - col("discount_cents"))
+      .withColumn("net_paid_inc_tax_cents",
+        expr("net_paid_cents + net_paid_cents div 20"))
+      .withColumn("coupon_cents",
+        when(col("promo_sk").isNotNull, expr("discount_cents div 2"))
+          .otherwise(0L))
       .withColumn("ret_qty", expr("(qty + 1) div 2"))
       .withColumn("ret_amt_cents", expr("ext_cents div 2"))
       // the refund decomposition (cash + reversed charge + store
@@ -390,17 +425,25 @@ object DsTables {
     // catalog's location surrogate also plays the call-center role
     // (see [[callCenter]]); web's plays the page role; catalog gets
     // the ship-to customer (= the buyer in this derivation)
+    // the q76 family's NULL-FK slice: ~2% of each channel's rows have
+    // one role key missing (store for ss, ship-to address for cs,
+    // ship-to customer for ws), like dsdgen's nullable columns —
+    // inner joins through that key drop the slice identically on both
+    // engines, and q76 aggregates exactly the slice
+    val nullGate = col("ticket") % 47 === 11
     val ccCols = if (p == "cs")
       Seq(col("store_sk").as("cs_call_center_sk"),
         col("customer_sk").as("cs_ship_customer_sk"),
         // ship-to address = the buyer's (the ship-to customer IS the
         // buyer in this derivation), q16's ca_state gate key
-        col("customer_sk").as("cs_ship_addr_sk"),
+        when(!nullGate, col("customer_sk")).as("cs_ship_addr_sk"),
         col("ship_mode_sk").as("cs_ship_mode_sk"),
-        col("warehouse_sk").as("cs_warehouse_sk"))
+        col("warehouse_sk").as("cs_warehouse_sk"),
+        col("net_paid_inc_tax_cents").as("cs_net_paid_inc_tax_cents"))
     else if (p == "ws")
       Seq(col("store_sk").as("ws_web_page_sk"),
         col("customer_sk").as("ws_ship_addr_sk"),
+        when(!nullGate, col("customer_sk")).as("ws_ship_customer_sk"),
         col("ship_mode_sk").as("ws_ship_mode_sk"),
         col("warehouse_sk").as("ws_warehouse_sk"),
         col("ship_hdemo_sk").as("ws_ship_hdemo_sk"),
@@ -415,14 +458,22 @@ object DsTables {
     val soldAddrCols = if (p != "ss") Nil else Seq(
       when(col("ticket") % 4 === 0, lit(1) + (col("ticket") * 13) % 1400)
         .otherwise(col("customer_sk")).as("ss_sold_addr_sk"))
+    // store sales: the store key itself is the ~2% nullable role
+    // (q76's ss_store_sk IS NULL branch), and ~4% lose the bill
+    // address (q44's null-addr baseline slice)
+    val storeCol = if (p == "ss") when(!nullGate, col("store_sk"))
+      else col("store_sk")
+    val addrCol = if (p == "ss")
+      when(col("ticket") % 23 =!= 7, col("customer_sk"))
+    else col("customer_sk")
     base(s, d).filter(col("chan") === chan).select(Seq(
       col("sold_date_sk").as(s"${p}_sold_date_sk"),
       col("item_sk").as(s"${p}_item_sk"),
       col("customer_sk").as(custCol),
-      col("store_sk").as(s"${p}_store_sk"),
+      storeCol.as(s"${p}_store_sk"),
       col("cdemo_sk").as(s"${demoPrefix}_cdemo_sk"),
       col("hdemo_sk").as(s"${demoPrefix}_hdemo_sk"),
-      col("customer_sk").as(s"${demoPrefix}_addr_sk"),
+      addrCol.as(s"${demoPrefix}_addr_sk"),
       col("sold_time_sk").as(s"${p}_sold_time_sk"),
       col("ticket").as(orderCol),
       col("promo_sk").as(s"${p}_promo_sk"),
@@ -430,6 +481,9 @@ object DsTables {
       col("sales_price_cents").as(s"${p}_sales_price_cents"),
       col("list_price_cents").as(s"${p}_list_price_cents"),
       col("ext_cents").as(s"${p}_ext_sales_price_cents"),
+      col("discount_cents").as(s"${p}_ext_discount_amt_cents"),
+      col("net_paid_cents").as(s"${p}_net_paid_cents"),
+      col("coupon_cents").as(s"${p}_coupon_amt_cents"),
       col("wholesale_cost_cents").as(s"${p}_wholesale_cost_cents"),
       col("net_profit_cents").as(s"${p}_net_profit_cents"))
       ++ shipCols ++ ccCols ++ soldAddrCols: _*)
@@ -440,17 +494,27 @@ object DsTables {
     // q85's web-return snowflake keys: the refunded party is the
     // buyer (their sale-time demographics/address), the returning
     // party's demographics cycle separately
-    val wrCols = if (p != "wr") Nil else Seq(
+    val wrCols = if (p == "wr") Seq(
       col("cdemo_sk").as("wr_refunded_cdemo_sk"),
       col("ret_cdemo_sk").as("wr_returning_cdemo_sk"),
       col("customer_sk").as("wr_refunded_addr_sk"))
+    // q84's store-return demographics role: the returning party's
+    // demographics cycle separately from the sale's (same key the web
+    // channel uses for wr_returning_cdemo_sk)
+    else if (p == "sr") Seq(col("ret_cdemo_sk").as("sr_cdemo_sk"))
+    else Nil
     base(s, d).filter(col("chan") === chan && col("returned")).select(Seq(
       col("item_sk").as(s"${p}_item_sk"),
       col("ticket").as(orderCol),
       // the returning customer is the buyer (real TPC-DS lets them
       // differ; the derivation keys returns 1:1 to their sale)
       col("customer_sk").as(custCol),
-      (col("sold_date_sk") + 30).as(s"${p}_returned_date_sk"),
+      // return lag 1..146 days varying by ticket, so q50's day-bucket
+      // report populates every band (a flat +30 would funnel all
+      // returns into one bucket); rows whose lag passes date_dim's end
+      // drop out of date-role joins identically on both engines
+      (col("sold_date_sk") + 1 + col("ticket") % 146)
+        .as(s"${p}_returned_date_sk"),
       col("store_sk").as(s"${p}_store_sk"),
       col("reason_sk").as(s"${p}_reason_sk"),
       col("ret_fee_cents").as(s"${p}_fee_cents"),
@@ -491,7 +555,9 @@ object DsTables {
       concat(lit("CallCenter_"), $"id".cast("string")).as("cc_name"),
       // q16's county gate key — same County_0..29 namespace as
       // store.s_county / customer_address.ca_county
-      concat(lit("County_"), ($"id" % 30).cast("string")).as("cc_county"))
+      concat(lit("County_"), ($"id" % 30).cast("string")).as("cc_county"),
+      // q91's report column
+      concat(lit("Manager_"), ($"id" % 20).cast("string")).as("cc_manager"))
   }
 
   /** promotion: 10 synthetic rows (TpcdsSchemaProvider.java promotion);
@@ -507,7 +573,10 @@ object DsTables {
       // offset mod-3 cycles keep 2/3 of promotions — selective but
       // never empty
       when($"id" % 3 === 0, "N").otherwise("Y").as("p_channel_email"),
-      when($"id" % 3 === 1, "N").otherwise("Y").as("p_channel_event"))
+      when($"id" % 3 === 1, "N").otherwise("Y").as("p_channel_event"),
+      // q61 ORs tv into the dmail/email disjunction; q80 keeps the
+      // tv='N' majority (7 of 10 promotions)
+      when($"id" % 4 === 2, "Y").otherwise("N").as("p_channel_tv"))
   }
 
   /** warehouse: 5 synthetic rows (TpcdsSchemaProvider.java warehouse),
@@ -520,7 +589,13 @@ object DsTables {
       concat(lit("Warehouse_"), $"id".cast("string")).as("w_warehouse_name"),
       when($"id" % 5 === 0, "TN").when($"id" % 5 === 1, "CA")
         .when($"id" % 5 === 2, "NY").when($"id" % 5 === 3, "TX")
-        .otherwise("WA").as("w_state"))
+        .otherwise("WA").as("w_state"),
+      // q66's monthly-rollup report columns; sq_ft varies by warehouse
+      // so the per-sq-foot division is non-constant
+      ($"id" * 1000 + 500).cast("int").as("w_warehouse_sq_ft"),
+      concat(lit("City_"), ($"id" % 60).cast("string")).as("w_city"),
+      concat(lit("County_"), ($"id" % 30).cast("string")).as("w_county"),
+      lit("United States").as("w_country"))
   }
 
   /** inventory: weekly (Sunday) quantity-on-hand per item x warehouse

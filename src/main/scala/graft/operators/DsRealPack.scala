@@ -1682,7 +1682,8 @@ object DsRealPack extends QueryPack {
       DsTables.storeSales(s, d)
         .join(broadcast(dd), $"ss_sold_date_sk" === $"d_date_sk")
         .join(broadcast(cd), $"ss_cdemo_sk" === $"cd_demo_sk")
-        .join(broadcast(DsTables.store(s).filter($"s_state" === "TN")
+        .join(broadcast(DsTables.store(s)
+          .filter($"s_state".isin("TN", "CA", "NY"))
           .select($"s_store_sk", $"s_state")),
           $"ss_store_sk" === $"s_store_sk")
         .join(broadcast(DsTables.item(s, d)
@@ -4396,7 +4397,7 @@ WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
   AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
   AND cd_gender = 'M' AND cd_marital_status = 'S'
   AND cd_education_status = 'College'
-  AND d_year = 2000 AND s_state IN ('TN')
+  AND d_year = 2000 AND s_state IN ('TN','CA','NY')
 GROUP BY ROLLUP (i_item_id, s_state)
 ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
 LIMIT 100"""),
