@@ -248,6 +248,7 @@ catalog_sales AS (
          item_sk AS cs_item_sk,
          customer_sk AS cs_bill_customer_sk, store_sk AS cs_store_sk,
          store_sk AS cs_call_center_sk,
+         store_sk AS cs_catalog_page_sk,
          cdemo_sk AS cs_bill_cdemo_sk, hdemo_sk AS cs_bill_hdemo_sk,
          customer_sk AS cs_bill_addr_sk,
          customer_sk AS cs_ship_customer_sk,
@@ -315,6 +316,7 @@ catalog_returns AS (
          ret_charge_cents AS cr_reversed_charge_cents,
          ret_credit_cents AS cr_store_credit_cents,
          ret_qty AS cr_return_quantity, ret_amt_cents AS cr_return_amt_cents,
+         store_sk AS cr_call_center_sk,
          ret_amt_cents // 10 AS cr_net_loss_cents
   FROM ds_base WHERE chan = 1 AND returned),
 web_returns AS (
@@ -328,6 +330,7 @@ web_returns AS (
          cdemo_sk AS wr_refunded_cdemo_sk,
          ret_cdemo_sk AS wr_returning_cdemo_sk,
          customer_sk AS wr_refunded_addr_sk,
+         store_sk AS wr_web_page_sk,
          ret_qty AS wr_return_quantity, ret_amt_cents AS wr_return_amt_cents,
          ret_amt_cents // 10 AS wr_net_loss_cents
   FROM ds_base WHERE chan = 2 AND returned),

@@ -433,6 +433,7 @@ object DsTables {
     val nullGate = col("ticket") % 47 === 11
     val ccCols = if (p == "cs")
       Seq(col("store_sk").as("cs_call_center_sk"),
+        col("store_sk").as("cs_catalog_page_sk"),
         col("customer_sk").as("cs_ship_customer_sk"),
         // ship-to address = the buyer's (the ship-to customer IS the
         // buyer in this derivation), q16's ca_state gate key
@@ -497,11 +498,17 @@ object DsTables {
     val wrCols = if (p == "wr") Seq(
       col("cdemo_sk").as("wr_refunded_cdemo_sk"),
       col("ret_cdemo_sk").as("wr_returning_cdemo_sk"),
-      col("customer_sk").as("wr_refunded_addr_sk"))
+      col("customer_sk").as("wr_refunded_addr_sk"),
+      // q77's web-return page role: same 1..10 surrogate the sale
+      // carries in ws_web_page_sk
+      col("store_sk").as("wr_web_page_sk"))
     // q84's store-return demographics role: the returning party's
     // demographics cycle separately from the sale's (same key the web
-    // channel uses for wr_returning_cdemo_sk)
+    // channel uses for wr_returning_cdemo_sk); q91's call-center role
+    // rides the catalog channel's location surrogate like
+    // cs_call_center_sk does
     else if (p == "sr") Seq(col("ret_cdemo_sk").as("sr_cdemo_sk"))
+    else if (p == "cr") Seq(col("store_sk").as("cr_call_center_sk"))
     else Nil
     base(s, d).filter(col("chan") === chan && col("returned")).select(Seq(
       col("item_sk").as(s"${p}_item_sk"),
