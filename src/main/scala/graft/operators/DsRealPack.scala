@@ -28,13 +28,15 @@ import org.apache.spark.sql.functions._
   * total (tiebreak columns appended) wherever LIMIT binds, q23's
   * frequency granularity is per item-YEAR (per item-DAY is always 1
   * at these row counts), q14b's comparison period is a MONTH (the
-  * reference's single week is empty at sf0.01), and q64's demographic
-  * dims (cdemo/hdemo/address/income_band/promotion), absent from the
-  * derived schema, are omitted while its signature features — the
-  * refund-gated cs_ui CTE, the triple date role, the cross-year
-  * same-item-same-store self-pair with the cnt gate — are kept;
+  * reference's single week is empty at sf0.01), q64 runs the full
+  * reference snowflake (sale-time AND current demographics with the
+  * marital gate, both household-demographics legs chained to
+  * income_band, both address roles, promotion, the color/price item
+  * gates, the refund-split cs_ui HAVING);
   * q38/q87's same-period activity key is per YEAR (same-day is empty
   * at sf0.01); q95's warehouse is stood in by the facts' store_sk.
+  * [[DsRealPack2]] carries the final 17 texts — together the two
+  * packs cover all 103.
   *
   * Scale notes: the emulation maps all six TPC-DS fact/return tables
   * onto ONE lineitem parquet (channel = l_orderkey % 3), so a plan
@@ -863,16 +865,16 @@ object DsRealPack extends QueryPack {
     // query21.sql: inventory on-hand before/after a pivot date per
     // warehouse x item over a 61-day window, kept when the
     // after/before ratio stays within [2/3, 3/2] (cross-multiplied
-    // exact; the reference's i_current_price band, absent from the
-    // derived item, is stood in by an i_manufact_id band of
-    // comparable selectivity).
+    // exact; the reference's i_current_price band rescaled into the
+    // generator's 90000..99990 cent price domain).
     "q_dsreal_q21" -> ((s, d) => {
       import s.implicits._
       val pivot = lit("2000-03-11").cast("date")
       val dd = DsTables.dateDim(s)
         .filter($"d_date".between(date_sub(pivot, 30), date_add(pivot, 30)))
         .select($"d_date_sk", $"d_date")
-      val it = DsTables.item(s, d).filter($"i_manufact_id".between(10, 35))
+      val it = DsTables.item(s, d)
+        .filter($"i_current_price_cents".between(92000L, 97000L))
         .select($"i_item_sk", $"i_item_id")
       DsTables.inventory(s, d)
         .join(broadcast(dd), $"inv_date_sk" === $"d_date_sk")
@@ -3933,7 +3935,7 @@ SELECT * FROM (
                        THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
            AS inv_after
   FROM inventory, warehouse, item, date_dim
-  WHERE i_manufact_id BETWEEN 10 AND 35
+  WHERE i_current_price_cents BETWEEN 92000 AND 97000
     AND i_item_sk = inv_item_sk
     AND inv_warehouse_sk = w_warehouse_sk
     AND inv_date_sk = d_date_sk

@@ -287,27 +287,28 @@ object DsRealPack2 extends QueryPack {
     // average over its null-address slice). The reference scans the
     // fact three times (per-item, baseline, and again for the desc
     // rank); here ONE grouped pass computes per-item sums AND the
-    // baseline as a conditional sum folded over the groups, the gated
-    // frame is pinned, and both rank directions read the pin. Rank
+    // baseline as a conditional sum folded over the groups, the
+    // per-item frame is pinned, and the baseline, the gate, and both
+    // rank directions all read the pin. Rank
     // keys are totalized with item_sk so rnk is a unique 1..n and the
     // asc/desc join stays 1:1.
     "q_dsreal_q44" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val per = DsTables.storeSales(s, d).filter($"ss_store_sk" === 4)
+      val per = pin(DsTables.storeSales(s, d).filter($"ss_store_sk" === 4)
         .groupBy($"ss_item_sk")
         .agg(sum($"ss_net_profit_cents").as("np_sum"),
           count(lit(1)).as("np_cnt"),
           sum(when($"ss_addr_sk".isNull, $"ss_net_profit_cents"))
             .as("base_sum_part"),
-          count(when($"ss_addr_sk".isNull, 1)).as("base_cnt_part"))
+          count(when($"ss_addr_sk".isNull, 1)).as("base_cnt_part")))
       val base = per.agg(sum($"base_sum_part").as("b_sum"),
         sum($"base_cnt_part").as("b_cnt"))
-      val gated = pin(per.crossJoin(broadcast(base))
+      val gated = per.crossJoin(broadcast(base))
         .filter($"np_sum" * $"b_cnt" * 10 > $"b_sum" * $"np_cnt" * 9)
         .select($"ss_item_sk".as("item_sk"),
           expr("(np_sum div np_cnt) * 1000000" +
-            " + ((np_sum % np_cnt) * 1000000) div np_cnt").as("rank_col")))
+            " + ((np_sum % np_cnt) * 1000000) div np_cnt").as("rank_col"))
       val asc = gated.withColumn("rnk", rank().over(
           Window.orderBy($"rank_col".asc, $"item_sk".asc)).cast("long"))
         .filter($"rnk" < 11).select($"rnk", $"item_sk".as("asc_sk"))
@@ -590,6 +591,209 @@ object DsRealPack2 extends QueryPack {
           $"cc_name".as("call_center_name"), $"cc_manager".as("manager"),
           $"returns_loss")
         .orderBy($"returns_loss".desc, $"call_center")
+    }),
+
+    // query66.sql: warehouse shipping report — web + catalog sales in
+    // one shift window and two carriers, pivoted into 12 monthly sales
+    // / net columns per warehouse, re-aggregated with per-square-foot
+    // micro-rates (x1e6, mirrored exactly: the integer division
+    // happens on each branch row before the outer sum, as in the
+    // reference's sum-of-quotients).
+    "q_dsreal_q66" -> ((s, d) => {
+      import s.implicits._
+      val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+        "aug", "sep", "oct", "nov", "dec")
+      val dd = DsTables.dateDim(s).filter($"d_year" === 2001)
+        .select($"d_date_sk", $"d_moy", $"d_year")
+      val td = DsTables.timeDim(s)
+        .filter($"t_time".between(30838, 30838 + 28800))
+        .select($"t_time_sk")
+      val sm = DsTables.shipMode(s)
+        .filter($"sm_carrier".isin("DHL", "BARIAN"))
+        .select($"sm_ship_mode_sk")
+      val wh = DsTables.warehouse(s)
+      def branch(f: DataFrame, whC: String, dateC: String, timeC: String,
+          modeC: String, salesE: Column, netE: Column) = {
+        val aggs = months.zipWithIndex.flatMap { case (mn, i) =>
+          Seq(sum(when($"d_moy" === i + 1, salesE).otherwise(0L))
+            .as(s"${mn}_sales"),
+            sum(when($"d_moy" === i + 1, netE).otherwise(0L))
+              .as(s"${mn}_net"))
+        }
+        f.join(broadcast(dd), col(dateC) === $"d_date_sk")
+          .join(broadcast(td), col(timeC) === $"t_time_sk")
+          .join(broadcast(sm), col(modeC) === $"sm_ship_mode_sk")
+          .join(broadcast(wh), col(whC) === $"w_warehouse_sk")
+          .groupBy($"w_warehouse_name", $"w_warehouse_sq_ft", $"w_city",
+            $"w_county", $"w_state", $"w_country", $"d_year")
+          .agg(aggs.head, aggs.tail: _*)
+          .select((Seq($"w_warehouse_name", $"w_warehouse_sq_ft",
+            $"w_city", $"w_county", $"w_state", $"w_country",
+            lit("DHL,BARIAN").as("ship_carriers"),
+            $"d_year".as("year")) ++
+            months.flatMap(mn =>
+              Seq(col(s"${mn}_sales"), col(s"${mn}_net")))): _*)
+      }
+      val outerAggs = months.flatMap { mn =>
+        Seq(sum(col(s"${mn}_sales")).as(s"${mn}_sales"),
+          sum(expr(s"(${mn}_sales * 1000000) div w_warehouse_sq_ft"))
+            .as(s"${mn}_sales_per_sq_foot"),
+          sum(col(s"${mn}_net")).as(s"${mn}_net"))
+      }
+      branch(DsTables.webSales(s, d), "ws_warehouse_sk",
+          "ws_sold_date_sk", "ws_sold_time_sk", "ws_ship_mode_sk",
+          $"ws_ext_sales_price_cents" * $"ws_quantity",
+          $"ws_net_paid_cents" * $"ws_quantity")
+        .union(branch(DsTables.catalogSales(s, d), "cs_warehouse_sk",
+          "cs_sold_date_sk", "cs_sold_time_sk", "cs_ship_mode_sk",
+          $"cs_sales_price_cents" * $"cs_quantity",
+          $"cs_net_paid_inc_tax_cents" * $"cs_quantity"))
+        .groupBy($"w_warehouse_name", $"w_warehouse_sq_ft", $"w_city",
+          $"w_county", $"w_state", $"w_country", $"ship_carriers",
+          $"year")
+        .agg(outerAggs.head, outerAggs.tail: _*)
+        .orderBy($"w_warehouse_name")
+        .limit(100)
+    }),
+
+    // query77.sql: 30-day per-channel sales/returns/profit with each
+    // channel keyed by its own location dim (store / call center /
+    // web page), ROLLUP over (channel, id). The store and web
+    // branches left-join their returns on the location key; the
+    // catalog branch keeps the reference's bare CROSS JOIN of the cs
+    // and cr aggregates.
+    "q_dsreal_q77" -> ((s, d) => {
+      import s.implicits._
+      val dd30 = DsTables.dateDim(s)
+        .filter($"d_date".between(lit("2000-08-23").cast("date"),
+          date_add(lit("2000-08-23").cast("date"), 30)))
+        .select($"d_date_sk")
+      val ss = DsTables.storeSales(s, d)
+        .join(broadcast(dd30), $"ss_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s).select($"s_store_sk")),
+          $"ss_store_sk" === $"s_store_sk")
+        .groupBy($"s_store_sk")
+        .agg(sum($"ss_ext_sales_price_cents").as("sales"),
+          sum($"ss_net_profit_cents").as("profit"))
+      val sr = DsTables.storeReturns(s, d)
+        .join(broadcast(dd30), $"sr_returned_date_sk" === $"d_date_sk")
+        .join(broadcast(DsTables.store(s)
+          .select($"s_store_sk".as("r_store_sk"))),
+          $"sr_store_sk" === $"r_store_sk")
+        .groupBy($"r_store_sk")
+        .agg(sum($"sr_return_amt_cents").as("returns_amt"),
+          sum($"sr_net_loss_cents").as("profit_loss"))
+      val storeChan = ss.join(sr, $"s_store_sk" === $"r_store_sk", "left")
+        .select(lit("store channel").as("channel"),
+          $"s_store_sk".as("id"), $"sales",
+          coalesce($"returns_amt", lit(0L)).as("returns_amt"),
+          ($"profit" - coalesce($"profit_loss", lit(0L))).as("profit"))
+      val cs = DsTables.catalogSales(s, d)
+        .join(broadcast(dd30), $"cs_sold_date_sk" === $"d_date_sk")
+        .groupBy($"cs_call_center_sk")
+        .agg(sum($"cs_ext_sales_price_cents").as("sales"),
+          sum($"cs_net_profit_cents").as("profit"))
+      val cr = DsTables.catalogReturns(s, d)
+        .join(broadcast(dd30), $"cr_returned_date_sk" === $"d_date_sk")
+        .groupBy($"cr_call_center_sk")
+        .agg(sum($"cr_return_amt_cents").as("returns_amt"),
+          sum($"cr_net_loss_cents").as("profit_loss"))
+      val catalogChan = cs.crossJoin(broadcast(cr))
+        .select(lit("catalog channel").as("channel"),
+          $"cs_call_center_sk".as("id"), $"sales",
+          $"returns_amt", ($"profit" - $"profit_loss").as("profit"))
+      val wp = DsTables.webPage(s).select($"wp_web_page_sk")
+      val ws = DsTables.webSales(s, d)
+        .join(broadcast(dd30), $"ws_sold_date_sk" === $"d_date_sk")
+        .join(broadcast(wp), $"ws_web_page_sk" === $"wp_web_page_sk")
+        .groupBy($"wp_web_page_sk")
+        .agg(sum($"ws_ext_sales_price_cents").as("sales"),
+          sum($"ws_net_profit_cents").as("profit"))
+      val wr = DsTables.webReturns(s, d)
+        .join(broadcast(dd30), $"wr_returned_date_sk" === $"d_date_sk")
+        .join(broadcast(wp.select($"wp_web_page_sk".as("r_page_sk"))),
+          $"wr_web_page_sk" === $"r_page_sk")
+        .groupBy($"r_page_sk")
+        .agg(sum($"wr_return_amt_cents").as("returns_amt"),
+          sum($"wr_net_loss_cents").as("profit_loss"))
+      val webChan = ws.join(wr, $"wp_web_page_sk" === $"r_page_sk", "left")
+        .select(lit("web channel").as("channel"),
+          $"wp_web_page_sk".as("id"), $"sales",
+          coalesce($"returns_amt", lit(0L)).as("returns_amt"),
+          ($"profit" - coalesce($"profit_loss", lit(0L))).as("profit"))
+      storeChan.union(catalogChan).union(webChan)
+        .rollup($"channel", $"id")
+        .agg(sum($"sales").as("sales"),
+          sum($"returns_amt").as("returns_amt"),
+          sum($"profit").as("profit"))
+        .orderBy($"channel", $"id")
+        .limit(100)
+    }),
+
+    // query80.sql: 30-day per-channel report over promoted (non-TV)
+    // sales of high-priced items, sales left-joined to their returns,
+    // ROLLUP over (channel, 'prefix'||id).
+    "q_dsreal_q80" -> ((s, d) => {
+      import s.implicits._
+      val dd30 = DsTables.dateDim(s)
+        .filter($"d_date".between(lit("2000-08-23").cast("date"),
+          date_add(lit("2000-08-23").cast("date"), 30)))
+        .select($"d_date_sk")
+      val it = DsTables.item(s, d)
+        .filter($"i_current_price_cents" > 95000).select($"i_item_sk")
+      val pr = DsTables.promotion(s).filter($"p_channel_tv" === "N")
+        .select($"p_promo_sk")
+      def branch(f: DataFrame, r: DataFrame, itemC: String, ordC: String,
+          ritemC: String, rordC: String, dateC: String, extC: String,
+          npC: String, ramtC: String, rlossC: String, promoC: String,
+          dim: DataFrame, dimSk: String, dimId: String, label: String,
+          idPrefix: String) =
+        f.join(r, col(itemC) === col(ritemC) && col(ordC) === col(rordC),
+            "left")
+          .join(broadcast(dd30), col(dateC) === $"d_date_sk")
+          .join(broadcast(dim), col(s"${label}_fk") === col(dimSk))
+          .join(broadcast(it), col(itemC) === $"i_item_sk")
+          .join(broadcast(pr), col(promoC) === $"p_promo_sk")
+          .groupBy(col(dimId))
+          .agg(sum(col(extC)).as("sales"),
+            sum(coalesce(col(ramtC), lit(0L))).as("returns_amt"),
+            sum(col(npC) - coalesce(col(rlossC), lit(0L))).as("profit"))
+          .select(lit(s"$label channel").as("channel"),
+            concat(lit(idPrefix), col(dimId)).as("id"), $"sales",
+            $"returns_amt", $"profit")
+      val store = branch(
+        DsTables.storeSales(s, d)
+          .withColumn("store_fk", $"ss_store_sk"),
+        DsTables.storeReturns(s, d), "ss_item_sk", "ss_ticket_number",
+        "sr_item_sk", "sr_ticket_number", "ss_sold_date_sk",
+        "ss_ext_sales_price_cents", "ss_net_profit_cents",
+        "sr_return_amt_cents", "sr_net_loss_cents", "ss_promo_sk",
+        DsTables.store(s).select($"s_store_sk", $"s_store_id"),
+        "s_store_sk", "s_store_id", "store", "store")
+      val catalog = branch(
+        DsTables.catalogSales(s, d)
+          .withColumn("catalog_fk", $"cs_catalog_page_sk"),
+        DsTables.catalogReturns(s, d), "cs_item_sk", "cs_order_number",
+        "cr_item_sk", "cr_order_number", "cs_sold_date_sk",
+        "cs_ext_sales_price_cents", "cs_net_profit_cents",
+        "cr_return_amt_cents", "cr_net_loss_cents", "cs_promo_sk",
+        DsTables.catalogPage(s), "cp_catalog_page_sk",
+        "cp_catalog_page_id", "catalog", "catalog_page")
+      val web = branch(
+        DsTables.webSales(s, d).withColumn("web_fk", $"ws_web_site_sk"),
+        DsTables.webReturns(s, d), "ws_item_sk", "ws_order_number",
+        "wr_item_sk", "wr_order_number", "ws_sold_date_sk",
+        "ws_ext_sales_price_cents", "ws_net_profit_cents",
+        "wr_return_amt_cents", "wr_net_loss_cents", "ws_promo_sk",
+        DsTables.webSite(s).select($"web_site_sk", $"web_site_id"),
+        "web_site_sk", "web_site_id", "web", "web_site")
+      store.union(catalog).union(web)
+        .rollup($"channel", $"id")
+        .agg(sum($"sales").as("sales"),
+          sum($"returns_amt").as("returns_amt"),
+          sum($"profit").as("profit"))
+        .orderBy($"channel", $"id")
+        .limit(100)
     })
   )
 
@@ -973,7 +1177,202 @@ WHERE cr_call_center_sk = cc_call_center_sk
   AND ca_gmt_offset = -7
 GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
          cd_education_status
-ORDER BY returns_loss DESC, call_center""")
+ORDER BY returns_loss DESC, call_center"""),
+
+      "q_dsreal_q66" -> {
+        val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+          "aug", "sep", "oct", "nov", "dec")
+        def innerBranch(fact: String, p: String, salesE: String,
+            netE: String) = s"""
+    SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, 'DHL,BARIAN' AS ship_carriers,
+           d_year AS "year",
+           ${months.zipWithIndex.map { case (mn, i) =>
+             s"""sum(CASE WHEN d_moy = ${i + 1} THEN $salesE
+             ELSE 0 END) AS ${mn}_sales,
+           sum(CASE WHEN d_moy = ${i + 1} THEN $netE
+             ELSE 0 END) AS ${mn}_net"""
+           }.mkString(",\n           ")}
+    FROM $fact, warehouse, date_dim, time_dim, ship_mode
+    WHERE ${p}_warehouse_sk = w_warehouse_sk
+      AND ${p}_sold_date_sk = d_date_sk
+      AND ${p}_sold_time_sk = t_time_sk
+      AND ${p}_ship_mode_sk = sm_ship_mode_sk
+      AND d_year = 2001
+      AND t_time BETWEEN 30838 AND 30838 + 28800
+      AND sm_carrier IN ('DHL','BARIAN')
+    GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+             w_state, w_country, d_year"""
+        P + s"""
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, "year",
+       ${months.map { mn =>
+         s"""CAST(sum(${mn}_sales) AS BIGINT) AS ${mn}_sales,
+       CAST(sum((${mn}_sales * 1000000) // w_warehouse_sq_ft) AS BIGINT)
+         AS ${mn}_sales_per_sq_foot,
+       CAST(sum(${mn}_net) AS BIGINT) AS ${mn}_net"""
+       }.mkString(",\n       ")}
+FROM (${innerBranch("web_sales", "ws",
+          "ws_ext_sales_price_cents * ws_quantity",
+          "ws_net_paid_cents * ws_quantity")}
+  UNION ALL${innerBranch("catalog_sales", "cs",
+          "cs_sales_price_cents * cs_quantity",
+          "cs_net_paid_inc_tax_cents * cs_quantity")}) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+         w_state, w_country, ship_carriers, "year"
+ORDER BY w_warehouse_name
+LIMIT 100"""
+      },
+
+      "q_dsreal_q77" -> (P + """,
+ss AS (
+  SELECT s_store_sk,
+         sum(ss_ext_sales_price_cents) AS sales,
+         sum(ss_net_profit_cents) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS (
+  SELECT s_store_sk,
+         sum(sr_return_amt_cents) AS returns_amt,
+         sum(sr_net_loss_cents) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+cs AS (
+  SELECT cs_call_center_sk,
+         sum(cs_ext_sales_price_cents) AS sales,
+         sum(cs_net_profit_cents) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+  GROUP BY cs_call_center_sk),
+cr AS (
+  SELECT cr_call_center_sk,
+         sum(cr_return_amt_cents) AS returns_amt,
+         sum(cr_net_loss_cents) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+  GROUP BY cr_call_center_sk),
+wsp AS (
+  SELECT wp_web_page_sk,
+         sum(ws_ext_sales_price_cents) AS sales,
+         sum(ws_net_profit_cents) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wrp AS (
+  SELECT wp_web_page_sk,
+         sum(wr_return_amt_cents) AS returns_amt,
+         sum(wr_net_loss_cents) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk)
+SELECT channel, id, CAST(sum(sales) AS BIGINT) AS sales,
+       CAST(sum(returns_amt) AS BIGINT) AS returns_amt,
+       CAST(sum(profit) AS BIGINT) AS profit
+FROM (
+  SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+         COALESCE(returns_amt, 0) AS returns_amt,
+         profit - COALESCE(profit_loss, 0) AS profit
+  FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+  UNION ALL
+  SELECT 'catalog channel', cs_call_center_sk, sales, returns_amt,
+         profit - profit_loss
+  FROM cs, cr
+  UNION ALL
+  SELECT 'web channel', wsp.wp_web_page_sk, sales,
+         COALESCE(returns_amt, 0), profit - COALESCE(profit_loss, 0)
+  FROM wsp LEFT JOIN wrp ON wsp.wp_web_page_sk = wrp.wp_web_page_sk) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""),
+
+      "q_dsreal_q80" -> (P + """,
+ssr AS (
+  SELECT s_store_id AS store_id,
+         sum(ss_ext_sales_price_cents) AS sales,
+         sum(COALESCE(sr_return_amt_cents, 0)) AS returns_amt,
+         sum(ss_net_profit_cents - COALESCE(sr_net_loss_cents, 0))
+           AS profit
+  FROM store_sales LEFT OUTER JOIN store_returns
+         ON (ss_item_sk = sr_item_sk
+             AND ss_ticket_number = sr_ticket_number),
+       date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND ss_store_sk = s_store_sk
+    AND ss_item_sk = i_item_sk AND i_current_price_cents > 95000
+    AND ss_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id AS catalog_page_id,
+         sum(cs_ext_sales_price_cents) AS sales,
+         sum(COALESCE(cr_return_amt_cents, 0)) AS returns_amt,
+         sum(cs_net_profit_cents - COALESCE(cr_net_loss_cents, 0))
+           AS profit
+  FROM catalog_sales LEFT OUTER JOIN catalog_returns
+         ON (cs_item_sk = cr_item_sk
+             AND cs_order_number = cr_order_number),
+       date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND cs_catalog_page_sk = cp_catalog_page_sk
+    AND cs_item_sk = i_item_sk AND i_current_price_cents > 95000
+    AND cs_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         sum(ws_ext_sales_price_cents) AS sales,
+         sum(COALESCE(wr_return_amt_cents, 0)) AS returns_amt,
+         sum(ws_net_profit_cents - COALESCE(wr_net_loss_cents, 0))
+           AS profit
+  FROM web_sales LEFT OUTER JOIN web_returns
+         ON (ws_item_sk = wr_item_sk
+             AND ws_order_number = wr_order_number),
+       date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23'
+                   AND DATE '2000-08-23' + INTERVAL 30 DAY
+    AND ws_web_site_sk = web_site_sk
+    AND ws_item_sk = i_item_sk AND i_current_price_cents > 95000
+    AND ws_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id, CAST(sum(sales) AS BIGINT) AS sales,
+       CAST(sum(returns_amt) AS BIGINT) AS returns_amt,
+       CAST(sum(profit) AS BIGINT) AS profit
+FROM (
+  SELECT 'store channel' AS channel, 'store' || store_id AS id,
+         sales, returns_amt, profit
+  FROM ssr
+  UNION ALL
+  SELECT 'catalog channel', 'catalog_page' || catalog_page_id,
+         sales, returns_amt, profit
+  FROM csr
+  UNION ALL
+  SELECT 'web channel', 'web_site' || web_site_id,
+         sales, returns_amt, profit
+  FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100""")
     )
   }
 }

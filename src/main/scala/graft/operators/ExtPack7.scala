@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *     hashes as dedup keys (ext/TextOps.cdcChunks).
   *   - q_temperature_mix: sqrt-weighted (temperature-2) language
   *     allocation for multilingual mixing.
+  *   - q_global_rank: distributed global ntile/cume_dist/percent_rank
+  *     (ext/GlobalRank.scala) — range partition + per-partition row
+  *     numbers + broadcast prefix offsets, no single-partition window
+  *     anywhere in the plan.
   */
 object ExtPack7 extends QueryPack {
 
@@ -172,6 +176,23 @@ object ExtPack7 extends QueryPack {
           when($"n_true" > 0,
             expr("((1000000 * n_hit) + (n_true div 2)) div n_true"))
             .otherwise(lit(1000000L)).as("recall_ppm"))
+    }),
+
+    // Distributed GLOBAL ntile/cume_dist/percent_rank
+    // (ext/GlobalRank.scala): the scale-safe two-phase form of an
+    // un-partitioned ranking window — range partition, per-partition
+    // row numbers, driver prefix-sum of one count per partition,
+    // broadcast offsets. Closes the one remaining single-partition
+    // window shape in the suite (q_over_ntile demonstrates the window
+    // SEMANTICS; this op is how the same numbers are produced at
+    // 100 TB). Statistics in exact micro-units over the unique
+    // o_orderkey total order.
+    "q_global_rank" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.GlobalRank.rank(s, T.orders(s, d)
+          .select($"o_orderkey"), col("o_orderkey"), k = 8)
+        .select($"o_orderkey", $"rn", $"ntile_k", $"cume_dist_e6",
+          $"percent_rank_e6")
     })
   )
 
@@ -227,6 +248,15 @@ object ExtPack7 extends QueryPack {
            FROM adc) WHERE rank_no <= 5)"""
 
   def oracle: Map[String, String] = Map(
+    "q_global_rank" ->
+      """SELECT o_orderkey,
+                row_number() OVER (ORDER BY o_orderkey) AS rn,
+                ntile(8) OVER (ORDER BY o_orderkey) AS ntile_k,
+                (row_number() OVER (ORDER BY o_orderkey) * 1000000)
+                  // count(*) OVER () AS cume_dist_e6,
+                ((row_number() OVER (ORDER BY o_orderkey) - 1) * 1000000)
+                  // (count(*) OVER () - 1) AS percent_rank_e6
+         FROM orders""",
     "q_lsh_precision" ->
       """WITH sampled AS (
            SELECT * FROM documents

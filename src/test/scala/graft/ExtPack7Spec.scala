@@ -61,4 +61,28 @@ class ExtPack7Spec extends AnyFunSuite {
     val mean = docs.agg(avg($"n_chars")).collect()(0).getDouble(0)
     assert(mean > 2000.0)
   }
+
+  test("GlobalRank matches the single-partition window semantics with " +
+      "NO single-partition exchange in its plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1, 501).select(($"id" * 7 % 997).as("k"))
+    val got = graft.ext.GlobalRank.rank(spark, df, col("k"), k = 8,
+      partitions = 8)
+    // the two-phase plan never funnels data through one task
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("SinglePartition"),
+      "GlobalRank plan must not contain a SinglePartition exchange")
+    val want = df
+      .withColumn("rn", row_number().over(Window.orderBy($"k")).cast("long"))
+      .withColumn("ntile_k", ntile(8).over(Window.orderBy($"k"))
+        .cast("long"))
+      .withColumn("cume_dist_e6", expr("(rn * 1000000) div 500"))
+      .withColumn("percent_rank_e6", expr("((rn - 1) * 1000000) div 499"))
+      .select($"k", $"rn", $"ntile_k", $"cume_dist_e6", $"percent_rank_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val gotRows = got
+      .select($"k", $"rn", $"ntile_k", $"cume_dist_e6", $"percent_rank_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(gotRows.toSeq == want.toSeq)
+  }
 }

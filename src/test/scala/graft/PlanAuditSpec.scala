@@ -141,6 +141,15 @@ class PlanAuditSpec extends AnyFunSuite {
       dsrealChan),
     "q_dsreal_q54" -> (3, 3, "catalog + web seed union + store revenue; " +
       dsrealChan),
+    "q_dsreal_q49" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
+    "q_dsreal_q50" -> (2, 2, s"ss fact + sr returns; $dsrealChan"),
+    "q_dsreal_q66" -> (2, 2, s"web + catalog warehouse branches; " +
+      dsrealChan),
+    "q_dsreal_q76" -> (3, 3, s"3 NULL-key channel branches; $dsrealChan"),
+    "q_dsreal_q77" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
+    "q_dsreal_q80" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
+    "q_dsreal_q83" -> (3, 3, s"3 return-channel branches; $dsrealChan"),
+    "q_dsreal_q93" -> (2, 2, s"ss fact + sr returns; $dsrealChan"),
     "q_tpcds_scalar_sub" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_cte_scalar" -> (0, 0, "pinned shared frame owns the scan"),
     "q_tpcds_salesgap" -> (2, 2, disjoint),
