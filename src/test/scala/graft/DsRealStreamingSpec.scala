@@ -101,4 +101,99 @@ class DsRealStreamingSpec extends AnyFunSuite {
       s"incremental != batch: missing=${(batch -- streamed).take(5)} " +
         s"extra=${(streamed -- batch).take(5)}")
   }
+
+  test("streaming sale<->return interval join on the real star equals " +
+      "the batch join across a restart") {
+    // The q50/q93 shape as a STREAM-STREAM join: store_sales and
+    // store_returns replayed as two file streams, inner-joined on
+    // (item, ticket) with the return constrained to land within 60
+    // days of its sale — a genuine two-sided interval join whose
+    // watermarks bound the sale-side state (the derived lag spans
+    // 1..146 days, so the 60-day band keeps ~40% and DROPS the rest
+    // on both sides). Chunked arrival puts many sales in run 1 whose
+    // matching return only arrives after the restart: the join state
+    // must survive the checkpoint reload (reference analog:
+    // StreamExecIntervalJoin's relative-window state).
+    val salesDir =
+      java.nio.file.Files.createTempDirectory("graft_dsrj_s").toString
+    val retDir =
+      java.nio.file.Files.createTempDirectory("graft_dsrj_r").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_dsrj_ck").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_dsrj_out").toString
+
+    val sales = DsTables.storeSales(spark, TestSpark.sf)
+      .select($"ss_item_sk", $"ss_ticket_number", $"ss_store_sk",
+        $"ss_ext_sales_price_cents", $"ss_sold_date_sk")
+      .withColumn("sold_ts",
+        date_add(to_date(lit(DsTables.Epoch)),
+          $"ss_sold_date_sk".cast("int")).cast("timestamp"))
+    val rets = DsTables.storeReturns(spark, TestSpark.sf)
+      .select($"sr_item_sk", $"sr_ticket_number",
+        $"sr_return_amt_cents", $"sr_returned_date_sk")
+      .withColumn("ret_ts",
+        date_add(to_date(lit(DsTables.Epoch)),
+          $"sr_returned_date_sk".cast("int")).cast("timestamp"))
+
+    val joinCond = "sr_item_sk = ss_item_sk AND " +
+      "sr_ticket_number = ss_ticket_number AND " +
+      "ret_ts BETWEEN sold_ts AND sold_ts + INTERVAL 60 DAYS"
+    def project(df: org.apache.spark.sql.DataFrame) = df
+      .select($"ss_item_sk", $"ss_ticket_number",
+        // ss_store_sk carries the derived ~2% NULL slice — fold to a
+        // sentinel so the tuple encoder stays non-nullable
+        coalesce($"ss_store_sk", lit(-1L)).as("store_sk"),
+        $"ss_ext_sales_price_cents", $"sr_return_amt_cents",
+        datediff($"ret_ts", $"sold_ts").cast("long").as("lag_days"))
+
+    def feedS(lo: Long, hi: Long): Unit =
+      sales.filter($"ss_sold_date_sk" >= lo && $"ss_sold_date_sk" < hi)
+        .coalesce(1).write.mode("append").parquet(salesDir)
+    def feedR(lo: Long, hi: Long): Unit =
+      rets.filter($"sr_returned_date_sk" >= lo &&
+          $"sr_returned_date_sk" < hi)
+        .coalesce(1).write.mode("append").parquet(retDir)
+    feedS(0, 1500)
+    feedR(0, 800)
+    val sSchema = spark.read.parquet(salesDir).schema
+    val rSchema = spark.read.parquet(retDir).schema
+
+    def hop(): Unit = {
+      val sIn = spark.readStream.schema(sSchema).parquet(salesDir)
+        .withWatermark("sold_ts", "1 day")
+      val rIn = spark.readStream.schema(rSchema).parquet(retDir)
+        .withWatermark("ret_ts", "1 day")
+      val q = project(sIn.join(rIn, expr(joinCond)))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    hop() // run 1: returns beyond day 800 not yet arrived
+    feedS(1500, 2557)
+    feedR(800, 2800) // includes returns of run-1 sales -> state reload
+    hop() // restart: joins complete across the checkpoint boundary
+
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val batch = project(sales.join(rets, expr(joinCond)))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(batch.nonEmpty, "batch join is empty — test is degenerate")
+    // the 60-day band must BITE (drop some returns) or the interval
+    // condition is vacuous
+    val allPairs = project(sales.join(rets,
+      expr("sr_item_sk = ss_item_sk AND " +
+        "sr_ticket_number = ss_ticket_number"))).count()
+    assert(allPairs > batch.values.sum,
+      "interval band drops nothing — condition is vacuous")
+    assert(streamed == batch,
+      s"stream-stream join != batch: missing=" +
+        s"${(batch.keySet -- streamed.keySet).take(3)} extra=" +
+        s"${(streamed.keySet -- batch.keySet).take(3)}")
+  }
 }
