@@ -57,7 +57,12 @@ object OverWindowPack extends QueryPack {
         lag($"value", 2, -1.0).over(w).as("prev2_value"))
     }),
 
-    // NTILE / CUME_DIST / PERCENT_RANK over a global ordering.
+    // NTILE / CUME_DIST / PERCENT_RANK over a global ordering — the
+    // window-function SEMANTICS demo (single-partition by nature, fine
+    // at test SF). The 100-TB execution of the same statistics is
+    // [[graft.ext.GlobalRank]] (q_global_rank): range partition +
+    // per-partition row numbers + broadcast prefix offsets, no
+    // single-partition exchange anywhere.
     "q_over_ntile" -> ((s, d) => {
       import s.implicits._
       val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
