@@ -137,7 +137,15 @@ class GoldenPlanSpec extends AnyFunSuite {
     // re-aggregation per consumer); q5 must keep each channel's
     // sales-union-returns partial aggregate BELOW the final rollup's
     // single Expand
-    "q_dsreal_q64", "q_dsreal_q23a", "q_dsreal_q5")
+    "q_dsreal_q64", "q_dsreal_q23a", "q_dsreal_q5",
+    // r11 wave-8 pins: q44's per-item frame must stay ONE pinned
+    // LogicalRDD consumed by the baseline aggregate, the gate, and
+    // both rank directions (a reappearing parquet scan means the
+    // store-4 slice runs four times); q70's (state, county)
+    // pre-aggregate likewise serves the state ranking AND the ROLLUP
+    // from one pin; q_global_rank must keep the broadcast offset join
+    // with NO SinglePartition exchange
+    "q_dsreal_q44", "q_dsreal_q70", "q_global_rank")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {
