@@ -184,6 +184,35 @@ object SourceSinkPack extends QueryPack {
           $"m.meta.source".as("source"), $"m.meta.n_chars".as("n_chars"))
     }),
 
+    // Kafka RecordBatch v2 (log-segment) codec roundtrip
+    // (sources/KafkaSegmentFormat.scala): orders grouped into batches
+    // of 256 keys, encoded into real magic=2 batches (CRC32C, zigzag
+    // varints, gzip'd records section), decoded back and exploded —
+    // the DuckDB oracle reconstructs the same (offset, timestamp,
+    // key, value) rows from plain SQL, so the gate covers the full
+    // binary roundtrip including the offset/timestamp delta
+    // arithmetic. sort_array on the unique o_orderkey timestamp makes
+    // the per-batch record order total on both engines.
+    "q_kafka_segments" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.KafkaSegmentFormat._
+      val batches = T.orders(s, d)
+        .select((expr("o_orderkey div 256")).as("batch_id"),
+          struct($"o_orderkey".as("timestamp"),
+            encode($"o_orderkey".cast("string"), "UTF-8").as("key"),
+            encode($"o_orderpriority", "UTF-8").as("value")).as("rec"))
+        .groupBy($"batch_id")
+        .agg(sort_array(collect_list($"rec")).as("records"))
+        .select(kafkaEncode(struct(($"batch_id" * 1000L)
+          .as("base_offset"), $"records"), gzip = true).as("bin"))
+      batches
+        .select(explode(kafkaDecode($"bin")).as("r"))
+        .select($"r.offset".as("rec_offset"),
+          $"r.timestamp".as("rec_ts"),
+          decode($"r.key", "UTF-8").as("k"),
+          decode($"r.value", "UTF-8").as("v"))
+    }),
+
     // Debezium-JSON changelog format roundtrip (flink-formats/
     // flink-json .../debezium/DebeziumJsonDeserializationSchema.java
     // analog; see sources/DebeziumJson.scala). Synthesizes a
@@ -470,6 +499,15 @@ object SourceSinkPack extends QueryPack {
               AS toks_head,
             source, n_chars
          FROM documents""",
+    "q_kafka_segments" ->
+      """SELECT (o_orderkey // 256) * 1000
+                + row_number() OVER (PARTITION BY o_orderkey // 256
+                                     ORDER BY o_orderkey) - 1
+                  AS rec_offset,
+                o_orderkey AS rec_ts,
+                CAST(o_orderkey AS VARCHAR) AS k,
+                o_orderpriority AS v
+         FROM orders""",
     "q_avro_source" ->
       """SELECT * FROM supplier""",
     "q_avro_nested" ->

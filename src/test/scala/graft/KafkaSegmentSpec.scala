@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.KafkaSegmentFormat._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KafkaSegmentFormat wire-level properties that the oracle roundtrip
+  * (q_kafka_segments) cannot see: exact header layout against the
+  * public spec, CRC tamper detection, null key/value, and plain-vs-
+  * gzip equivalence. Layout reference: kafka.apache.org/protocol
+  * "Record Batch" (magic=2) — the same bytes Kafka writes to log
+  * segments on disk.
+  */
+class KafkaSegmentSpec extends AnyFunSuite {
+
+  private def b(s: String) = s.getBytes("UTF-8")
+
+  test("batch header lays out per the spec: magic=2, big-endian " +
+      "fields, batchLength covers epoch..end") {
+    val bytes = encodeBatch(7L, Seq((1000L, b("k1"), b("v1")),
+      (1003L, null, b("v2"))))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    assert(bb.getLong == 7L) // baseOffset
+    val batchLength = bb.getInt
+    assert(batchLength == bytes.length - 12,
+      "batchLength counts every byte after its own field")
+    assert(bb.getInt == 0) // partitionLeaderEpoch
+    assert(bb.get == 2.toByte) // magic
+    bb.getInt // crc (checked by decode below)
+    assert(bb.getShort == 0) // attributes: no compression
+    assert(bb.getInt == 1) // lastOffsetDelta (2 records)
+    assert(bb.getLong == 1000L) // baseTimestamp = min ts
+    assert(bb.getLong == 1003L) // maxTimestamp
+    assert(bb.getLong == -1L) // producerId
+    assert(bb.getShort == -1) // producerEpoch
+    assert(bb.getInt == -1) // baseSequence
+    assert(bb.getInt == 2) // recordCount
+  }
+
+  test("roundtrip preserves offsets, timestamps, null key and null " +
+      "value — plain and gzip alike") {
+    val recs = Seq(
+      (5000L, b("key-a"), b("value-a")),
+      (5010L, null.asInstanceOf[Array[Byte]], b("value-b")),
+      (5005L, b("key-c"), null.asInstanceOf[Array[Byte]]))
+    for (gz <- Seq(false, true)) {
+      val out = decodeBatch(encodeBatch(100L, recs, gzip = gz))
+      assert(out.map(_._1) == Seq(100L, 101L, 102L), s"offsets gz=$gz")
+      assert(out.map(_._2) == Seq(5000L, 5010L, 5005L), s"ts gz=$gz")
+      assert(out(1)._3 == null && out(2)._4 == null, s"nulls gz=$gz")
+      assert(new String(out(0)._3, "UTF-8") == "key-a")
+      assert(new String(out(1)._4, "UTF-8") == "value-b")
+    }
+  }
+
+  test("gzip attribute bit is set and the records section really is " +
+      "compressed") {
+    val big = ("x" * 2000).getBytes("UTF-8")
+    val plain = encodeBatch(0L, Seq((1L, b("k"), big)))
+    val gz = encodeBatch(0L, Seq((1L, b("k"), big)), gzip = true)
+    assert((java.nio.ByteBuffer.wrap(plain).getShort(21) & 0x7) == 0)
+    assert((java.nio.ByteBuffer.wrap(gz).getShort(21) & 0x7) == 1)
+    assert(gz.length < plain.length / 2,
+      "a 2000-byte run must compress well below half")
+    assert(decodeBatch(gz).head._4.length == 2000)
+  }
+
+  test("a flipped payload byte fails CRC32C validation loudly") {
+    val bytes = encodeBatch(0L, Seq((1L, b("k"), b("hello"))))
+    bytes(bytes.length - 3) = (bytes(bytes.length - 3) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](decodeBatch(bytes))
+    assert(e.getMessage.contains("CRC32C mismatch"))
+  }
+
+  test("an unsupported compression codec is named in the error") {
+    val bytes = encodeBatch(0L, Seq((1L, b("k"), b("v"))))
+    // set attributes codec bits to 4 (zstd) and re-seal the CRC
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putShort(21, 4.toShort)
+    val tail = java.util.Arrays.copyOfRange(bytes, 21, bytes.length)
+    val crc = new java.util.zip.CRC32C(); crc.update(tail)
+    bb.putInt(17, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](decodeBatch(bytes))
+    assert(e.getMessage.contains("4"))
+  }
+}
