@@ -61,6 +61,34 @@ object Multimodal {
     }
   }
 
+  /** Audio windowing (the audio path): the payload stands in for PCM —
+    * each code point plays one 16-bit sample — cut into fixed
+    * `winSamples`-sample windows (400 = 25 ms @ 16 kHz) with a
+    * deterministic STUB energy per window (first 8 sha-256 hex digits
+    * of the window as a BIGINT; a real decoder would put
+    * sum-of-squares of decoded samples here). Unlike the mapPartitions
+    * paths above this stays entirely inside built-in codegen'd
+    * functions (sequence/explode/substring/sha2/conv) — the same
+    * linear shuffle-free fan-out, with whole-stage codegen kept. */
+  def audioWindows(docs: DataFrame, payloadCol: String,
+      winSamples: Int = 400): DataFrame = {
+    require(winSamples >= 1)
+    docs
+      .withColumn("n_wins", expr(
+        s"greatest((length($payloadCol) + ${winSamples - 1}) " +
+          s"div $winSamples, 1)"))
+      .select(col("doc_id"),
+        expr("explode(sequence(0L, n_wins - 1))").as("win_no"),
+        col(payloadCol).as("payload"))
+      .withColumn("win", expr(
+        s"substring(payload, cast(win_no * $winSamples + 1 as int), " +
+          s"$winSamples)"))
+      .select(col("doc_id"), col("win_no").cast("long").as("win_no"),
+        length(col("win")).cast("long").as("win_len"),
+        expr("cast(conv(substring(sha2(win, 256), 1, 8), 16, 10) " +
+          "as bigint)").as("energy_stub"))
+  }
+
   /** Batched per-partition metadata extraction: one MessageDigest per
     * partition (not per row) — the batch-shape that matters for real
     * codecs too. */

@@ -300,6 +300,15 @@ object ExtPack2 extends QueryPack {
       graft.ext.Multimodal.sampleFrames(s, media, every = 4).toDF()
     }),
 
+    // Multimodal audio windowing: the audio-column path — the payload
+    // cut into 400-sample (25 ms @ 16 kHz) windows with a
+    // deterministic stub energy per window (no audio codecs in this
+    // container; the plumbing — window fan-out, per-window feature
+    // schema, codegen'd linear pipeline — is real).
+    "q_multimodal_audio" -> ((s, d) =>
+      graft.ext.Multimodal.audioWindows(
+        T.documents(s, d).select(col("doc_id"), col("text")), "text")),
+
     // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
     // the MOSS algorithm): hash every word 3-gram, slide a window of 4
     // hashes, keep each window's minimum. Guarantees any shared run of
@@ -617,6 +626,18 @@ object ExtPack2 extends QueryPack {
          SELECT doc_id, CAST(r.fn AS BIGINT) AS frame_no,
                 sha256(text || '#' || r.fn) AS frame_sha
          FROM f, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS fn) r""",
+    "q_multimodal_audio" ->
+      """WITH a AS (
+           SELECT doc_id, text,
+                  greatest((length(text) + 399) // 400, 1) AS n_wins
+           FROM documents)
+         SELECT doc_id, CAST(r.wn AS BIGINT) AS win_no,
+                CAST(length(substring(text, CAST(r.wn * 400 + 1 AS INT),
+                                      400)) AS BIGINT) AS win_len,
+                CAST(('0x' || substr(sha256(substring(text,
+                       CAST(r.wn * 400 + 1 AS INT), 400)), 1, 8))
+                     AS BIGINT) AS energy_stub
+         FROM a, LATERAL (SELECT unnest(range(0, n_wins)) AS wn) r""",
     "q_winnowing" ->
       """WITH ws AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
