@@ -49,40 +49,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // isolate() deliberately unpersists pinned localCheckpoint blocks
-    // after each query; Spark warns "... truncated and cannot be
-    // recomputed after unpersisting" for EVERY such block — thousands
-    // of lines that drown the driver-captured stderr tail. The warning
-    // comes from per-CLASS loggers (MapPartitionsRDD, ParallelCollectionRDD,
-    // ...), children of the PACKAGE logger — but demoting the whole
-    // package to ERROR would also hide GENUINE warnings from other rdd
-    // classes. So the package logger stays at WARN and carries a
-    // MESSAGE-targeted RegexFilter that denies only this one known-
-    // benign message; everything else in the package still surfaces.
-    locally {
-      import org.apache.logging.log4j.{Level, LogManager}
-      import org.apache.logging.log4j.core.{Filter, LoggerContext}
-      import org.apache.logging.log4j.core.config.LoggerConfig
-      import org.apache.logging.log4j.core.filter.RegexFilter
-      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-      def deny(logger: String, pattern: String): Unit = {
-        val lc = new LoggerConfig(logger, Level.WARN, true)
-        lc.addFilter(RegexFilter.createFilter(pattern, Array("DOTALL"),
-          java.lang.Boolean.FALSE, Filter.Result.DENY,
-          Filter.Result.NEUTRAL))
-        ctx.getConfiguration.addLogger(logger, lc)
-      }
-      deny("org.apache.spark.rdd",
-        ".*cannot be recomputed after unpersisting.*")
-      // the global-OVER queries (ntile/cume_dist over the whole frame)
-      // deliberately use an unpartitioned window at bench SF; the
-      // single-partition warning is known and repeats 20+ times —
-      // denied HERE ONLY (per-message), so an unexpected global window
-      // in any new query still warns in tests and in Verify
-      deny("org.apache.spark.sql.execution.window.WindowExec",
-        ".*No Partition Defined for Window operation.*")
-      ctx.updateLoggers()
-    }
+    // Message-targeted deny filters for known-benign WARN spam (the
+    // unpersist flood, the global-window warning, broadcast-task-
+    // binary sizes, state-store snapshot lag) — see LogHygiene for
+    // the per-message rationale; everything else still surfaces.
+    LogHygiene.install()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -71,13 +71,13 @@ object Multimodal {
     * functions (sequence/explode/substring/sha2/conv) — the same
     * linear shuffle-free fan-out, with whole-stage codegen kept. */
   def audioWindows(docs: DataFrame, payloadCol: String,
-      winSamples: Int = 400): DataFrame = {
+      winSamples: Int = 400, idCol: String = "doc_id"): DataFrame = {
     require(winSamples >= 1)
     docs
       .withColumn("n_wins", expr(
         s"greatest((length($payloadCol) + ${winSamples - 1}) " +
           s"div $winSamples, 1)"))
-      .select(col("doc_id"),
+      .select(col(idCol).as("doc_id"),
         expr("explode(sequence(0L, n_wins - 1))").as("win_no"),
         col(payloadCol).as("payload"))
       .withColumn("win", expr(

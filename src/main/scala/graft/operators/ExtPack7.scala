@@ -193,6 +193,21 @@ object ExtPack7 extends QueryPack {
           .select($"o_orderkey"), col("o_orderkey"), k = 8)
         .select($"o_orderkey", $"rn", $"ntile_k", $"cume_dist_e6",
           $"percent_rank_e6")
+    }),
+
+    // GlobalRank over a NON-unique key (o_custkey repeats across
+    // orders): rank_g / dense_rank_g / cume_dist / percent_rank are
+    // tie-exact without any boundary merge because the range
+    // partitioner assigns by key VALUE — equal keys can never
+    // straddle a partition (GlobalRank.scala scaladoc). Only the
+    // tie-STABLE statistics are emitted (rn/ntile order among peers
+    // is arbitrary, exactly as in SQL).
+    "q_global_rank_ties" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.GlobalRank.rank(s, T.orders(s, d)
+          .select($"o_orderkey", $"o_custkey"), col("o_custkey"), k = 8)
+        .select($"o_orderkey", $"o_custkey", $"rank_g", $"dense_rank_g",
+          $"cume_dist_e6", $"percent_rank_e6")
     })
   )
 
@@ -255,6 +270,16 @@ object ExtPack7 extends QueryPack {
                 (row_number() OVER (ORDER BY o_orderkey) * 1000000)
                   // count(*) OVER () AS cume_dist_e6,
                 ((row_number() OVER (ORDER BY o_orderkey) - 1) * 1000000)
+                  // (count(*) OVER () - 1) AS percent_rank_e6
+         FROM orders""",
+    "q_global_rank_ties" ->
+      """SELECT o_orderkey, o_custkey,
+                rank() OVER (ORDER BY o_custkey) AS rank_g,
+                dense_rank() OVER (ORDER BY o_custkey) AS dense_rank_g,
+                (count(*) OVER (ORDER BY o_custkey
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000) // count(*) OVER () AS cume_dist_e6,
+                ((rank() OVER (ORDER BY o_custkey) - 1) * 1000000)
                   // (count(*) OVER () - 1) AS percent_rank_e6
          FROM orders""",
     "q_lsh_precision" ->

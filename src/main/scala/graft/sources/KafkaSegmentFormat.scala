@@ -158,16 +158,29 @@ object KafkaSegmentFormat {
   // ------------------------------------------------------------------
   // decode
 
-  def decodeBatch(bytes: Array[Byte])
-      : Seq[(Long, Long, Array[Byte], Array[Byte])] = {
-    val bb = ByteBuffer.wrap(bytes)
+  /** Decodes ONE RecordBatch starting at `start`, bounded by its own
+    * batchLength field (batch spans bytes start until start + 12 +
+    * batchLength — the two fields before batchLength's value plus the
+    * length itself), so concatenated log-segment dumps decode batch by
+    * batch with per-batch CRC spans. Returns the records plus the
+    * position one past this batch. */
+  def decodeBatchAt(bytes: Array[Byte], start: Int)
+      : (Seq[(Long, Long, Array[Byte], Array[Byte])], Int) = {
+    require(bytes.length - start >= 61,
+      s"truncated RecordBatch header: ${bytes.length - start} bytes at $start")
+    val bb = ByteBuffer.wrap(bytes, start, bytes.length - start)
     val baseOffset = bb.getLong
-    bb.getInt // batchLength
+    val batchLength = bb.getInt
+    val batchEnd = start + 12 + batchLength
+    require(batchEnd <= bytes.length,
+      s"truncated RecordBatch: declared end $batchEnd > ${bytes.length}")
     bb.getInt // partitionLeaderEpoch
     val magic = bb.get
     require(magic == 2, s"unsupported RecordBatch magic $magic (want 2)")
     val storedCrc = bb.getInt
-    val tail = java.util.Arrays.copyOfRange(bytes, 21, bytes.length)
+    // CRC32C covers attributes..end OF THIS BATCH only (spec: the span
+    // after the crc field, bounded by batchLength)
+    val tail = java.util.Arrays.copyOfRange(bytes, start + 21, batchEnd)
     val crc = new CRC32C()
     crc.update(tail)
     require(crc.getValue.toInt == storedCrc,
@@ -179,7 +192,7 @@ object KafkaSegmentFormat {
     bb.getLong // maxTimestamp
     bb.getLong; bb.getShort; bb.getInt // producer id/epoch/sequence
     val recordCount = bb.getInt
-    val raw = java.util.Arrays.copyOfRange(bytes, 61, bytes.length)
+    val raw = java.util.Arrays.copyOfRange(bytes, start + 61, batchEnd)
     val recBytes = (attributes & 0x7) match {
       case 0 => raw
       case 1 =>
@@ -194,7 +207,7 @@ object KafkaSegmentFormat {
           "(2=snappy, 3=lz4, 4=zstd)")
     }
     val r = new Reader(recBytes, 0)
-    (0 until recordCount).map { _ =>
+    val recs = (0 until recordCount).map { _ =>
       val len = r.readVarLong().toInt
       val end = r.pos + len
       r.pos += 1 // record attributes
@@ -207,6 +220,32 @@ object KafkaSegmentFormat {
       r.pos = end // skip headers
       (baseOffset + offsetDelta, baseTs + tsDelta, key, value)
     }
+    (recs, batchEnd)
+  }
+
+  /** Single-batch convenience (rejects trailing garbage). */
+  def decodeBatch(bytes: Array[Byte])
+      : Seq[(Long, Long, Array[Byte], Array[Byte])] = {
+    val (recs, end) = decodeBatchAt(bytes, 0)
+    require(end == bytes.length,
+      s"trailing bytes after RecordBatch: $end != ${bytes.length} " +
+        "(a multi-batch segment dump? use decodeSegment)")
+    recs
+  }
+
+  /** Segment decode: a log-segment dump is RecordBatches back to back;
+    * iterate them, each bounded and CRC-checked by its own
+    * batchLength — the bulk-backfill shape the scaladoc describes. */
+  def decodeSegment(bytes: Array[Byte])
+      : Seq[(Long, Long, Array[Byte], Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Long, Array[Byte], Array[Byte])]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (recs, next) = decodeBatchAt(bytes, pos)
+      out ++= recs
+      pos = next
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------------
@@ -233,13 +272,14 @@ object KafkaSegmentFormat {
         : KafkaBatchEncode = copy(child = c)
   }
 
-  /** RecordBatch bytes -> array<struct(offset, timestamp, key, value)>. */
+  /** RecordBatch/segment bytes -> array<struct(offset, timestamp, key,
+    * value)>. Accepts one batch or a whole concatenated segment dump. */
   case class KafkaBatchDecode(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DecodedSchema
     override def prettyName: String = "kafka_batch_decode"
     override protected def nullSafeEval(input: Any): Any = {
-      val rows = decodeBatch(input.asInstanceOf[Array[Byte]])
+      val rows = decodeSegment(input.asInstanceOf[Array[Byte]])
         .map { case (off, ts, k, v) =>
           new GenericInternalRow(Array[Any](off, ts, k, v))
         }

@@ -85,4 +85,40 @@ class ExtPack7Spec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(gotRows.toSeq == want.toSeq)
   }
+
+  test("GlobalRank is tie-exact on a heavily duplicated key: rank/" +
+      "dense_rank/cume_dist/percent_rank equal the global window, " +
+      "with key groups never split across range partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 600 rows over just 37 distinct keys — every key group spans many
+    // rows, and with 8 range partitions several groups sit exactly at
+    // would-be boundaries (the case a naive row-split partitioner gets
+    // wrong; RangePartitioner assigns by VALUE so it cannot happen)
+    val df = spark.range(0, 600)
+      .select(($"id" * 13 % 37).as("k"), $"id".as("uid"))
+    val got = graft.ext.GlobalRank.rank(spark, df, col("k"), k = 8,
+      partitions = 8)
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+    val w = Window.orderBy($"k")
+    val want = df
+      .withColumn("rank_g", rank().over(w).cast("long"))
+      .withColumn("dense_rank_g", dense_rank().over(w).cast("long"))
+      .withColumn("cume", count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cume_dist_e6", expr("(cume * 1000000) div 600"))
+      .withColumn("percent_rank_e6",
+        expr("((rank_g - 1) * 1000000) div 599"))
+      .select($"uid", $"rank_g", $"dense_rank_g", $"cume_dist_e6",
+        $"percent_rank_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val gotRows = got
+      .select($"uid", $"rank_g", $"dense_rank_g", $"cume_dist_e6",
+        $"percent_rank_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(gotRows.toSeq == want.toSeq)
+    // rn stays a permutation of 1..600 even with ties
+    val rns = got.select($"rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to 600L))
+  }
 }

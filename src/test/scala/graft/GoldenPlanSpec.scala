@@ -145,7 +145,22 @@ class GoldenPlanSpec extends AnyFunSuite {
     // pre-aggregate likewise serves the state ranking AND the ROLLUP
     // from one pin; q_global_rank must keep the broadcast offset join
     // with NO SinglePartition exchange
-    "q_dsreal_q44", "q_dsreal_q70", "q_global_rank")
+    "q_dsreal_q44", "q_dsreal_q70", "q_global_rank",
+    // r12: tie-exact GlobalRank must keep the same broadcast offset
+    // join with NO SinglePartition exchange (rank/dense_rank add
+    // window functions, not shuffles)
+    "q_global_rank_ties",
+    // r12: the remaining heavy dsreal plans, previously guarded only
+    // by PlanAuditSpec budgets. q72: inventory pre-joined to its week
+    // (equi on item+week — no 105x week fanout) with broadcast dims;
+    // q22: ONE Expand 4-level rollup over broadcast dims; q67: ONE
+    // Expand 8-level rollup + rank partitioned by i_category (never
+    // global); q88: the reference's 8 scalar subqueries as ONE
+    // conditional-count fact pass over broadcast time/demo dims;
+    // q14a: the pinned cross-channel intersection consumed by all
+    // three channel branches from one LogicalRDD
+    "q_dsreal_q72", "q_dsreal_q22", "q_dsreal_q67", "q_dsreal_q88",
+    "q_dsreal_q14a")
 
   tracked.foreach { name =>
     test(s"$name optimized plan matches its golden snapshot") {

@@ -83,6 +83,37 @@ class KafkaSegmentSpec extends AnyFunSuite {
     assert(e.getMessage.contains("4"))
   }
 
+  test("a concatenated log-segment dump decodes batch by batch, each " +
+      "bounded and CRC-checked by its own batchLength") {
+    // real segment files are RecordBatches back to back; decode must
+    // bound each batch at 12 + batchLength (a whole-array CRC span
+    // would spuriously fail on anything after the first batch)
+    val b1 = encodeBatch(0L, Seq((1L, b("k0"), b("v0")),
+      (2L, b("k1"), b("v1"))))
+    val b2 = encodeBatch(2L, Seq((9L, null, b("v2"))), gzip = true)
+    val b3 = encodeBatch(3L, Seq((5L, b("k3"), null)))
+    val seg = b1 ++ b2 ++ b3
+    val out = decodeSegment(seg)
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L), "offsets across batches")
+    assert(out.map(_._2) == Seq(1L, 2L, 9L, 5L))
+    assert(new String(out(2)._4, "UTF-8") == "v2" && out(2)._3 == null)
+    // single-batch decode rejects the multi-batch blob loudly
+    val e = intercept[IllegalArgumentException](decodeBatch(seg))
+    assert(e.getMessage.contains("decodeSegment"))
+    // a flipped byte in the MIDDLE batch names a CRC failure (its own
+    // span), while the first batch still decodes
+    val tampered = seg.clone()
+    tampered(b1.length + b2.length - 2) =
+      (tampered(b1.length + b2.length - 2) ^ 0x01).toByte
+    assert(decodeBatchAt(tampered, 0)._1.size == 2)
+    val e2 = intercept[IllegalArgumentException](decodeSegment(tampered))
+    assert(e2.getMessage.contains("CRC32C mismatch"))
+    // truncated tail fails loudly, not silently
+    val e3 = intercept[IllegalArgumentException](
+      decodeSegment(seg.dropRight(1)))
+    assert(e3.getMessage.toLowerCase.contains("truncated"))
+  }
+
   test("streaming segment ingestion: batches replayed through the file " +
       "source across a restart equal the batch decode") {
     // the broker-less backfill story end-to-end: RecordBatch blobs

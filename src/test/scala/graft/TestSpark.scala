@@ -17,6 +17,10 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // deny known-benign WARN spam per message (StateStoreCoordinator
+    // snapshot-lag from the many short-lived streaming test queries,
+    // broadcast-task-binary sizes, ...) — see LogHygiene
+    LogHygiene.install()
     s
   }
   val sf: String = "/root/testdata/sf0.001"
