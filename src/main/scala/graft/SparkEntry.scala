@@ -37,7 +37,8 @@ object SparkEntry {
     TpcdsShapePack7,
     DsRealPack,
     DsRealPack2,
-    IteratePack
+    IteratePack,
+    MatchPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -22,6 +22,117 @@ import org.apache.spark.sql.functions._
 object StreamBench {
   case class E(id: Long, ts: java.sql.Timestamp, k: Long, v: Double)
   case class Doc(doc_id: Long, source: String, text: String)
+  case class SS(item: Long, ticket: Long, store: Long, cents: Long,
+      ts: java.sql.Timestamp)
+  case class SR(item: Long, ticket: Long, cents: Long,
+      ts: java.sql.Timestamp)
+
+  /** The derived store_sales fact as chronological arrival chunks
+    * (tuples pre-collected so generation stays out of the timed span).
+    * sf0.1 by default (~200k sales): at sf0.01 each of the 5 timed
+    * micro-batches holds only ~3k rows and the per-batch fixed cost
+    * (planning + state-store commit) swamps the signal. */
+  private def realChunks(spark: SparkSession, n: Int)
+      : (IndexedSeq[Seq[SS]], IndexedSeq[Seq[SR]]) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_REAL_SF_DIR",
+      "/root/testdata/sf0.1")
+    def ts(dateSk: org.apache.spark.sql.Column) =
+      date_add(to_date(lit(graft.dsreal.DsTables.Epoch)),
+        dateSk.cast("int")).cast("timestamp")
+    val sales = graft.dsreal.DsTables.storeSales(spark, dir)
+      .select($"ss_item_sk".as("item"), $"ss_ticket_number".as("ticket"),
+        coalesce($"ss_store_sk", lit(-1L)).as("store"),
+        coalesce($"ss_ext_sales_price_cents", lit(0L)).as("cents"),
+        ts($"ss_sold_date_sk").as("ts")).as[SS].collect()
+    val rets = graft.dsreal.DsTables.storeReturns(spark, dir)
+      .select($"sr_item_sk".as("item"), $"sr_ticket_number".as("ticket"),
+        coalesce($"sr_return_amt_cents", lit(0L)).as("cents"),
+        ts($"sr_returned_date_sk").as("ts")).as[SR].collect()
+    val cut = graft.dsreal.DsTables.Days / n + 1
+    def bucket(t: java.sql.Timestamp): Int = math.min(n - 1,
+      ((t.getTime - java.sql.Timestamp.valueOf(
+        graft.dsreal.DsTables.Epoch + " 00:00:00").getTime)
+        / 86400000L / cut).toInt)
+    ((0 until n).map(i => sales.filter(s => bucket(s.ts) == i).toSeq),
+      (0 until n).map(i => rets.filter(r => bucket(r.ts) == i).toSeq))
+  }
+
+  /** Weekly store revenue on the real fact: chunk 0 is warmup, chunks
+    * 1..n-1 are the timed span; rows/sec over the timed sales rows. */
+  private def dsRealWeekly(spark: SparkSession): (String, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (salesChunks, _) = realChunks(spark, 6)
+    val timed = salesChunks.drop(1)
+    val storeDim = broadcast(graft.dsreal.DsTables.store(spark)
+      .select(col("s_store_sk"), col("s_store_name")))
+    val best = (1 to 2).map { _ =>
+      val in = MemoryStream[SS]
+      val q = in.toDS().withWatermark("ts", "1 day")
+        .join(storeDim, col("store") === col("s_store_sk"))
+        .groupBy(window($"ts", "7 days"), $"s_store_name")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("rev"))
+        .select($"s_store_name", $"n", $"rev")
+        .writeStream.format("memory").queryName("sb_dsweekly")
+        .outputMode("update").start()
+      in.addData(salesChunks.head); q.processAllAvailable() // warmup
+      val t0 = System.nanoTime()
+      timed.foreach { rows => in.addData(rows); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sb_dsweekly")
+      System.gc()
+      timed.map(_.size).sum / sec
+    }.max
+    "dsreal_weekly" -> best
+  }
+
+  /** Sales x returns stream-stream interval join on the real star
+    * (return within 60 days of its sale); rows/sec over the timed
+    * sales + returns rows. */
+  private def dsRealIntervalJoin(spark: SparkSession): (String, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (salesChunks, retChunks) = realChunks(spark, 6)
+    val best = (1 to 2).map { _ =>
+      val sIn = MemoryStream[SS]
+      val rIn = MemoryStream[SR]
+      val sales = sIn.toDS()
+        .select($"item".as("s_item"), $"ticket".as("s_ticket"),
+          $"cents".as("sale_cents"), $"ts".as("sold_ts"))
+        .withWatermark("sold_ts", "1 day")
+      val rets = rIn.toDS()
+        .select($"item".as("r_item"), $"ticket".as("r_ticket"),
+          $"cents".as("ret_cents"), $"ts".as("ret_ts"))
+        .withWatermark("ret_ts", "1 day")
+      val q = sales.join(rets, expr(
+          "s_item = r_item AND s_ticket = r_ticket AND " +
+            "ret_ts BETWEEN sold_ts AND sold_ts + INTERVAL 60 DAYS"))
+        .select($"s_item", $"s_ticket", $"sale_cents", $"ret_cents")
+        .writeStream.format("memory").queryName("sb_dsjoin")
+        .outputMode("append").start()
+      sIn.addData(salesChunks.head); rIn.addData(retChunks.head)
+      q.processAllAvailable() // warmup
+      val t0 = System.nanoTime()
+      salesChunks.drop(1).zip(retChunks.drop(1)).foreach {
+        case (ss, rs) =>
+          sIn.addData(ss); rIn.addData(rs); q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sb_dsjoin")
+      System.gc()
+      (salesChunks.drop(1).map(_.size).sum +
+        retChunks.drop(1).map(_.size).sum) / sec
+    }.max
+    "dsreal_interval_join" -> best
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -139,6 +250,16 @@ object StreamBench {
       measure("calc") { ds =>
         ds.filter($"v" > 10).select($"id", $"k", ($"v" * 2).as("v2"))
       },
+      // real-schema weekly revenue (DsRealStreamingSpec's first parity
+      // pipeline, timed): the sf store_sales fact replayed
+      // chronologically through a watermarked 7-day tumbling window
+      // over the broadcast store dim — TPC-DS-shaped streaming agg
+      // throughput, not synthetic-key throughput
+      dsRealWeekly(spark),
+      // real-schema stream-stream interval join (the second parity
+      // pipeline): sales x returns on (item, ticket) with the return
+      // constrained to 60 days of its sale, watermark-bounded state
+      dsRealIntervalJoin(spark),
       // streaming MinHash near-dup gate at >= 10x the sf0.01 corpus
       // (warmup + 5 x docsPerBatch docs vs ~15k documents): state is
       // one long per occupied (band, bucket) — n_docs x 4 bands

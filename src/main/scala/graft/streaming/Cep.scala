@@ -258,6 +258,56 @@ object Cep {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val st0 = state.getOption.getOrElse(NfaState[T](Nil, 0L))
+            val (st1, out) =
+              advance(steps, pattern.withinMs, skip, k, st0, rows, tsMillis)
+            // The seq counter persists even with no live partials: it IS
+            // the match identity (start_seq/end_seq) — resetting it would
+            // collide ids of later matches on the same key. Idle-key
+            // state is one counter per key, UNBOUNDED across keys unless
+            // `ttlMs` evicts it (see the run/runWithTimeouts scaladoc;
+            // match identity is then unique within the TTL window, like
+            // Flink's EventId under state TTL). The remove() below only
+            // fires for a key that produced no state at all this batch.
+            if (st1.partials.isEmpty && st1.nextSeq == 0L) state.remove()
+            else { state.update(st1); Ttl.arm(state, ttlMs) }
+            out.iterator
+          }
+      }
+  }
+
+  /** BATCH MATCH_RECOGNIZE (the reference's batch Match node —
+    * CommonExecMatch is shared by StreamExecMatch and the batch
+    * planner): PARTITION BY `key`, explicit ORDER BY (tsMillis,
+    * tiebreak) materialized per group, then ONE pass of the same NFA
+    * the streaming operator runs — engine single-sourced via
+    * [[Cep.advance]], so CepSpec's NFAITCase ports guard both modes.
+    * Per-group buffering bounds memory at the largest single key's
+    * events, the same bound Flink's batch sort-based match carries. */
+  def runBatch[K: Encoder, T: Encoder](ds: Dataset[T], pattern: Pattern[T],
+      skip: SkipStrategy = SkipStrategy.SkipPastLastEvent)(
+      key: T => K, tsMillis: T => Long,
+      tiebreak: T => Long = (_: T) => 0L): Dataset[Match[K, T]] = {
+    implicit val outEnc: Encoder[Match[K, T]] = Encoders.kryo[Match[K, T]]
+    val steps = pattern.steps
+    require(!steps.head.negated && !steps.last.negated,
+      "a negative pattern cannot begin or end the sequence (Flink rule)")
+    ds.groupByKey(key).flatMapGroups { (k: K, rows: Iterator[T]) =>
+      val ordered = rows.toVector.sortBy(e => (tsMillis(e), tiebreak(e)))
+      val (_, out) = advance(steps, pattern.withinMs, skip, k,
+        NfaState[T](Nil, 0L), ordered.iterator, tsMillis)
+      out.iterator.filter(!_.timed_out)
+        .map(r => Match(r.key, r.steps, r.start_seq, r.end_seq))
+    }
+  }
+
+  /** The NFA engine: advances a key's state over an ORDERED event run,
+    * returning the new state and the emitted (match | timed-out
+    * partial) results. Shared verbatim by the streaming operator
+    * ([[runWithTimeouts]]) and the batch one ([[runBatch]]). */
+  private def advance[K, T](steps: Vector[Step[T]],
+      withinMs: Option[Long], skip: SkipStrategy, k: K,
+      st0: NfaState[T], rows: Iterator[T], tsMillis: T => Long)
+      : (NfaState[T], Seq[MatchResult[K, T]]) = {
             var partials = st0.partials
             var seq = st0.nextSeq
             val out = scala.collection.mutable.ArrayBuffer[MatchResult[K, T]]()
@@ -283,7 +333,7 @@ object Cep {
               // only [a1,a2] and surface the overlapping suffix [a2] as
               // a timed-out partial, exactly as if the matches had
               // closed on a live event.
-              pattern.withinMs.foreach { w =>
+              withinMs.foreach { w =>
                 val (live, dead) = partials.partition(p => ts - p.startTs <= w)
                 val (deferred, expired) = dead.partition(p =>
                   steps(p.stepIdx).greedy && completable(p.stepIdx, p.count))
@@ -445,19 +495,7 @@ object Cep {
               partials = nextPartials.reverse
             }
 
-            // The seq counter persists even with no live partials: it IS
-            // the match identity (start_seq/end_seq) — resetting it would
-            // collide ids of later matches on the same key. Idle-key
-            // state is one counter per key, UNBOUNDED across keys unless
-            // `ttlMs` evicts it (see the run/runWithTimeouts scaladoc;
-            // match identity is then unique within the TTL window, like
-            // Flink's EventId under state TTL). The remove() below only
-            // fires for a key that produced no state at all this batch.
-            if (partials.isEmpty && seq == 0L) state.remove()
-            else { state.update(NfaState(partials, seq)); Ttl.arm(state, ttlMs) }
-            out.iterator
-          }
-      }
+            (NfaState(partials, seq), out.toSeq)
   }
 
   // Which start-seqs survive after emitting match `m`?

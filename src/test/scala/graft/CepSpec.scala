@@ -747,4 +747,30 @@ class CepSpec extends AnyFunSuite {
       MatchRecognize(in.toDS(), "low high", defs)(_.symbol, _.ts.getTime)
     }
   }
+
+  test("runBatch materializes ORDER BY per key: a shuffled batch input " +
+      "yields the same matches as the time-ordered stream") {
+    // events deliberately out of ts order AND interleaved across keys;
+    // the batch engine must sort per key before the NFA pass (the
+    // batch Match node's explicit sort), sharing the exact engine the
+    // streaming tests above pin
+    val ordered = Seq(
+      Tick("A", 90, ts(0)), Tick("A", 95, ts(1)), Tick("A", 120, ts(2)),
+      Tick("A", 80, ts(3)), Tick("B", 85, ts(0)), Tick("B", 130, ts(1)),
+      Tick("B", 70, ts(2)), Tick("B", 75, ts(3)), Tick("B", 150, ts(4)))
+    val shuffled = Seq(4, 8, 0, 6, 2, 7, 1, 5, 3).map(ordered)
+    val pat = Cep.Pattern.begin[Tick]("low", _.price < 100)
+      .nextOneOrMore("low", _.price < 100) // low{2,} strict
+      .next("high", _.price >= 100)
+    val got = Cep.runBatch(shuffled.toDS(), pat)(
+        _.symbol, _.ts.getTime, _.price.toLong)
+      .collect().map(m => (m.key,
+        m.steps("low").map(_.price), m.steps("high").map(_.price)))
+      .sortBy(_._1).toSeq
+    // A: lows 90,95 then 120; B: only the 70,75 run reaches 150 (the
+    // 85 run is broken by 130 arriving after ONE low — min 2 not met)
+    assert(got == Seq(
+      ("A", Seq(90.0, 95.0), Seq(120.0)),
+      ("B", Seq(70.0, 75.0), Seq(150.0))))
+  }
 }
