@@ -91,6 +91,54 @@ object StreamBench {
     "dsreal_weekly" -> best
   }
 
+  /** Retraction throughput on the real star: sales as +I, each
+    * returned sale later amended by a -U/+U pair (the update-stream
+    * encoding DsRealChangelogSpec proves batch-exact), through the
+    * retraction-aware ChangelogAgg keyed by store. */
+  private def dsRealChangelogAgg(spark: SparkSession): (String, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (salesChunks, retChunks) = realChunks(spark, 6)
+    // (store, amount) lookup per (item, ticket), built once;
+    // corrections ride the return's arrival chunk, so a correction
+    // never precedes its sale's insert
+    val sale = salesChunks.flatten
+      .map(s => (s.item, s.ticket) -> (s.store, s.cents)).toMap
+    def events(i: Int): Seq[(String, Long, Double)] = {
+      val ins = salesChunks(i).map(s =>
+        (graft.streaming.StreamOps.Insert, s.store, s.cents.toDouble))
+      val amends = retChunks(i).flatMap { r =>
+        sale.get((r.item, r.ticket)).toSeq.flatMap { case (store, amt) =>
+          Seq((graft.streaming.StreamOps.UpdateBefore, store, amt.toDouble),
+            (graft.streaming.StreamOps.UpdateAfter, store,
+              (amt - r.cents).toDouble))
+        }
+      }
+      ins ++ amends
+    }
+    val fed = (0 until 6).map(events)
+    val best = (1 to 2).map { _ =>
+      val in = MemoryStream[(String, Long, Double)]
+      val q = graft.streaming.ChangelogAgg
+        .sumCount(in.toDS())(_._2, _._1, _._3)
+        .map(u => (u.row_kind, u.key, u.sum, u.count))
+        .toDF("kind", "store", "sum", "count")
+        .writeStream.format("memory").queryName("sb_dscagg")
+        .outputMode("update").start()
+      in.addData(fed.head); q.processAllAvailable() // warmup
+      val t0 = System.nanoTime()
+      fed.drop(1).foreach { rows => in.addData(rows); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sb_dscagg")
+      System.gc()
+      fed.drop(1).map(_.size).sum / sec
+    }.max
+    "dsreal_changelog_agg" -> best
+  }
+
   /** Sales x returns stream-stream interval join on the real star
     * (return within 60 days of its sale); rows/sec over the timed
     * sales + returns rows. */
@@ -260,6 +308,10 @@ object StreamBench {
       // pipeline): sales x returns on (item, ticket) with the return
       // constrained to 60 days of its sale, watermark-bounded state
       dsRealIntervalJoin(spark),
+      // retraction path on the real star: returns arrive as -U/+U
+      // corrections through the retraction-aware ChangelogAgg — the
+      // update-stream encoding DsRealChangelogSpec proves batch-exact
+      dsRealChangelogAgg(spark),
       // streaming MinHash near-dup gate at >= 10x the sf0.01 corpus
       // (warmup + 5 x docsPerBatch docs vs ~15k documents): state is
       // one long per occupied (band, bucket) — n_docs x 4 bands

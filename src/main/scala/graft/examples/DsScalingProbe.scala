@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
   * queries. Plans are compared normalized (attribute ids, plan ids,
   * file locations masked — the GoldenPlanSpec normalization).
   *
-  * sbt "runMain graft.examples.DsScalingProbe [srcDir] [outJson]"
+  * sbt "runMain graft.examples.DsScalingProbe [srcDir] [outJson]
+  *      [mults] [queries]"   — mults/queries comma-separated; defaults
+  *      1,2,4,8 x the 10-query battery. Focused reruns (e.g.
+  *      "8,16 q_dsreal_q72") localize a growth knee without paying
+  *      for the full matrix.
   */
 object DsScalingProbe {
 
@@ -50,7 +54,10 @@ object DsScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val mults = Seq(1, 2, 4, 8)
+    val mults = args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 2, 4, 8))
+    val queries = args.lift(3).map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(DsScale.HeavyQueries)
     val dirs = mults.map { m =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_dsscale_${m}x").toString
@@ -68,7 +75,7 @@ object DsScalingProbe {
     }
 
     case class Cell(mult: Int, sec: Double, rows: Long, plan: String)
-    val results = DsScale.HeavyQueries.map { q =>
+    val results = queries.map { q =>
       val fn = SparkEntry.queries(q)
       val cells = mults.map { m =>
         val dir = dirs(m)
@@ -109,7 +116,7 @@ object DsScalingProbe {
     val unstable = results.collect {
       case (q, cells) if !cells.forall(_.plan == cells.head.plan) => q
     }
-    println(s"""{"metric":"dsscale","mults":[1,2,4,8],""" +
+    println(s"""{"metric":"dsscale","mults":[${mults.mkString(",")}],""" +
       f""""worst_growth_8x":{"q":"${worst._1}","ratio":${worst._2}%.2f},""" +
       s""""plan_unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}]}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
