@@ -901,8 +901,19 @@ object DsRealPack extends QueryPack {
       import s.implicits._
       val dd = DsTables.dateDim(s).filter($"d_month_seq".between(48, 59))
         .select($"d_date_sk")
-      DsTables.inventory(s, d)
+      // Pre-aggregate per item BELOW the rollup: the 4 grouping
+      // attributes are all item attributes, so the 5-way Expand only
+      // needs one (sum, count) row per item (~items rows), not every
+      // inventory row (items x weeks x warehouses — 5M+ at sf0.1,
+      // x5 through Expand). Merging partial (S, n) pairs is exact for
+      // the micro-mean; Catalyst cannot do this itself because AVG
+      // under ROLLUP re-expands the raw rows.
+      val perItem = DsTables.inventory(s, d)
         .join(broadcast(dd), $"inv_date_sk" === $"d_date_sk")
+        .groupBy($"inv_item_sk")
+        .agg(sum($"inv_quantity_on_hand").as("sq"),
+          count(lit(1)).as("nq"))
+      perItem
         .join(broadcast(DsTables.item(s, d)
           .select($"i_item_sk", $"i_product_name", $"i_brand",
             $"i_class", $"i_category")),
@@ -912,9 +923,9 @@ object DsRealPack extends QueryPack {
         // grand-total sum*1e6 toward Long range by ~sf1000, so divide
         // first and scale the remainder separately —
         // (S div n)*1e6 + ((S mod n)*1e6) div n, exact for S,n >= 0
-        .agg(expr("(sum(inv_quantity_on_hand) div count(*)) * 1000000" +
-          " + ((sum(inv_quantity_on_hand) % count(*)) * 1000000)" +
-          " div count(*)").as("qoh_e6"))
+        .agg(expr("(sum(sq) div sum(nq)) * 1000000" +
+          " + ((sum(sq) % sum(nq)) * 1000000) div sum(nq)")
+          .as("qoh_e6"))
         .orderBy($"qoh_e6", $"i_product_name", $"i_brand", $"i_class",
           $"i_category")
         .limit(100)
