@@ -53,7 +53,7 @@ object Bench {
     // unpersist flood, the global-window warning, broadcast-task-
     // binary sizes, state-store snapshot lag) — see LogHygiene for
     // the per-message rationale; everything else still surfaces.
-    LogHygiene.install()
+    LogHygiene.installBench()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

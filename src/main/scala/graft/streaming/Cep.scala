@@ -293,11 +293,59 @@ object Cep {
       "a negative pattern cannot begin or end the sequence (Flink rule)")
     ds.groupByKey(key).flatMapGroups { (k: K, rows: Iterator[T]) =>
       val ordered = rows.toVector.sortBy(e => (tsMillis(e), tiebreak(e)))
-      val (_, out) = advance(steps, pattern.withinMs, skip, k,
-        NfaState[T](Nil, 0L), ordered.iterator, tsMillis)
-      out.iterator.filter(!_.timed_out)
-        .map(r => Match(r.key, r.steps, r.start_seq, r.end_seq))
+      matchLocal(pattern, skip, k, ordered, tsMillis).iterator
     }
+  }
+
+  /** Single-key batch matcher on an in-memory ordered run — the exact
+    * engine [[runBatch]] executes per group (one [[advance]] pass plus
+    * the end-of-input flush), WITHOUT a SparkSession. Exists for
+    * lightweight library use and for differential testing
+    * (CepPropertySpec drives hundreds of randomized patterns through
+    * it against a brute-force enumeration oracle). Events must already
+    * be in match order. */
+  def matchLocal[K, T](pattern: Pattern[T], skip: SkipStrategy, k: K,
+      ordered: Seq[T], tsMillis: T => Long): Seq[Match[K, T]] = {
+    val steps = pattern.steps
+    require(!steps.head.negated && !steps.last.negated,
+      "a negative pattern cannot begin or end the sequence (Flink rule)")
+    val (st, out) = advance(steps, pattern.withinMs, skip, k,
+      NfaState[T](Nil, 0L), ordered.iterator, tsMillis)
+    (out ++ flushEndOfInput(steps, skip, k, st))
+      .filter(!_.timed_out)
+      .map(r => Match(r.key, r.steps, r.start_seq, r.end_seq))
+  }
+
+  /** End-of-input flush (batch only): a GREEDY open loop that is still
+    * deferring its emission (waiting for more loop events) and has all
+    * remaining obligations satisfied emits its maximal match when the
+    * input ends — SQL/Flink batch MATCH_RECOGNIZE emits the maximal
+    * match at end-of-input (CommonExecMatch's bounded-input final
+    * advance). Mirrors the `deferred` branch of the within-expiry path
+    * exactly: same completability test, same (startSeq, -length)
+    * emission order, same after-match-skip pruning across the flushed
+    * set. Reluctant loops are NOT flushed — they already emitted every
+    * completion as they grew. Streaming never calls this: a micro-batch
+    * boundary is not end-of-input. */
+  private def flushEndOfInput[K, T](steps: Vector[Step[T]],
+      skip: SkipStrategy, k: K, st: NfaState[T])
+      : Seq[MatchResult[K, T]] = {
+    def completable(i: Int, c: Int): Boolean =
+      c >= steps(i).minTimes &&
+        (i + 1 until steps.length).forall(steps(_).minTimes == 0)
+    val deferred = st.partials.filter(p =>
+      steps(p.stepIdx).greedy && completable(p.stepIdx, p.count))
+    val ordered = deferred.sortBy(p => (p.startSeq, -p.acc.length))
+    val killed = scala.collection.mutable.Set[Partial[T]]()
+    val out = scala.collection.mutable.ArrayBuffer[MatchResult[K, T]]()
+    ordered.foreach { c =>
+      if (!killed(c)) {
+        out += toResult(k, c, steps, timedOut = false)
+        val keep = keepAfter(c, skip)
+        ordered.foreach(o => if (!keep(o.startSeq)) killed += o)
+      }
+    }
+    out.toSeq
   }
 
   /** The NFA engine: advances a key's state over an ORDERED event run,
