@@ -37,6 +37,7 @@ object SparkEntry {
     TpcdsShapePack7,
     DsRealPack,
     DsRealPack2,
+    SqlTextPack,
     IteratePack,
     MatchPack
   )

@@ -445,8 +445,24 @@ object DsRealPack extends QueryPack {
     // sale<->return join and the groupBy.
     "q_dsreal_q64" -> ((s, d) => {
       import s.implicits._
+      val it = DsTables.item(s, d)
+        .filter($"i_color".isin("red", "blue", "hot", "small", "large",
+          "old") &&
+          $"i_current_price_cents".between(91000L, 97000L))
+      // The item gate (6 colors x a narrow price band) keeps a few
+      // percent of items; push it as a broadcast semi onto EVERY fact
+      // scan BEFORE the sale<->return shuffle joins (r13 — the q64
+      // scale lever): Catalyst will not reorder the dim join below the
+      // fact-fact join on its own, and the shuffle volume is what grew
+      // 1.80x at 8x in DSSCALE_r12. Applying an equi-key filter before
+      // an equi join on that key is identity-preserving, so the oracle
+      // hash is unchanged.
+      val itKeys = it.select($"i_item_sk".as("it_sk"))
       val csUi = DsTables.catalogSales(s, d)
-        .join(DsTables.catalogReturns(s, d),
+        .join(broadcast(itKeys), $"cs_item_sk" === $"it_sk", "left_semi")
+        .join(DsTables.catalogReturns(s, d)
+            .join(broadcast(itKeys), $"cr_item_sk" === $"it_sk",
+              "left_semi"),
           $"cs_item_sk" === $"cr_item_sk" &&
             $"cs_order_number" === $"cr_order_number")
         .groupBy($"cs_item_sk")
@@ -462,16 +478,14 @@ object DsRealPack extends QueryPack {
         .select($"hd_demo_sk", $"hd_income_band_sk")
       val ib = DsTables.incomeBand(s).select($"ib_income_band_sk")
       val ca = DsTables.customerAddress(s, d)
-      val it = DsTables.item(s, d)
-        .filter($"i_color".isin("red", "blue", "hot", "small", "large",
-          "old") &&
-          $"i_current_price_cents".between(91000L, 97000L))
       val crossSales = pin(DsTables.storeSales(s, d)
-        .join(DsTables.storeReturns(s, d),
+        .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
+        .join(broadcast(csUi), $"ss_item_sk" === $"cs_item_sk", "left_semi")
+        .join(DsTables.storeReturns(s, d)
+            .join(broadcast(itKeys), $"sr_item_sk" === $"it_sk",
+              "left_semi"),
           $"ss_item_sk" === $"sr_item_sk" &&
             $"ss_ticket_number" === $"sr_ticket_number")
-        .join(broadcast(csUi), $"ss_item_sk" === $"cs_item_sk", "left_semi")
-        .join(broadcast(it), $"ss_item_sk" === $"i_item_sk")
         .join(broadcast(dd.select($"d_date_sk".as("d1_sk"),
           $"d_year".as("syear"))), $"ss_sold_date_sk" === $"d1_sk")
         .join(broadcast(DsTables.customerDim(s, d)),

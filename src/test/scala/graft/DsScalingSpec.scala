@@ -58,6 +58,42 @@ class DsScalingSpec extends AnyFunSuite {
       .isEmpty, "orphaned ss_customer_sk after replication")
   }
 
+  test("CORRECTNESS is scale-invariant: every heavy query is oracle-" +
+      "exact on the 2x replicated star (DuckDB rebuild via diffcheck)") {
+    // r12 ran this parity check manually (COVERAGE.md paragraph); this
+    // test makes it a standing suite gate: run each heavy query on the
+    // 2x-replica base, dump Verify-layout parquet + oracle_sql.json,
+    // and drive the SAME tools/diffcheck.py the driver-replica gate
+    // uses — DuckDB rebuilds the derived star from the replicated base
+    // tables and must hash-match. A query whose result only matches at
+    // 1x (e.g. an accidental LIMIT-without-ORDER or a key-collision
+    // assumption the replica's shifted keys break) fails here.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_scale_parity").toString
+    DsScale.HeavyQueries.foreach { q =>
+      SparkEntry.queries(q)(spark, dirs(2))
+        .write.mode("overwrite").parquet(s"$out/$q")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    DsScale.HeavyQueries.foreach(q => node.put(q, SparkEntry.oracleSql(q)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+      mapper.writeValueAsBytes(node))
+    val cmd = Seq("python3", "tools/diffcheck.py", dirs(2), out) ++
+      DsScale.HeavyQueries
+    val proc = new ProcessBuilder(cmd: _*)
+      .directory(new java.io.File("/root/repo"))
+      .redirectErrorStream(true).start()
+    val log = scala.io.Source.fromInputStream(proc.getInputStream)
+      .mkString
+    val code = proc.waitFor()
+    assert(code == 0 && log.contains(" 0 fail"),
+      s"2x-replica oracle parity failed (exit $code):\n$log")
+    assert(log.contains(s"== ${DsScale.HeavyQueries.size} pass"),
+      s"expected ${DsScale.HeavyQueries.size} passes:\n$log")
+  }
+
   DsScale.HeavyQueries.foreach { q =>
     test(s"$q optimized plan is volume-stable across 1x/2x/4x") {
       val plans = Seq(1, 2, 4).map { m =>

@@ -180,6 +180,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tpcds_triunion" -> (3, 3, disjoint),
     "q_tpcds_union_rollup" -> (3, 3, disjoint),
     "q_tpcds_weekpivot" -> (2, 2, disjoint),
+    // q_sqltext_*: SAME text as the dsreal twin but entered through
+    // spark.sql — WITH-CTEs inline per consumer (no Materialize.pin is
+    // reachable from SQL text), so q1's customer_total_return plans
+    // twice; the channel-branch budgets mirror the dsreal twins.
+    "q_sqltext_q1" -> (2, 2, "WITH customer_total_return consumed " +
+      "twice (store filter + per-store avg); SQL text cannot pin"),
+    "q_sqltext_q10" -> (3, 3, "store EXISTS + web/catalog EXISTS " +
+      s"union; $dsrealChan"),
+    "q_sqltext_q38" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
+    "q_sqltext_q87" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
+    "q_sqltext_q51" -> (2, 2, s"web + store cumulative branches; " +
+      dsrealChan),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),

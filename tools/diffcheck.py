@@ -13,6 +13,7 @@ named by bare table name, runs the oracle SQL, and compares:
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,8 +45,18 @@ def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single driver-written file OR a Spark-written
+        # directory (DsScale replicas); replica dirs only carry the four
+        # star base tables, so skip absentees (queries not using them
+        # still bind)
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            src = f"read_parquet('{p}/*.parquet')"
+        elif os.path.exists(p):
+            src = f"'{p}'"
+        else:
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
