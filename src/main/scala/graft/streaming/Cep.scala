@@ -327,7 +327,7 @@ object Cep {
     * set. Reluctant loops are NOT flushed — they already emitted every
     * completion as they grew. Streaming never calls this: a micro-batch
     * boundary is not end-of-input. */
-  private def flushEndOfInput[K, T](steps: Vector[Step[T]],
+  private[graft] def flushEndOfInput[K, T](steps: Vector[Step[T]],
       skip: SkipStrategy, k: K, st: NfaState[T])
       : Seq[MatchResult[K, T]] = {
     def completable(i: Int, c: Int): Boolean =
@@ -351,8 +351,11 @@ object Cep {
   /** The NFA engine: advances a key's state over an ORDERED event run,
     * returning the new state and the emitted (match | timed-out
     * partial) results. Shared verbatim by the streaming operator
-    * ([[runWithTimeouts]]) and the batch one ([[runBatch]]). */
-  private def advance[K, T](steps: Vector[Step[T]],
+    * ([[runWithTimeouts]]) and the batch one ([[runBatch]]).
+    * private[graft] (not private) so CepPropertySpec can assert
+    * chunk-split invariance — the streaming-restart contract that
+    * state carries everything a later micro-batch needs. */
+  private[graft] def advance[K, T](steps: Vector[Step[T]],
       withinMs: Option[Long], skip: SkipStrategy, k: K,
       st0: NfaState[T], rows: Iterator[T], tsMillis: T => Long)
       : (NfaState[T], Seq[MatchResult[K, T]]) = {

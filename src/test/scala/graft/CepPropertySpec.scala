@@ -495,6 +495,46 @@ class CepPropertySpec extends AnyFunSuite {
     assert(expire >= 10, s"within-expiry-emitted draws: $expire")
   }
 
+  test("differential: chunk-split invariance — the same ordered run fed " +
+      "through advance() in arbitrary chunks (the streaming micro-batch " +
+      "shape) emits exactly the single-pass results, timeouts included") {
+    // the streaming-restart contract: NfaState carries EVERYTHING a
+    // later micro-batch needs; a field the engine forgets to persist
+    // (a closed flag, a deferred partial, the seq counter) shows up
+    // here as a chunked-vs-whole divergence
+    (1 to 400).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val events = genEvents(rnd)
+      val (pdesc, steps) = genPattern(rnd)
+      val (sdesc, skip) = genSkip(rnd, steps)
+      val w = if (rnd.nextBoolean()) None
+        else Some(Seq(15L, 25L, 45L)(rnd.nextInt(3)))
+      def runChunked(chunks: Seq[Seq[Ev]]) = {
+        var st = Cep.NfaState[Ev](Nil, 0L)
+        val out = Seq.newBuilder[Cep.MatchResult[String, Ev]]
+        chunks.foreach { ch =>
+          val (st2, o) = Cep.advance(steps, w, skip, "k", st,
+            ch.iterator, (_: Ev).ts)
+          st = st2; out ++= o
+        }
+        out ++= Cep.flushEndOfInput(steps, skip, "k", st)
+        out.result().map(r => (r.timed_out, r.start_seq, r.end_seq,
+          steps.map(s => r.steps(s.name).map(_.idx))))
+      }
+      val whole = runChunked(Seq(events))
+      val cut1 = 1 + rnd.nextInt(events.length - 1)
+      val cut2 = 1 + rnd.nextInt(events.length - 1)
+      val cuts = Seq(cut1, cut2).distinct.sorted
+      val chunks = (0 +: cuts :+ events.length).distinct.sliding(2)
+        .map { case Seq(a, b) => events.slice(a, b) }.toSeq
+      val chunked = runChunked(chunks)
+      assert(chunked == whole,
+        s"\nseed=$seed pattern=[$pdesc] skip=$sdesc within=$w " +
+        s"cuts=$cuts\nevents=${events.map(_.label).mkString}" +
+        s"\nchunked=$chunked\nwhole=$whole")
+    }
+  }
+
   test("differential: the Spark runBatch path equals matchLocal on a " +
       "sample of draws (groupByKey + per-group sort + same engine)") {
     val spark = TestSpark.spark
