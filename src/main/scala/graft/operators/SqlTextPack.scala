@@ -96,7 +96,8 @@ object SqlTextPack extends QueryPack {
       ("q_sqltext_" + src.stripPrefix("q_dsreal_")) -> dsrealOracle(src)
     }.toMap + (
       "q_sqltext_hamming" ->
-        """SELECT bit_count(xor(o_orderkey, o_custkey)) AS hd,
+        """SELECT CAST(bit_count(xor(o_orderkey, o_custkey)) AS INTEGER)
+                    AS hd,
                   count(*) AS cnt
            FROM orders GROUP BY 1 ORDER BY 1""")
 }

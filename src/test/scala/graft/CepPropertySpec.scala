@@ -22,15 +22,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * NFAITCase examples can't cover — surface as a disagreement on some
   * draw, reported with its seed for replay.
   *
-  * Covered feature space (the default-contiguity engine): all
-  * quantifiers (exactly-one, optional, times(n), times(from,to),
-  * oneOrMore, timesOrMore, zeroOrMore), strict (`next`/`consecutive`)
-  * and relaxed contiguity, greedy and reluctant loops, strict+relaxed
-  * negation, `within`, and ALL skip strategies (NoSkip, SkipToNext,
-  * SkipPastLastEvent, SkipToFirst, SkipToLast). Deliberately out of
-  * scope: the opt-in SKIP_TILL_ANY modes (`followedByAny` /
-  * `allowCombinations`) and iterative conditions — those stay pinned
-  * by CepSpec's reference-derived NFAITCase ports.
+  * Covered feature space: all quantifiers (exactly-one, optional,
+  * times(n), times(from,to), oneOrMore, timesOrMore, zeroOrMore),
+  * strict (`next`/`consecutive`) and relaxed contiguity, greedy and
+  * reluctant loops, strict+relaxed negation, `within`, ALL skip
+  * strategies (NoSkip, SkipToNext, SkipPastLastEvent, SkipToFirst,
+  * SkipToLast), AND (r13 extension) the opt-in SKIP_TILL_ANY modes —
+  * `followedByAny` entries and `allowCombinations` loops, where the
+  * skip-this-event interpretation stays live (the oracle models it as
+  * a unified gap-decision tree: an event taken ONLY by
+  * any/combinations branches leaves the waiting interpretation
+  * alive). Deliberately out of scope: iterative conditions (whereCtx)
+  * — pinned by CepSpec's reference-derived NFAITCase ports.
   *
   * Reference semantics source: flink-cep .../nfa/NFA.java,
   * nfa/aftermatch/AfterMatchSkipStrategy.java, pattern/Pattern.java.
@@ -141,34 +144,63 @@ object CepOracle {
       val stp = steps(cur)
       stp.isLoop && !closed && stp.maxTimes.forall(count < _) && stp.pred(ev)
     }
-    // scan steps after cur exactly like the engine's (b) loop:
-    // negated guards (armed) kill; a matching positive step consumes;
-    // the scan passes min-0 positive steps and stops at the first
-    // positive step with min > 0
-    sealed trait ScanOut
-    case object ScanKill extends ScanOut     // armed guard matched
-    case object ScanTaken extends ScanOut    // a later step matched
-    case object ScanNothing extends ScanOut
-    def scanAdvance(cur: Int, count: Int, lastTaken: Int, pos: Int,
-        ev: Ev): ScanOut = {
-      if (count < steps(cur).minTimes) return ScanNothing
-      var i = cur + 1
-      var taken = false
-      while (i < steps.length) {
-        val st = steps(i)
-        if (st.negated) {
-          val armed = !st.strict || pos == lastTaken + 1
-          if (armed && st.pred(ev)) return ScanKill
-        } else {
-          if (st.pred(ev)) taken = true
-          if (st.minTimes > 0) return if (taken) ScanTaken else ScanNothing
-        }
-        i += 1
-      }
-      if (taken) ScanTaken else ScanNothing
-    }
     def nextPositive(cur: Int): Option[Int] =
       (cur + 1 until steps.length).find(i => !steps(i).negated)
+
+    // One GAP event, decided exactly like the engine's per-partial
+    // tree: guard-kill beats everything; an untaken event lets a
+    // greedy completable OPEN loop emit-and-consume (case c); a
+    // branch taken by any NON-any/non-combinations step kills the
+    // waiting interpretation (eager contiguity); an event taken ONLY
+    // by any/combinations branches leaves waiting alive
+    // (SKIP_TILL_ANY retention), subject to the same strict
+    // obligations as an untouched partial.
+    sealed trait GapOut
+    case object GapDead extends GapOut
+    case object GapEmit extends GapOut
+    case class GapWait(nowClosed: Boolean) extends GapOut
+    def waitOrDie(cur: Int, count: Int, closed: Boolean): GapOut = {
+      val stp = steps(cur)
+      val strictNext = count >= stp.minTimes &&
+        nextPositive(cur).exists(steps(_).strict)
+      val strictFill = stp.strict && count < stp.minTimes
+      if (strictNext || strictFill) GapDead
+      else GapWait(closed || (stp.strict && stp.isLoop))
+    }
+    def gapStep(cur: Int, count: Int, closed: Boolean, lastTaken: Int,
+        pos: Int, ev: Ev): GapOut = {
+      val stp = steps(cur)
+      var advanced = false
+      var nonAny = false
+      var guardKill = false
+      if (loopTakeable(cur, count, closed, ev)) {
+        advanced = true
+        if (!stp.combinations) nonAny = true
+      }
+      if (count >= stp.minTimes) {
+        var i = cur + 1
+        var go = true
+        while (go && i < steps.length) {
+          val st = steps(i)
+          if (st.negated) {
+            val armed = !st.strict || pos == lastTaken + 1
+            if (armed && st.pred(ev)) { guardKill = true; go = false }
+          } else {
+            if (st.pred(ev)) { advanced = true; if (!st.any) nonAny = true }
+            go = st.minTimes == 0
+          }
+          i += 1
+        }
+      }
+      if (guardKill) GapDead
+      else if (!advanced) {
+        if (stp.greedy && stp.isLoop && stp.maxTimes.forall(count < _) &&
+            completable(steps, cur, count)) GapEmit
+        else waitOrDie(cur, count, closed)
+      }
+      else if (nonAny) GapDead
+      else waitOrDie(cur, count, closed)
+    }
 
     // sequential walk from first to last bound position
     var cur = -1
@@ -215,45 +247,37 @@ object CepOracle {
           cur = j; count = 1; closed = false; lastTaken = pos
           if (!survivesOwnEmission(pos)) return None
         case None => // gap event: the waiting interpretation must survive
-          val stp = steps(cur)
-          // a greedy completable open loop EMITS AND IS CONSUMED on any
-          // non-extending event — the run cannot continue past this gap
-          if (stp.greedy && stp.isLoop && stp.maxTimes.forall(count < _) &&
-              completable(steps, cur, count)) return None
-          // eager contiguity: a takeable event must be taken
-          if (loopTakeable(cur, count, closed, ev)) return None
-          scanAdvance(cur, count, lastTaken, pos, ev) match {
-            case ScanKill | ScanTaken => return None
-            case ScanNothing =>
+          gapStep(cur, count, closed, lastTaken, pos, ev) match {
+            // GapEmit consumes the partial mid-run — the run cannot
+            // continue past this gap, so the binding is unreachable
+            case GapDead | GapEmit => return None
+            case GapWait(nc) => closed = nc
           }
-          // strict obligations kill waiting partials
-          val strictNext = count >= stp.minTimes &&
-            nextPositive(cur).exists(steps(_).strict)
-          val strictFill = stp.strict && count < stp.minTimes
-          if (strictNext || strictFill) return None
-          if (stp.strict && stp.isLoop) closed = true // consecutiveness broken
       }
       pos += 1
     }
 
     // emission point. A GREEDY OPEN loop defers: it emits at the first
-    // event after `last` that neither extends nor advances nor kills
-    // it — or via within-expiry at that event, or at end-of-input.
+    // event after `last` that matches NOTHING (case c), or via
+    // within-expiry, or at end-of-input. Along the way: a guard or a
+    // non-any take kills/consumes it (None); an event taken ONLY by
+    // any/combinations branches leaves it deferring (the waiting copy
+    // of SKIP_TILL_ANY), subject to strict obligations.
     val stp = steps(cur)
     val open = stp.isLoop && stp.maxTimes.forall(count < _)
     if (stp.greedy && open) {
-      val q = last + 1
-      if (q >= n) Some(Emission(run, n, EndFlush))
-      else if (withinMs.exists(w => events(q).ts - events(first).ts > w))
-        Some(Emission(run, q, Expire))
-      else {
-        val ev = events(q)
-        if (loopTakeable(cur, count, closed, ev)) None // consumed by extension
-        else scanAdvance(cur, count, lastTaken, q, ev) match {
-          case ScanKill | ScanTaken => None // guard-killed / consumed by advance
-          case ScanNothing => Some(Emission(run, q, Normal))
+      var q = last + 1
+      var cl = closed
+      while (q < n) {
+        if (withinMs.exists(w => events(q).ts - events(first).ts > w))
+          return Some(Emission(run, q, Expire))
+        gapStep(cur, count, cl, lastTaken, q, events(q)) match {
+          case GapDead => return None
+          case GapEmit => return Some(Emission(run, q, Normal))
+          case GapWait(nc) => cl = nc; q += 1
         }
       }
+      Some(Emission(run, n, EndFlush))
     } else Some(Emission(run, last, Normal))
   }
 
@@ -379,10 +403,18 @@ class CepPropertySpec extends AnyFunSuite {
       val strict = steps.nonEmpty && rnd.nextInt(100) < 25
       val isLoop = max != Some(1)
       val greedy = !isLoop || rnd.nextInt(100) < 65
+      // opt-in SKIP_TILL_ANY modes: followedByAny entry on non-head
+      // steps (mutually exclusive with strict entry, like the builder)
+      // and allowCombinations on loops
+      val anyEntry = steps.nonEmpty && !strict && rnd.nextInt(100) < 20
+      val combos = isLoop && rnd.nextInt(100) < 25
       steps :+= Step[Ev](s"s$posIdx", p, minTimes = min, maxTimes = max,
-        strict = strict, greedy = greedy)
+        strict = strict, greedy = greedy, any = anyEntry,
+        combinations = combos)
       sb ++= s" s$posIdx[$pn $qn${if (strict) " strict" else ""}" +
-        s"${if (isLoop && !greedy) " reluctant" else ""}]"
+        s"${if (isLoop && !greedy) " reluctant" else ""}" +
+        s"${if (anyEntry) " any" else ""}" +
+        s"${if (combos) " combos" else ""}]"
       posIdx += 1
     }
     // degenerate all-optional patterns are legal; head/tail never negated
@@ -447,7 +479,7 @@ class CepPropertySpec extends AnyFunSuite {
     // re-walk the same seeds tallying which features co-occurred with
     // at least one emitted match, so a generator regression can't
     // silently hollow the property out
-    var loops, strict, neg, within, reluctant = 0
+    var loops, strict, neg, within, reluctant, anySteps, combos = 0
     val skips = scala.collection.mutable.Set[String]()
     (1 to 400).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -464,12 +496,19 @@ class CepPropertySpec extends AnyFunSuite {
         if (steps.exists(_.negated)) neg += 1
         if (w.isDefined) within += 1
         if (steps.exists(s => s.isLoop && !s.greedy)) reluctant += 1
+        if (steps.exists(_.any)) anySteps += 1
+        if (steps.exists(_.combinations)) combos += 1
       }
     }
     assert(skips.size == 5, s"skip strategies with matches: $skips")
     assert(loops >= 30 && strict >= 15 && neg >= 10 &&
       within >= 30 && reluctant >= 10,
       s"loops=$loops strict=$strict neg=$neg within=$within rel=$reluctant")
+    // the opt-in SKIP_TILL_ANY modes (followedByAny entry,
+    // allowCombinations loops) are IN the differential draw space too
+    // (r13 extension — they were example-pinned only before)
+    assert(anySteps >= 10 && combos >= 10,
+      s"anySteps=$anySteps combos=$combos")
   }
 
   test("differential: the greedy-boundary emission PHASES all fire — " +
