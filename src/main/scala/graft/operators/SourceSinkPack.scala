@@ -196,15 +196,22 @@ object SourceSinkPack extends QueryPack {
     "q_kafka_segments" -> ((s, d) => {
       import s.implicits._
       import graft.sources.KafkaSegmentFormat._
-      val batches = T.orders(s, d)
+      val grouped = T.orders(s, d)
         .select((expr("o_orderkey div 256")).as("batch_id"),
           struct($"o_orderkey".as("timestamp"),
             encode($"o_orderkey".cast("string"), "UTF-8").as("key"),
             encode($"o_orderpriority", "UTF-8").as("value")).as("rec"))
         .groupBy($"batch_id")
         .agg(sort_array(collect_list($"rec")).as("records"))
-        .select(kafkaEncode(struct(($"batch_id" * 1000L)
-          .as("base_offset"), $"records"), gzip = true).as("bin"))
+      // ALL FIVE protocol codecs in one oracle-gated roundtrip (r13):
+      // each batch_id slice encodes with a different attribute codec
+      // (0 none, 1 gzip, 2 snappy, 3 lz4, 4 zstd); the decoded rows
+      // are codec-invariant, so the DuckDB oracle is unchanged
+      val batches = (0 to 4).map { c =>
+        grouped.filter($"batch_id" % 5 === c)
+          .select(kafkaEncode(struct(($"batch_id" * 1000L)
+            .as("base_offset"), $"records"), codec = c).as("bin"))
+      }.reduce(_ unionAll _)
       batches
         .select(explode(kafkaDecode($"bin")).as("r"))
         .select($"r.offset".as("rec_offset"),

@@ -39,9 +39,12 @@ import org.apache.spark.sql.types._
   *  - records: length, timestampDelta, offsetDelta, keyLen, valueLen,
   *    headerCount and header lengths are ZIGZAG VARINTS (protobuf
   *    sint encoding); -1 length = NULL key/value
-  *  - compression codecs: none(0) and gzip(1) via the JDK (snappy/
-  *    lz4/zstd need jars the container lacks — decode raises a clear
-  *    error naming the codec); compression covers the records section
+  *  - compression codecs: ALL FIVE the protocol defines — none(0),
+  *    gzip(1, JDK), snappy(2, xerial framed stream), lz4(3, LZ4 Frame
+  *    format), zstd(4) — the snappy/lz4/zstd streams come from the
+  *    same libraries Spark itself ships for shuffle/parquet
+  *    compression (snappy-java, lz4-java, zstd-jni), so no extra
+  *    dependency; compression covers the records section
   *    only, the header stays plain
   *  - decode VERIFIES magic and CRC32C and fails loudly on mismatch
   *    (a silent pass-through would defeat the log-recovery use case)
@@ -112,10 +115,61 @@ object KafkaSegmentFormat {
     out.write(b)
   }
 
-  /** records: (timestamp, key, value) triples in their offset order. */
+  /** Compresses the records section per the protocol's attribute
+    * codec ids: 0=none, 1=gzip, 2=snappy (xerial framed stream — the
+    * bytes kafka-clients writes), 3=lz4 (LZ4 Frame format), 4=zstd. */
+  private def compress(codec: Int, raw: Array[Byte]): Array[Byte] =
+    if (codec == 0) raw
+    else {
+      val bos = new ByteArrayOutputStream()
+      val out: java.io.OutputStream = codec match {
+        case 1 => new GZIPOutputStream(bos)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case c => throw new IllegalArgumentException(
+          s"unknown compression codec $c (protocol defines 0..4)")
+      }
+      out.write(raw); out.close()
+      bos.toByteArray
+    }
+
+  private def decompress(codec: Int, raw: Array[Byte]): Array[Byte] =
+    if (codec == 0) raw
+    else {
+      val bis = new ByteArrayInputStream(raw)
+      val in: java.io.InputStream = codec match {
+        case 1 => new GZIPInputStream(bis)
+        case 2 => new org.xerial.snappy.SnappyInputStream(bis)
+        case 3 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+        case 4 => new com.github.luben.zstd.ZstdInputStream(bis)
+        case c => throw new IllegalArgumentException(
+          s"unknown compression codec $c (protocol defines 0..4)")
+      }
+      val out = new ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+      in.close()
+      out.toByteArray
+    }
+
+  /** Back-compat boolean form (gzip or none). */
   def encodeBatch(baseOffset: Long,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      gzip: Boolean = false): Array[Byte] = {
+      gzip: Boolean): Array[Byte] =
+    encodeBatch(baseOffset, records, if (gzip) 1 else 0)
+
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] =
+    encodeBatch(baseOffset, records, 0)
+
+  /** records: (timestamp, key, value) triples in their offset order;
+    * codec = the protocol attribute id (0 none, 1 gzip, 2 snappy,
+    * 3 lz4, 4 zstd). */
+  def encodeBatch(baseOffset: Long,
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      codec: Int): Array[Byte] = {
     require(records.nonEmpty, "a RecordBatch holds at least one record")
     val baseTs = records.map(_._1).min
     val maxTs = records.map(_._1).max
@@ -123,17 +177,10 @@ object KafkaSegmentFormat {
     records.zipWithIndex.foreach { case ((ts, k, v), i) =>
       encodeRecord(recOut, ts - baseTs, i, k, v)
     }
-    val recBytes =
-      if (!gzip) recOut.toByteArray
-      else {
-        val bos = new ByteArrayOutputStream()
-        val gz = new GZIPOutputStream(bos)
-        gz.write(recOut.toByteArray); gz.finish()
-        bos.toByteArray
-      }
+    val recBytes = compress(codec, recOut.toByteArray)
     // attributes..end (the CRC32C coverage span)
     val tail = ByteBuffer.allocate(40 + recBytes.length)
-    tail.putShort(if (gzip) 1.toShort else 0.toShort) // attributes
+    tail.putShort(codec.toShort) // attributes
     tail.putInt(records.length - 1) // lastOffsetDelta
     tail.putLong(baseTs)
     tail.putLong(maxTs)
@@ -193,19 +240,7 @@ object KafkaSegmentFormat {
     bb.getLong; bb.getShort; bb.getInt // producer id/epoch/sequence
     val recordCount = bb.getInt
     val raw = java.util.Arrays.copyOfRange(bytes, start + 61, batchEnd)
-    val recBytes = (attributes & 0x7) match {
-      case 0 => raw
-      case 1 =>
-        val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-        val out = new ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
-        out.toByteArray
-      case c => throw new IllegalArgumentException(
-        s"compression codec $c needs a library this container lacks " +
-          "(2=snappy, 3=lz4, 4=zstd)")
-    }
+    val recBytes = decompress(attributes & 0x7, raw)
     val r = new Reader(recBytes, 0)
     val recs = (0 until recordCount).map { _ =>
       val len = r.readVarLong().toInt
@@ -251,8 +286,9 @@ object KafkaSegmentFormat {
   // ------------------------------------------------------------------
   // Catalyst boundary expressions
 
-  /** struct(base_offset, records) -> RecordBatch bytes. */
-  case class KafkaBatchEncode(child: Expression, gzip: Boolean)
+  /** struct(base_offset, records) -> RecordBatch bytes. `codec` is the
+    * protocol attribute id (0 none .. 4 zstd). */
+  case class KafkaBatchEncode(child: Expression, codec: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "kafka_batch_encode"
@@ -266,7 +302,7 @@ object KafkaSegmentFormat {
           if (rec.isNullAt(1)) null else rec.getBinary(1),
           if (rec.isNullAt(2)) null else rec.getBinary(2))
       }
-      encodeBatch(baseOffset, recs, gzip)
+      encodeBatch(baseOffset, recs, codec)
     }
     override protected def withNewChildInternal(c: Expression)
         : KafkaBatchEncode = copy(child = c)
@@ -292,8 +328,13 @@ object KafkaSegmentFormat {
   /** Column API: struct(base_offset: long, records: array<struct<
     * timestamp, key, value>>) -> batch bytes. */
   def kafkaEncode(c: Column, gzip: Boolean = false): Column =
+    kafkaEncode(c, if (gzip) 1 else 0)
+
+  /** Column API with an explicit protocol codec id (0 none, 1 gzip,
+    * 2 snappy, 3 lz4, 4 zstd). */
+  def kafkaEncode(c: Column, codec: Int): Column =
     GraftSqlBridge.columnOf(
-      KafkaBatchEncode(GraftSqlBridge.expressionOf(c), gzip))
+      KafkaBatchEncode(GraftSqlBridge.expressionOf(c), codec))
 
   /** Column API: batch bytes -> records array. */
   def kafkaDecode(c: Column): Column =

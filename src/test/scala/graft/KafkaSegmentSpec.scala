@@ -64,6 +64,52 @@ class KafkaSegmentSpec extends AnyFunSuite {
     assert(decodeBatch(gz).head._4.length == 2000)
   }
 
+  test("snappy/lz4/zstd batches roundtrip AND carry the real wire " +
+      "containers (xerial framing, LZ4 Frame magic, zstd magic)") {
+    // r13: the codec libraries were on Spark's own classpath all along
+    // (snappy-java / lz4-java / zstd-jni, shipped for shuffle/parquet
+    // compression) — closing the residual VERDICT r12 recorded as
+    // env-blocked. The magic-byte assertions pin that the compressed
+    // records section is the PUBLIC wire format of each codec (what a
+    // broker-written segment contains), not an arbitrary container.
+    val big = ("kafka codec " * 200).getBytes("UTF-8")
+    val recs = Seq((1L, b("k"), big),
+      (2L, null.asInstanceOf[Array[Byte]], b("v2")))
+    for ((codec, name) <- Seq(2 -> "snappy", 3 -> "lz4", 4 -> "zstd")) {
+      val bytes = encodeBatch(0L, recs, codec)
+      assert((java.nio.ByteBuffer.wrap(bytes).getShort(21) & 0x7) == codec,
+        s"$name attribute bits")
+      // the compressed records section begins at byte 61
+      val c0 = bytes.slice(61, 61 + 8)
+      codec match {
+        case 2 => // xerial snappy stream header: 0x82 "SNAPPY" 0x00
+          assert(c0(0) == 0x82.toByte &&
+            new String(c0.slice(1, 7), "UTF-8") == "SNAPPY", "snappy magic")
+        case 3 => // LZ4 Frame magic 0x184D2204 (little-endian)
+          assert(java.nio.ByteBuffer.wrap(c0)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 0x184D2204,
+            "lz4 frame magic")
+        case 4 => // zstd frame magic 0xFD2FB528 (little-endian)
+          assert(java.nio.ByteBuffer.wrap(c0)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 0xFD2FB528,
+            "zstd frame magic")
+      }
+      val out = decodeBatch(bytes)
+      assert(out.map(_._1) == Seq(0L, 1L), s"$name offsets")
+      assert(out.head._4.length == big.length &&
+        new String(out.head._4, "UTF-8").startsWith("kafka codec"),
+        s"$name payload")
+      assert(out(1)._3 == null, s"$name null key")
+      assert(bytes.length < 61 + big.length,
+        s"$name did not actually compress")
+    }
+    // a mixed-codec segment dump decodes batch by batch
+    val seg = encodeBatch(0L, recs, 2) ++ encodeBatch(2L, recs, 3) ++
+      encodeBatch(4L, recs, 4) ++ encodeBatch(6L, recs, 1)
+    assert(decodeSegment(seg).map(_._1) ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("a flipped payload byte fails CRC32C validation loudly") {
     val bytes = encodeBatch(0L, Seq((1L, b("k"), b("hello"))))
     bytes(bytes.length - 3) = (bytes(bytes.length - 3) ^ 0x01).toByte
@@ -71,16 +117,17 @@ class KafkaSegmentSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC32C mismatch"))
   }
 
-  test("an unsupported compression codec is named in the error") {
+  test("a codec id OUTSIDE the protocol's 0..4 range is named in the " +
+      "error (all five defined codecs decode since r13)") {
     val bytes = encodeBatch(0L, Seq((1L, b("k"), b("v"))))
-    // set attributes codec bits to 4 (zstd) and re-seal the CRC
+    // set attributes codec bits to 5 (undefined) and re-seal the CRC
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.putShort(21, 4.toShort)
+    bb.putShort(21, 5.toShort)
     val tail = java.util.Arrays.copyOfRange(bytes, 21, bytes.length)
     val crc = new java.util.zip.CRC32C(); crc.update(tail)
     bb.putInt(17, crc.getValue.toInt)
     val e = intercept[IllegalArgumentException](decodeBatch(bytes))
-    assert(e.getMessage.contains("4"))
+    assert(e.getMessage.contains("5"))
   }
 
   test("a concatenated log-segment dump decodes batch by batch, each " +
