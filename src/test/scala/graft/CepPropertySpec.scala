@@ -32,8 +32,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * skip-this-event interpretation stays live (the oracle models it as
   * a unified gap-decision tree: an event taken ONLY by
   * any/combinations branches leaves the waiting interpretation
-  * alive). Deliberately out of scope: iterative conditions (whereCtx)
-  * — pinned by CepSpec's reference-derived NFAITCase ports.
+  * alive), iterative conditions (whereCtx — the oracle threads each
+  * run's binding prefix as the engine's ctx.getEventsForPattern) and
+  * `until` loop stop-conditions. The reference-derived NFAITCase
+  * ports in CepSpec remain the example anchor.
   *
   * Reference semantics source: flink-cep .../nfa/NFA.java,
   * nfa/aftermatch/AfterMatchSkipStrategy.java, pattern/Pattern.java.
@@ -136,13 +138,24 @@ object CepOracle {
     if (withinMs.exists(w => events(last).ts - events(first).ts > w))
       return None
 
+    // takeability uses the engine's own Step.canTake conjunction
+    // (pred && !until && predCtx(soFar)) — the semantics UNDER TEST
+    // are where the NFA applies it, which the oracle derives
+    // independently; soFar is this run's binding prefix per step name
+    type Ctx = Map[String, Seq[Ev]]
+    val emptyCtx: Ctx = Map.empty[String, Seq[Ev]].withDefaultValue(Seq.empty)
+    def canTk(i: Int, ev: Ev, soFar: Ctx): Boolean =
+      steps(i).canTake(ev, soFar)
+
     // does `ev` at position `pos` let a partial at (cur, count, closed,
     // lastTaken) move — and with what consequence for the WAITING
     // interpretation? Returns true if the event is taken by ANY eager
     // branch (loop-extend or advance), which kills waiting.
-    def loopTakeable(cur: Int, count: Int, closed: Boolean, ev: Ev): Boolean = {
+    def loopTakeable(cur: Int, count: Int, closed: Boolean, ev: Ev,
+        soFar: Ctx): Boolean = {
       val stp = steps(cur)
-      stp.isLoop && !closed && stp.maxTimes.forall(count < _) && stp.pred(ev)
+      stp.isLoop && !closed && stp.maxTimes.forall(count < _) &&
+        canTk(cur, ev, soFar)
     }
     def nextPositive(cur: Int): Option[Int] =
       (cur + 1 until steps.length).find(i => !steps(i).negated)
@@ -168,12 +181,12 @@ object CepOracle {
       else GapWait(closed || (stp.strict && stp.isLoop))
     }
     def gapStep(cur: Int, count: Int, closed: Boolean, lastTaken: Int,
-        pos: Int, ev: Ev): GapOut = {
+        pos: Int, ev: Ev, soFar: Ctx): GapOut = {
       val stp = steps(cur)
       var advanced = false
       var nonAny = false
       var guardKill = false
-      if (loopTakeable(cur, count, closed, ev)) {
+      if (loopTakeable(cur, count, closed, ev, soFar)) {
         advanced = true
         if (!stp.combinations) nonAny = true
       }
@@ -184,9 +197,11 @@ object CepOracle {
           val st = steps(i)
           if (st.negated) {
             val armed = !st.strict || pos == lastTaken + 1
-            if (armed && st.pred(ev)) { guardKill = true; go = false }
+            if (armed && canTk(i, ev, soFar)) { guardKill = true; go = false }
           } else {
-            if (st.pred(ev)) { advanced = true; if (!st.any) nonAny = true }
+            if (canTk(i, ev, soFar)) {
+              advanced = true; if (!st.any) nonAny = true
+            }
             go = st.minTimes == 0
           }
           i += 1
@@ -208,6 +223,9 @@ object CepOracle {
     var closed = false
     var lastTaken = -1
     var pos = first
+    // iterative-condition context: this run's binding prefix per step
+    // name, exactly the engine's soFar (ctx.getEventsForPattern)
+    var soFar: Ctx = emptyCtx
     // an emission CONSUMES the partial unless the config is an OPEN
     // loop (greedy open defers, reluctant open emits-and-continues):
     // a run that binds anything after a consumed-on-emission config
@@ -222,8 +240,9 @@ object CepOracle {
       val ev = events(pos)
       byPos.get(pos) match {
         case Some(j) if j == cur => // loop extension
-          if (!loopTakeable(cur, count, closed, ev)) return None
+          if (!loopTakeable(cur, count, closed, ev, soFar)) return None
           count += 1; lastTaken = pos
+          soFar = soFar.updated(steps(j).name, soFar(steps(j).name) :+ ev)
           if (!survivesOwnEmission(pos)) return None
         case Some(j) => // advance cur -> j (or the run's first binding)
           if (cur >= 0) {
@@ -235,7 +254,7 @@ object CepOracle {
               val st = steps(i)
               if (st.negated) {
                 val armed = !st.strict || pos == lastTaken + 1
-                if (armed && st.pred(ev)) return None
+                if (armed && canTk(i, ev, soFar)) return None
               } else if (st.minTimes > 0) return None
               i += 1
             }
@@ -243,11 +262,14 @@ object CepOracle {
             // previous step's last matched event
             if (steps(j).strict && pos != lastTaken + 1) return None
           }
-          if (!steps(j).pred(ev)) return None
+          // first binding evaluates with the engine's start-scan
+          // emptyCtx; later bindings with the accumulated soFar
+          if (!canTk(j, ev, soFar)) return None
           cur = j; count = 1; closed = false; lastTaken = pos
+          soFar = soFar.updated(steps(j).name, soFar(steps(j).name) :+ ev)
           if (!survivesOwnEmission(pos)) return None
         case None => // gap event: the waiting interpretation must survive
-          gapStep(cur, count, closed, lastTaken, pos, ev) match {
+          gapStep(cur, count, closed, lastTaken, pos, ev, soFar) match {
             // GapEmit consumes the partial mid-run — the run cannot
             // continue past this gap, so the binding is unreachable
             case GapDead | GapEmit => return None
@@ -271,7 +293,7 @@ object CepOracle {
       while (q < n) {
         if (withinMs.exists(w => events(q).ts - events(first).ts > w))
           return Some(Emission(run, q, Expire))
-        gapStep(cur, count, cl, lastTaken, q, events(q)) match {
+        gapStep(cur, count, cl, lastTaken, q, events(q), soFar) match {
           case GapDead => return None
           case GapEmit => return Some(Emission(run, q, Normal))
           case GapWait(nc) => cl = nc; q += 1
@@ -408,13 +430,33 @@ class CepPropertySpec extends AnyFunSuite {
       // and allowCombinations on loops
       val anyEntry = steps.nonEmpty && !strict && rnd.nextInt(100) < 20
       val combos = isLoop && rnd.nextInt(100) < 25
-      steps :+= Step[Ev](s"s$posIdx", p, minTimes = min, maxTimes = max,
+      // iterative conditions (whereCtx — the predicate sees this
+      // partial's events so far) and `until` loop stop-conditions
+      val ownName = s"s$posIdx"
+      val (ctxDesc, predCtx) =
+        if (rnd.nextInt(100) >= 20) ("", None)
+        else if (rnd.nextBoolean() && posIdx > 0) {
+          val ref = s"s${rnd.nextInt(posIdx)}" // an earlier step's name
+          (s" ctxSame($ref)", Some((ev: Ev, sf: Map[String, Seq[Ev]]) =>
+            sf(ref).headOption.forall(_.label == ev.label)))
+        } else {
+          val cap = 1 + rnd.nextInt(2)
+          (s" ctxCap($cap)", Some((ev: Ev, sf: Map[String, Seq[Ev]]) =>
+            sf(ownName).size < cap))
+        }
+      val (untilDesc, until) =
+        if (!isLoop || rnd.nextInt(100) >= 15) ("", None)
+        else {
+          val stop = if (rnd.nextBoolean()) 'c' else 'g'
+          (s" until(=$stop)", Some((ev: Ev) => ev.label == stop))
+        }
+      steps :+= Step[Ev](ownName, p, minTimes = min, maxTimes = max,
         strict = strict, greedy = greedy, any = anyEntry,
-        combinations = combos)
-      sb ++= s" s$posIdx[$pn $qn${if (strict) " strict" else ""}" +
+        combinations = combos, predCtx = predCtx, until = until)
+      sb ++= s" $ownName[$pn $qn${if (strict) " strict" else ""}" +
         s"${if (isLoop && !greedy) " reluctant" else ""}" +
         s"${if (anyEntry) " any" else ""}" +
-        s"${if (combos) " combos" else ""}]"
+        s"${if (combos) " combos" else ""}$ctxDesc$untilDesc]"
       posIdx += 1
     }
     // degenerate all-optional patterns are legal; head/tail never negated
@@ -480,6 +522,7 @@ class CepPropertySpec extends AnyFunSuite {
     // at least one emitted match, so a generator regression can't
     // silently hollow the property out
     var loops, strict, neg, within, reluctant, anySteps, combos = 0
+    var ctxs, untils = 0
     val skips = scala.collection.mutable.Set[String]()
     (1 to 400).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -498,6 +541,8 @@ class CepPropertySpec extends AnyFunSuite {
         if (steps.exists(s => s.isLoop && !s.greedy)) reluctant += 1
         if (steps.exists(_.any)) anySteps += 1
         if (steps.exists(_.combinations)) combos += 1
+        if (steps.exists(_.predCtx.isDefined)) ctxs += 1
+        if (steps.exists(_.until.isDefined)) untils += 1
       }
     }
     assert(skips.size == 5, s"skip strategies with matches: $skips")
@@ -505,10 +550,11 @@ class CepPropertySpec extends AnyFunSuite {
       within >= 30 && reluctant >= 10,
       s"loops=$loops strict=$strict neg=$neg within=$within rel=$reluctant")
     // the opt-in SKIP_TILL_ANY modes (followedByAny entry,
-    // allowCombinations loops) are IN the differential draw space too
-    // (r13 extension — they were example-pinned only before)
-    assert(anySteps >= 10 && combos >= 10,
-      s"anySteps=$anySteps combos=$combos")
+    // allowCombinations loops), iterative conditions (whereCtx) and
+    // until stop-conditions are IN the differential draw space too
+    // (r13 extensions — they were example-pinned only before)
+    assert(anySteps >= 10 && combos >= 10 && ctxs >= 10 && untils >= 5,
+      s"anySteps=$anySteps combos=$combos ctxs=$ctxs untils=$untils")
   }
 
   test("differential: the greedy-boundary emission PHASES all fire — " +
