@@ -23,7 +23,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     * reason. KEEP THIS LIST JUSTIFIED — an entry without a real
     * data-scale reason is a silenced alarm. The CORRECTNESS gate runs
     * at sf0.01, where tools/degeneracy.py verifies every one of these
-    * returns rows (re-checked r12: 362/362 non-empty at sf0.01); at
+    * returns rows (re-checked r13: 374/374 non-empty at sf0.01); at
     * sf0.001 lineitem is ~6k rows and these queries' multi-way
     * selective gates genuinely empty out. */
   private val allowEmpty: Map[String, String] = {
