@@ -44,6 +44,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got2 == Map(1L -> 1L, 5L -> 1L))
   }
 
+  test("ConnectedComponents differential: 10 random graphs (cycles, " +
+      "stars, self-loops, duplicate edges, isolated nodes) == a " +
+      "union-find oracle") {
+    import graft.ext.ConnectedComponents
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      // non-contiguous shuffled ids so min-label ≠ position
+      val ids = rnd.shuffle((0L until 1000L).toVector).take(n)
+      val m = rnd.nextInt(2 * n)
+      val edges = Vector.fill(m)(
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))) // self-loops + dups ok
+      // union-find oracle, then component label = min id in component
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val minOf = ids.groupBy(find).map { case (root, members) =>
+        root -> members.min
+      }
+      val want = ids.map(i => i -> minOf(find(i))).toMap
+      val got = ConnectedComponents.run(ids.toDF("id"),
+          edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed n=$n m=$m\n" +
+        s"diff=${(got.toSet -- want.toSet).take(5)}")
+    }
+  }
+
   test("ConnectedComponents converges on a 200-node chain (pointer doubling)") {
     import graft.ext.ConnectedComponents
     // path 0-1-2-...-199: diameter 199. Plain hash-min would need 199
@@ -86,6 +118,32 @@ class ExtOpsSpec extends AnyFunSuite {
       .select($"g", $"k", $"v", $"cum_before")
       .orderBy("g", "k").collect().toSeq
     assert(viaPs == viaWin)
+  }
+
+  test("PrefixSum differential: 8 random datasets x random partition " +
+      "counts == an in-memory scanLeft oracle") {
+    import graft.ext.PrefixSum
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until nGroups).flatMap { g =>
+        val keys = rnd.shuffle((0L until 500L).toVector)
+          .take(10 + rnd.nextInt(60)) // unique keys per group
+        keys.map(k => (s"g$g", k, (rnd.nextInt(21) - 10).toLong))
+      }
+      val parts = 1 + rnd.nextInt(12)
+      val got = PrefixSum.cumBefore(spark, rows.toDF("g", "k", "v"),
+          "g", "k", "v", partitions = parts)
+        .select($"g", $"k", $"cum_before").as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .map { case ((_, k, _), cum) => (g, k) -> cum }
+      }
+      assert(got == want,
+        s"seed=$seed parts=$parts diff=${(got.toSet -- want.toSet).take(5)}")
+    }
   }
 
   test("nearDuplicates finds the identical-set pair with jaccard 1.0") {

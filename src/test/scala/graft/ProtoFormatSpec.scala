@@ -169,6 +169,90 @@ class ProtoFormatSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L), (2L, 100L), (-3L, 40L)))
   }
 
+  test("differential roundtrip: 10 random schemas (random field " +
+      "numbers/types/repeated flags, one nested message) x 15 random " +
+      "rows — decode(encode(row)) == row") {
+    val sp = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def genType(rnd: scala.util.Random, allowMsg: Boolean): PType =
+      rnd.nextInt(if (allowMsg) 9 else 8) match {
+        case 0 => PInt64
+        case 1 => PInt32
+        case 2 => PSInt64
+        case 3 => PBool
+        case 4 => PDouble
+        case 5 => PFloat
+        case 6 => PString
+        case 7 => PBytes
+        case _ => PMsg(genSchema(rnd, allowMsg = false))
+      }
+    def genSchema(rnd: scala.util.Random, allowMsg: Boolean): PSchema = {
+      val n = 2 + rnd.nextInt(4)
+      // non-contiguous shuffled field numbers incl. multi-byte tags
+      val nos = rnd.shuffle((1 to 40).toVector).take(n)
+      PSchema(nos.zipWithIndex.map { case (no, i) =>
+        PField(no, s"f${no}", genType(rnd, allowMsg),
+          repeated = rnd.nextInt(100) < 30)
+      })
+    }
+    def genValue(rnd: scala.util.Random, t: PType): Any = t match {
+      case PInt64 => rnd.nextLong()
+      case PInt32 => rnd.nextInt()
+      case PSInt64 => rnd.nextLong()
+      case PBool => rnd.nextBoolean()
+      case PDouble => rnd.nextLong().toDouble / 7.0 // no NaN
+      case PFloat => rnd.nextInt().toFloat / 3.0f
+      case PString =>
+        val alphabet = "aZ9 é✓ß" // ascii + accented + multibyte
+        (0 until rnd.nextInt(12)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      case PBytes =>
+        val b = new Array[Byte](rnd.nextInt(10)); rnd.nextBytes(b); b
+      case PMsg(s) => Row(s.fields.map(f => genField(rnd, f)): _*)
+    }
+    // repeated fields carry >= 1 element: an EMPTY repeated list
+    // encodes to nothing on the wire and decodes as null (the codec's
+    // documented absence-is-null presence rule, covered by the
+    // dedicated null/absence tests) — the pure roundtrip property
+    // needs present fields
+    def genField(rnd: scala.util.Random, f: PField): Any =
+      if (f.repeated)
+        (0 to rnd.nextInt(3)).map(_ => genValue(rnd, f.tpe))
+      else genValue(rnd, f.tpe)
+    // Array[Byte]/Row/Seq/Array need canonical forms for equality.
+    // NB: match scala.collection.Seq, not the default immutable.Seq
+    // alias — Spark collects ArrayType as mutable.ArraySeq
+    def canon(v: Any): Any = v match {
+      case b: Array[Byte] => java.util.HexFormat.of().formatHex(b)
+      case r: Row => r.toSeq.map(canon).toVector
+      case s: scala.collection.Seq[_] => s.map(canon).toVector
+      case a: Array[_] => a.toVector.map(canon)
+      case other => other
+    }
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val schema = genSchema(rnd, allowMsg = true)
+      val rows = (1 to 15).map(_ =>
+        Row(schema.fields.map(f => genField(rnd, f)): _*))
+      val df = sp.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), sparkType(schema))
+      val cols = schema.fields.map(f => org.apache.spark.sql.functions
+        .col(f.name))
+      val back = df
+        .select(protoDecode(protoEncode(struct(cols: _*), schema),
+          schema).as("m"))
+        .select(org.apache.spark.sql.functions.col("m.*"))
+        .collect().toSeq.map(r => canon(r))
+      val orig = rows.map(r => canon(r))
+      assert(back.sortBy(_.toString) == orig.sortBy(_.toString),
+        s"seed=$seed schema=$schema\n" +
+        s"diff=${back.sortBy(_.toString).zip(orig.sortBy(_.toString))
+          .find(p => p._1 != p._2)}")
+    }
+  }
+
   test("groups (wire type 3) are rejected, not silently misread") {
     val wire = Array[Byte](0x0b) // field 1, wire type 3
     val e = intercept[IllegalArgumentException] {
