@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+
+/** Retractable streaming Top-N (SURVEY.md §2.7; reference
+  * OP/rank/RetractableTopNFunction.java:56): per-key Top-N over a
+  * CHANGELOG input — inserts AND retractions of live rows — with the
+  * three SQL rank semantics and both of Flink's output strategies.
+  *
+  * This is the retract-input sibling of [[StreamingTopN]] (which is
+  * the reference's AppendOnlyTopNFunction: insert-only input, state =
+  * the board itself). With retractions in play the state must hold
+  * ALL live rows of the key, not just the board: retracting a board
+  * row PROMOTES the best row from below the cut, which the board alone
+  * cannot produce. The reference keeps the identical full data state
+  * (RetractableTopNFunction's dataState MapState + sorted record
+  * counts in treeMap); state is O(live rows per key) by the semantics
+  * themselves, bounded in practice by upstream dedup/TTL ([[Ttl]]).
+  *
+  * Rank semantics over the live rows sorted by (score desc, rowId asc):
+  *  - [[RowNumber]]: position, ties broken by rowId — board is exactly
+  *    min(n, live) rows;
+  *  - [[Rank]]: 1 + count of strictly-better rows — tied rows share a
+  *    rank and the board keeps EVERY row with rank <= n (can exceed n
+  *    rows);
+  *  - [[DenseRank]]: 1 + count of strictly-better DISTINCT scores.
+  *
+  * Output changelog (events applied in `seq` order within a batch):
+  *  - retract mode (`retractMode = true`, Flink's
+  *    RetractableTopNFunction with generateUpdateBefore): a row whose
+  *    rank changes emits -U(old rank) then +U(new rank); rows entering
+  *    emit +I, rows leaving emit -D(old rank). The output is a strict
+  *    changelog: materializing it as a multiset of (key, row, rank)
+  *    never goes transiently negative.
+  *  - update mode (`retractMode = false`, Flink's upsert output for
+  *    sinks keyed on the row): moves emit only +U(new rank); -D still
+  *    marks rows leaving the board. Downstream upserts by (key, rowId).
+  */
+object RetractableTopN {
+
+  sealed trait RankType
+  case object RowNumber extends RankType
+  case object Rank extends RankType
+  case object DenseRank extends RankType
+
+  /** One output changelog row: `payload` at `rank_no` on `key`'s
+    * board (rank_no carries the OLD rank on -U/-D rows). */
+  case class RankChange[K, T](row_kind: String, key: K, rank_no: Int,
+      payload: T)
+
+  /** @param kind   input row_kind accessor: +I/+U add a live row,
+    *               -U/-D retract the live row with the same rowId
+    * @param rowId  identity of a live row (an update arrives as
+    *               -U(old) then +I/+U(new), like the reference)
+    * @param score  bigger wins
+    * @param seq    deterministic apply order within a micro-batch
+    * @param ttlMs  idle TTL: a key unseen this long is evicted */
+  def apply[K: Encoder, T: Encoder](ds: Dataset[T], n: Int,
+      rankType: RankType = RowNumber, retractMode: Boolean = true)(
+      key: T => K, kind: T => String, rowId: T => Long,
+      score: T => Double, seq: T => Long,
+      ttlMs: Option[Long] = None): Dataset[RankChange[K, T]] = {
+    require(n >= 1)
+    implicit val stateEnc: Encoder[List[T]] = Encoders.kryo[List[T]]
+    implicit val outEnc: Encoder[RankChange[K, T]] =
+      Encoders.kryo[RankChange[K, T]]
+
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[List[T], RankChange[K, T]](
+        OutputMode.Update(), Ttl.conf(ttlMs)) {
+        (k: K, rows: Iterator[T], state: GroupState[List[T]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var live = state.getOption.getOrElse(Nil)
+            val out =
+              scala.collection.mutable.ArrayBuffer[RankChange[K, T]]()
+            var prevBoard = board(live, n, rankType)(score, rowId)
+            // per-event application in seq order: every input prefix's
+            // board is reflected in the output changelog, not just the
+            // batch-final one (the reference also emits per record)
+            rows.toSeq.sortBy(seq).foreach { t =>
+              live = kind(t) match {
+                case StreamOps.Insert | StreamOps.UpdateAfter => t :: live
+                case StreamOps.UpdateBefore | StreamOps.Delete =>
+                  val id = rowId(t)
+                  val (pre, post) = live.span(rowId(_) != id)
+                  pre ++ post.drop(1)
+                case other =>
+                  throw new IllegalArgumentException(s"bad row_kind: $other")
+              }
+              val newBoard = board(live, n, rankType)(score, rowId)
+              emitDiff(k, prevBoard, newBoard, retractMode, out)
+              prevBoard = newBoard
+            }
+            if (live.isEmpty) state.remove()
+            else { state.update(live); Ttl.arm(state, ttlMs) }
+            out.iterator
+          }
+      }
+  }
+
+  /** The key's board: (payload, rank) for every live row whose rank
+    * <= n under `rankType`, sorted best-first. One pass over the
+    * sorted live rows; all three rank counters are monotone
+    * nondecreasing down the sort, so the cut is a takeWhile. */
+  private def board[T](live: List[T], n: Int, rankType: RankType)(
+      score: T => Double, rowId: T => Long): List[(Long, Int, T)] = {
+    val sorted = live.sortBy(t => (-score(t), rowId(t)))
+    val out = List.newBuilder[(Long, Int, T)]
+    var idx = 0
+    var rankNo = 0
+    var denseNo = 0
+    var prevScore = Double.NaN
+    var it = sorted
+    while (it.nonEmpty) {
+      val t = it.head
+      idx += 1
+      if (score(t) != prevScore) {
+        rankNo = idx; denseNo += 1; prevScore = score(t)
+      }
+      val r = rankType match {
+        case RowNumber => idx
+        case Rank => rankNo
+        case DenseRank => denseNo
+      }
+      if (r > n) return out.result()
+      out += ((rowId(t), r, t))
+      it = it.tail
+    }
+    out.result()
+  }
+
+  /** Diff two boards into output changes. Retractions first (-D for
+    * rows leaving, -U for old ranks of moved rows in retract mode),
+    * then the additions — within one row that orders its -U before its
+    * +U, keeping the output multiset non-negative at every prefix. */
+  private def emitDiff[K, T](k: K, before: List[(Long, Int, T)],
+      after: List[(Long, Int, T)], retractMode: Boolean,
+      out: scala.collection.mutable.ArrayBuffer[RankChange[K, T]]): Unit = {
+    val beforeRank = before.map(e => e._1 -> e._2).toMap
+    val afterRank = after.map(e => e._1 -> e._2).toMap
+    before.foreach { case (id, r, t) =>
+      afterRank.get(id) match {
+        case None => out += RankChange(StreamOps.Delete, k, r, t)
+        case Some(r2) if r2 != r && retractMode =>
+          out += RankChange(StreamOps.UpdateBefore, k, r, t)
+        case _ =>
+      }
+    }
+    after.foreach { case (id, r, t) =>
+      beforeRank.get(id) match {
+        case None => out += RankChange(StreamOps.Insert, k, r, t)
+        case Some(r0) if r0 != r =>
+          out += RankChange(StreamOps.UpdateAfter, k, r, t)
+        case _ =>
+      }
+    }
+  }
+}

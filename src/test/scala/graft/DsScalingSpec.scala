@@ -83,7 +83,7 @@ class DsScalingSpec extends AnyFunSuite {
     val cmd = Seq("python3", "tools/diffcheck.py", dirs(2), out) ++
       DsScale.HeavyQueries
     val proc = new ProcessBuilder(cmd: _*)
-      .directory(new java.io.File("/root/repo"))
+      .directory(new java.io.File(sys.props("user.dir")))
       .redirectErrorStream(true).start()
     val log = scala.io.Source.fromInputStream(proc.getInputStream)
       .mkString
