@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.StreamingTemporalJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Events for the temporal-join property draws (top-level: Spark's
+  * product encoder rejects spec-inner classes). */
+case class TJP(k: String, id: Long, tsMs: Long, seq: Long)
+case class TJV(k: String, id: Long, tsMs: Long)
+
+/** Differential property test for the streaming event-time temporal
+  * (as-of) join (streaming/StreamingTemporalJoin.scala — reference
+  * TemporalRowTimeJoinOperator.java:78), the r13 stretch directive:
+  * random version/probe interleavings vs the batch as-of definition.
+  *
+  * Property: for random per-key version histories (unique version
+  * timestamps per key, as a versioned table has one row per key per
+  * time) and random probes — timestamps drawn from the same colliding
+  * grid, so probe==version ties are common — every probe must be
+  * emitted EXACTLY ONCE with the latest version at-or-before its
+  * event time (None before the first version), no matter how the two
+  * sides' arrivals interleave across micro-batches. Chunks are
+  * chronological over the MERGED (probe ∪ version) timeline, so a
+  * chunk boundary routinely lands between a version and the probe
+  * that must join it — the cross-batch version-state adversary. A
+  * far-future sentinel on BOTH sides advances the min-combined
+  * watermark past every probe to flush the buffers.
+  */
+class TemporalJoinPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("differential: 6 random version/probe interleavings match the " +
+      "batch as-of definition (latest version at-or-before probe time)") {
+    var ties = 0
+    var preVersion = 0
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("k0", "k1", "k2")
+      val base = 3600000L
+      var nextId = 0L
+      // versions: per key, 2-5 DISTINCT grid slots (a version table
+      // has one row per key per time)
+      val versions = keys.flatMap { k =>
+        rnd.shuffle((0 until 20).toVector).take(2 + rnd.nextInt(4))
+          .map { slot =>
+            nextId += 1
+            TJV(k, nextId, base + slot * 1000L)
+          }
+      }
+      // probes: same grid, so at-tie and before-first-version cases
+      // occur naturally
+      val probes = (1 to 15 + rnd.nextInt(8)).map { i =>
+        TJP(keys(rnd.nextInt(keys.length)), 1000L + i,
+          base + rnd.nextInt(20) * 1000L, i.toLong)
+      }
+      val vByKey = versions.groupBy(_.k)
+      val want = probes.map { p =>
+        val at = vByKey.getOrElse(p.k, Vector())
+          .filter(_.tsMs <= p.tsMs)
+        p.id -> at.sortBy(_.tsMs).lastOption.map(_.id)
+      }.toMap
+      ties += probes.count(p =>
+        vByKey.getOrElse(p.k, Vector()).exists(_.tsMs == p.tsMs))
+      preVersion += want.values.count(_.isEmpty)
+
+      val pIn = MemoryStream[TJP]
+      val vIn = MemoryStream[TJV]
+      val got =
+        new scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tjprop_ck").toString
+      val q = StreamingTemporalJoin.asOf(pIn.toDS(), vIn.toDS())(
+        _.k, _.tsMs, _.seq, _.k, _.tsMs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[
+          (TJP, Option[TJV])], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r._1.id, r._2.map(_.id)))
+            ()
+          })
+        .start()
+      // chronological chunks over the merged timeline, CUT AT
+      // DISTINCT-TIMESTAMP BOUNDARIES: FlatMapGroupsWithStateExec
+      // drops input with ts <= watermark, so a later chunk must never
+      // carry a timestamp an earlier chunk already advanced the
+      // watermark to (that would be a SPARK late-drop, not operator
+      // behavior). Versions and their probes still routinely split
+      // across micro-batches.
+      val merged = (probes.map(p => (p.tsMs, Left(p): Either[TJP, TJV]))
+        ++ versions.map(v => (v.tsMs, Right(v): Either[TJP, TJV])))
+      val tsGroups = merged.groupBy(_._1).toSeq.sortBy(_._1)
+      (0 until 4).foreach { i =>
+        val chunk = tsGroups.slice(i * tsGroups.size / 4,
+          (i + 1) * tsGroups.size / 4).flatMap(_._2)
+        val ps = chunk.collect { case (_, Left(p)) => p }
+        val vs = chunk.collect { case (_, Right(v)) => v }
+        if (ps.nonEmpty) pIn.addData(ps)
+        if (vs.nonEmpty) vIn.addData(vs)
+        if (ps.nonEmpty || vs.nonEmpty) q.processAllAvailable()
+      }
+      // sentinels on BOTH sides: the union watermark is the MIN of the
+      // two inputs, so each must advance past every probe's ts
+      val flushTs = base + 120000L
+      pIn.addData(TJP("zz", -1L, flushTs, 99999L))
+      vIn.addData(TJV("zz", -1L, flushTs))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      q.stop()
+      val real = got.filter(_._1 != -1L)
+      val gotMap = real.toMap
+      assert(real.size == gotMap.size,
+        s"seed=$seed a probe was emitted more than once: $real")
+      assert(gotMap == want, s"seed=$seed\ngot=$gotMap\nwant=$want")
+    }
+    assert(ties >= 8, s"only $ties at-tie probes across the draws")
+    assert(preVersion >= 5,
+      s"only $preVersion probes before any version across the draws")
+  }
+}
