@@ -198,6 +198,52 @@ class TopNPropertySpec extends AnyFunSuite {
       s"only $overfullBoard RANK boards exceeded N via ties")
   }
 
+  test("differential: the APPEND-ONLY StreamingTopN (reference " +
+      "AppendOnlyTopNFunction) materializes to the row_number board " +
+      "oracle after every chunk of random insert-only histories") {
+    // the insert-only sibling keeps just the board as state; its
+    // changelog must still upsert-materialize to the same oracle
+    (51 to 58).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val h = genHistory(rnd).filter(e => isAdd(e.kind))
+      val n = 1 + (seed % 3)
+      val in = MemoryStream[TN]
+      val got =
+        new scala.collection.mutable.ArrayBuffer[(String, String, Long, Int)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_atopn_ck").toString
+      val q = graft.streaming.StreamingTopN(in.toDS(), n)(
+        _.k, _.score, _.id)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingTopN.Change[String, TN]], _: Long) =>
+          got.synchronized {
+            got ++= b.collect()
+              .map(c => (c.row_kind, c.key, c.payload.id, c.rank_no))
+            ()
+          })
+        .start()
+      (0 until 3).foreach { i =>
+        in.addData(h.slice(i * h.size / 3, (i + 1) * h.size / 3))
+        q.processAllAvailable()
+        val prefix = h.take((i + 1) * h.size / 3)
+        // oracle: row_number by (score desc, id asc) — StreamingTopN's
+        // tieSeq contract (smaller wins)
+        val want = prefix.groupBy(_.k).flatMap { case (k, rows) =>
+          rows.sortBy(t => (-t.score, t.id)).take(n).zipWithIndex
+            .map { case (t, j) => (k, t.id) -> (j + 1) }
+        }
+        val gotMs = got.synchronized {
+          applyUpdate(got.toSeq, s"appendonly seed=$seed chunk=$i")
+        }
+        assert(gotMs == want,
+          s"appendonly seed=$seed n=$n chunk=$i\ngot=$gotMs\nwant=$want")
+      }
+      q.stop()
+    }
+  }
+
   test("differential: cross-batch state — chronological MemoryStream " +
       "chunks materialize to the oracle board after EVERY chunk") {
     val cases = Seq(
