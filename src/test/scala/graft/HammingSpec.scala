@@ -29,9 +29,13 @@ class HammingSpec extends AnyFunSuite {
   }
 
   test("type check rejects non-bigint input") {
+    // trigger ANALYSIS (schema), not execution: collect() would post a
+    // query-FAILURE event whose async ObservationManager listener
+    // processing logs a spurious ExecutionListenerBus ERROR stack into
+    // every suite run — the rejection under test happens at analysis
     val e = intercept[Exception] {
       Seq(("x", 1L)).toDF("a", "b")
-        .select(HammingDistance.hamming($"a", $"b")).collect()
+        .select(HammingDistance.hamming($"a", $"b")).schema
     }
     assert(e.getMessage.toLowerCase.contains("hamming") ||
       e.getMessage.toLowerCase.contains("type"))
