@@ -192,6 +192,19 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sqltext_q87" -> (3, 3, s"3 channel activity branches; $dsrealChan"),
     "q_sqltext_q51" -> (2, 2, s"web + store cumulative branches; " +
       dsrealChan),
+    // r14 widening — the raw texts' extra planned passes ARE the
+    // documented cost of the text entry point vs the hand-built
+    // twins (SqlTextParitySpec pins the flagship q22 case):
+    "q_sqltext_q16" -> (4, 4, "cs fact + cs multi-warehouse EXISTS " +
+      "self-join (the dsreal twin PINS this side, text cannot) + cr " +
+      s"NOT EXISTS + the order-count distinct branch; $dsrealChan"),
+    "q_sqltext_q25" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_sqltext_q29" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_sqltext_q30" -> (2, 2, "WITH customer_total_return consumed " +
+      "twice (customer filter + per-state avg); SQL text cannot pin"),
+    "q_sqltext_q65" -> (2, 2, "per-item-store revenue consumed twice " +
+      "(row side + per-store min-over-avg gate); SQL text cannot pin"),
+    "q_sqltext_q93" -> (2, 2, s"ss fact + sr returns join; $dsrealChan"),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),
