@@ -29,10 +29,11 @@ class HammingSpec extends AnyFunSuite {
   }
 
   test("type check rejects non-bigint input") {
-    // trigger ANALYSIS (schema), not execution: collect() would post a
-    // query-FAILURE event whose async ObservationManager listener
-    // processing logs a spurious ExecutionListenerBus ERROR stack into
-    // every suite run — the rejection under test happens at analysis
+    // .schema asserts the rejection at ANALYSIS without launching a
+    // job. (Spark still posts the analysis failure to the async
+    // ExecutionListenerBus, whose ObservationManager listener logs one
+    // ERROR stack — inherent to any deliberately-failing analysis,
+    // same class as the CRC-tamper/constraint-violation tests.)
     val e = intercept[Exception] {
       Seq(("x", 1L)).toDF("a", "b")
         .select(HammingDistance.hamming($"a", $"b")).schema
