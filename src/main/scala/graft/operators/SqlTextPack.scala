@@ -68,11 +68,24 @@ object SqlTextPack extends QueryPack {
     else b
   }
 
+  /** One entry per live session: the data dir whose star views are
+    * currently registered there. Building all 24 DsTables frames costs
+    * real driver time (each is a parquet read: file listing + footer
+    * schema), so re-registration is skipped while the SAME session
+    * keeps asking for the SAME dir — and correctly redone when the dir
+    * changes (scale-replica runs re-point every view). Keyed by
+    * session identity: views die with their session. */
+  private val starRegistered =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  private def registerStar(s: SparkSession, d: String): Unit =
+    if (starRegistered.put(System.identityHashCode(s), d) != d)
+      buildStarViews(s, d)
+
   /** Temp views named exactly like the oracle prelude's CTEs, so one
     * SQL text resolves in both engines. View registration is lazy (no
-    * job); only referenced views are planned — registering the FULL
-    * star costs nothing per query. */
-  private def registerStar(s: SparkSession, d: String): Unit = {
+    * job); only referenced views are planned. */
+  private def buildStarViews(s: SparkSession, d: String): Unit = {
     DsTables.dateDim(s).createOrReplaceTempView("date_dim")
     DsTables.item(s, d).createOrReplaceTempView("item")
     DsTables.customerDim(s, d).createOrReplaceTempView("customer_dim")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsreal.DsTables
-import graft.streaming.{ChangelogAgg, StreamOps, StreamingTemporalJoin}
+import graft.streaming.{ChangelogAgg, RetractableTopN, StreamOps, StreamingTemporalJoin}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -175,6 +175,71 @@ class StreamingStateBoundSpec extends AnyFunSuite {
     val (state4, live4) = run(800)
     assert(state1 == live1, s"1x: state $state1 != live groups $live1")
     assert(state4 == live4, s"4x: state $state4 != live groups $live4")
+  }
+
+  test("retractable Top-N: state is the LIVE rows, not the history — " +
+      "4x the insert/retract churn, same state bytes (r14 operator)") {
+    // RetractableTopNFunction keeps every live row (a board retraction
+    // promotes from below the cut), so the bound to pin is live-set
+    // size, not input size: CONTINUOUS churn in waves — each wave
+    // inserts 10 rows/key then retracts down to the newest 3 — so no
+    // state version ever holds more than ~13 rows/key, while total
+    // history grows with the wave count. 2 vs 8 waves: numRowsTotal is
+    // per-key and must be identical; the live-row payload shows up in
+    // memoryUsedBytes, which must not track the 4x churn. (The state
+    // store also caches recent VERSIONS in memory, which is why the
+    // live set must be bounded per wave, not just at the end.)
+    def run(waves: Int): (Long, Long) = {
+      val ckpt = tmp("graft_sb_rtn_ck")
+      val in = MemoryStream[TN]
+      val q = RetractableTopN(in.toDS(), 3)(
+        _.k, _.kind, _.id, _.score, _.seq)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[
+          RetractableTopN.RankChange[String, TN]], _: Long) =>
+          { b.count(); () })
+        .start()
+      val keys = (1 to 40).map(k => s"k$k")
+      var id = 0L
+      var seq = 0L
+      var live = Map.empty[String, Vector[TN]].withDefaultValue(Vector())
+      (1 to waves).foreach { _ =>
+        val inserts = keys.flatMap { k =>
+          (1 to 10).map { i =>
+            id += 1; seq += 1
+            val t = TN(k, id, StreamOps.Insert, (i % 7).toDouble, seq)
+            live = live.updated(k, live(k) :+ t)
+            t
+          }
+        }
+        in.addData(inserts)
+        q.processAllAvailable()
+        val retracts = keys.flatMap { k =>
+          val victims = live(k).dropRight(3)
+          live = live.updated(k, live(k).takeRight(3))
+          victims.map { t =>
+            seq += 1
+            TN(t.k, t.id, StreamOps.Delete, t.score, seq)
+          }
+        }
+        in.addData(retracts)
+        q.processAllAvailable()
+      }
+      val prog = q.lastProgress.stateOperators
+      val rows = prog.map(_.numRowsTotal).sum
+      val bytes = prog.map(_.memoryUsedBytes).sum
+      q.stop()
+      (rows, bytes)
+    }
+    val (rows2, bytes2) = run(2)
+    val (rows8, bytes8) = run(8)
+    assert(rows2 == rows8, s"key-state rows differ: $rows2 vs $rows8")
+    // live set identical (3 rows/key every wave end): 4x churn must
+    // not grow state bytes anywhere near 4x — slack 2x absorbs
+    // SizeEstimator + version-cache noise
+    assert(bytes8 < bytes2 * 2,
+      s"state tracked history, not live rows: $bytes2 -> $bytes8 bytes")
   }
 
   test("temporal join: old versions are GC'd as the watermark passes — " +
