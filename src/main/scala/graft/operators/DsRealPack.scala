@@ -2869,17 +2869,17 @@ LIMIT 100"""
   /** Oracle-side twin of [[mmE6]] (DuckDB `//` = Spark `div` for the
     * non-negative operands used here). */
   private def mmE6Sql(c: String): String =
-    s"CAST((sum($c) // count(*)) * 1000000" +
-      s" + ((sum($c) % count(*)) * 1000000) // count(*) AS BIGINT)"
+    s"CAST((CAST((sum($c) - (sum($c) % count(*))) / (count(*)) AS BIGINT)) * 1000000" +
+      s" + CAST((((sum($c) % count(*)) * 1000000) - (((sum($c) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)"
 
   /** Oracle-side twin of [[q12Family]]. */
   private def q12FamilySql(fact: String, itemCol: String,
       dateCol: String, extCol: String): String = s"""
 SELECT i_item_id, i_item_desc, i_category, i_class,
        i_current_price_cents, itemrevenue,
-       CAST(((itemrevenue*100) // t) * 1000000
-            + ((itemrevenue*100) % t) * 1000 // t * 1000
-            + (((itemrevenue*100) % t) * 1000 % t) * 1000 // t AS BIGINT)
+       CAST((CAST(((itemrevenue*100) - ((itemrevenue*100) % t)) / (t) AS BIGINT)) * 1000000
+            + CAST(((((itemrevenue*100) % t) * 1000) - ((((itemrevenue*100) % t) * 1000) % t)) / (t) AS BIGINT) * 1000
+            + CAST((((((itemrevenue*100) % t) * 1000 % t) * 1000) - (((((itemrevenue*100) % t) * 1000 % t) * 1000) % t)) / (t) AS BIGINT) AS BIGINT)
          AS revenueratio_e6
 FROM (
   SELECT i_item_id, i_item_desc, i_category, i_class,
@@ -2919,7 +2919,7 @@ LIMIT 100"""
   private def q53FamilySql(idCol: String, periodCol: String,
       avgName: String, orderClause: String): String = s"""
 SELECT $idCol, sum_sales,
-       CAST((t // n) * 1000000 + ((t % n) * 1000000) // n AS BIGINT)
+       CAST((CAST((t - (t % n)) / (n) AS BIGINT)) * 1000000 + CAST((((t % n) * 1000000) - (((t % n) * 1000000) % n)) / (n) AS BIGINT) AS BIGINT)
          AS $avgName
 FROM (
   SELECT $idCol, CAST(sum(ss_sales_price_cents) AS BIGINT) AS sum_sales,
@@ -3392,7 +3392,7 @@ ss AS (
   WHERE sr_ticket_number IS NULL
   GROUP BY d_year, ss_item_sk, ss_customer_sk)
 SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
-       (ss_qty * 100) // (COALESCE(ws_qty,0) + COALESCE(cs_qty,0))
+       CAST(((ss_qty * 100) - ((ss_qty * 100) % (COALESCE(ws_qty,0) + COALESCE(cs_qty,0)))) / ((COALESCE(ws_qty,0) + COALESCE(cs_qty,0))) AS BIGINT)
          AS ratio_pct,
        ss_qty AS store_qty, ss_wc AS store_wholesale_cost,
        ss_sp AS store_sales_price,
@@ -3432,15 +3432,13 @@ ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
          d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
 LIMIT 100"""),
       "q_dsreal_q36" -> (P + """
-SELECT CAST((sum(ss_net_profit_cents) * 1000000)
-            // sum(ss_ext_sales_price_cents) AS BIGINT) AS margin_ppm,
+SELECT CAST(CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) AS BIGINT) AS margin_ppm,
        i_category, i_class,
        grouping(i_category) + grouping(i_class) AS lochierarchy,
        rank() OVER (
          PARTITION BY grouping(i_category) + grouping(i_class),
                       CASE WHEN grouping(i_class) = 0 THEN i_category END
-         ORDER BY (sum(ss_net_profit_cents) * 1000000)
-                  // sum(ss_ext_sales_price_cents) ASC)
+         ORDER BY CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) ASC)
          AS rank_within_parent
 FROM store_sales, date_dim d1, item, store
 WHERE d1.d_year = 2000 AND d1.d_date_sk = ss_sold_date_sk
@@ -3855,13 +3853,13 @@ wswscs AS (
   WHERE d_date_sk = sold_date_sk
   GROUP BY d_week_seq)
 SELECT y.d_week_seq AS d_week_seq1,
-       CAST((y.sun_sales * 100) // z.sun_sales AS BIGINT) AS sun_pct,
-       CAST((y.mon_sales * 100) // z.mon_sales AS BIGINT) AS mon_pct,
-       CAST((y.tue_sales * 100) // z.tue_sales AS BIGINT) AS tue_pct,
-       CAST((y.wed_sales * 100) // z.wed_sales AS BIGINT) AS wed_pct,
-       CAST((y.thu_sales * 100) // z.thu_sales AS BIGINT) AS thu_pct,
-       CAST((y.fri_sales * 100) // z.fri_sales AS BIGINT) AS fri_pct,
-       CAST((y.sat_sales * 100) // z.sat_sales AS BIGINT) AS sat_pct
+       CAST(CAST(((y.sun_sales * 100) - ((y.sun_sales * 100) % z.sun_sales)) / (z.sun_sales) AS BIGINT) AS BIGINT) AS sun_pct,
+       CAST(CAST(((y.mon_sales * 100) - ((y.mon_sales * 100) % z.mon_sales)) / (z.mon_sales) AS BIGINT) AS BIGINT) AS mon_pct,
+       CAST(CAST(((y.tue_sales * 100) - ((y.tue_sales * 100) % z.tue_sales)) / (z.tue_sales) AS BIGINT) AS BIGINT) AS tue_pct,
+       CAST(CAST(((y.wed_sales * 100) - ((y.wed_sales * 100) % z.wed_sales)) / (z.wed_sales) AS BIGINT) AS BIGINT) AS wed_pct,
+       CAST(CAST(((y.thu_sales * 100) - ((y.thu_sales * 100) % z.thu_sales)) / (z.thu_sales) AS BIGINT) AS BIGINT) AS thu_pct,
+       CAST(CAST(((y.fri_sales * 100) - ((y.fri_sales * 100) % z.fri_sales)) / (z.fri_sales) AS BIGINT) AS BIGINT) AS fri_pct,
+       CAST(CAST(((y.sat_sales * 100) - ((y.sat_sales * 100) % z.sat_sales)) / (z.sat_sales) AS BIGINT) AS BIGINT) AS sat_pct
 FROM (SELECT * FROM wswscs WHERE d_week_seq IN
         (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)) y,
      (SELECT * FROM wswscs WHERE d_week_seq IN
@@ -3912,13 +3910,13 @@ wss AS (
   WHERE d_date_sk = ss_sold_date_sk
   GROUP BY d_week_seq, ss_store_sk)
 SELECT y.s_store_name1, y.s_store_id1, y.d_week_seq1,
-       CAST((y.sun_sales1 * 100) // x.sun_sales2 AS BIGINT) AS sun_pct,
-       CAST((y.mon_sales1 * 100) // x.mon_sales2 AS BIGINT) AS mon_pct,
-       CAST((y.tue_sales1 * 100) // x.tue_sales2 AS BIGINT) AS tue_pct,
-       CAST((y.wed_sales1 * 100) // x.wed_sales2 AS BIGINT) AS wed_pct,
-       CAST((y.thu_sales1 * 100) // x.thu_sales2 AS BIGINT) AS thu_pct,
-       CAST((y.fri_sales1 * 100) // x.fri_sales2 AS BIGINT) AS fri_pct,
-       CAST((y.sat_sales1 * 100) // x.sat_sales2 AS BIGINT) AS sat_pct
+       CAST(CAST(((y.sun_sales1 * 100) - ((y.sun_sales1 * 100) % x.sun_sales2)) / (x.sun_sales2) AS BIGINT) AS BIGINT) AS sun_pct,
+       CAST(CAST(((y.mon_sales1 * 100) - ((y.mon_sales1 * 100) % x.mon_sales2)) / (x.mon_sales2) AS BIGINT) AS BIGINT) AS mon_pct,
+       CAST(CAST(((y.tue_sales1 * 100) - ((y.tue_sales1 * 100) % x.tue_sales2)) / (x.tue_sales2) AS BIGINT) AS BIGINT) AS tue_pct,
+       CAST(CAST(((y.wed_sales1 * 100) - ((y.wed_sales1 * 100) % x.wed_sales2)) / (x.wed_sales2) AS BIGINT) AS BIGINT) AS wed_pct,
+       CAST(CAST(((y.thu_sales1 * 100) - ((y.thu_sales1 * 100) % x.thu_sales2)) / (x.thu_sales2) AS BIGINT) AS BIGINT) AS thu_pct,
+       CAST(CAST(((y.fri_sales1 * 100) - ((y.fri_sales1 * 100) % x.fri_sales2)) / (x.fri_sales2) AS BIGINT) AS BIGINT) AS fri_pct,
+       CAST(CAST(((y.sat_sales1 * 100) - ((y.sat_sales1 * 100) % x.sat_sales2)) / (x.sat_sales2) AS BIGINT) AS BIGINT) AS sat_pct
 FROM
  (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
          s_store_id AS s_store_id1, sun_sales AS sun_sales1,
@@ -3983,9 +3981,8 @@ ORDER BY w_warehouse_name, i_item_id
 LIMIT 100"""),
       "q_dsreal_q22" -> (P + """
 SELECT i_product_name, i_brand, i_class, i_category,
-       CAST((sum(inv_quantity_on_hand) // count(*)) * 1000000
-            + ((sum(inv_quantity_on_hand) % count(*)) * 1000000)
-              // count(*) AS BIGINT) AS qoh_e6
+       CAST((CAST((sum(inv_quantity_on_hand) - (sum(inv_quantity_on_hand) % count(*))) / (count(*)) AS BIGINT)) * 1000000
+            + CAST((((sum(inv_quantity_on_hand) % count(*)) * 1000000) - (((sum(inv_quantity_on_hand) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT) AS qoh_e6
 FROM inventory, date_dim, item
 WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
   AND d_month_seq BETWEEN 48 AND 59
@@ -3995,13 +3992,11 @@ ORDER BY qoh_e6, i_product_name NULLS FIRST, i_brand NULLS FIRST,
 LIMIT 100"""),
       "q_dsreal_q39a" -> (P + q39InvCte + """
 SELECT inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy,
-       CAST((inv1.sx * 1000000) // inv1.n AS BIGINT) AS mean1_e6,
-       CAST((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000)
-            // ((inv1.n - 1) * inv1.sx * inv1.sx) AS BIGINT) AS cov1sq_e6,
+       CAST(CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS BIGINT) AS mean1_e6,
+       CAST(CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS BIGINT) AS cov1sq_e6,
        inv2.d_moy AS d_moy2,
-       CAST((inv2.sx * 1000000) // inv2.n AS BIGINT) AS mean2_e6,
-       CAST((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000)
-            // ((inv2.n - 1) * inv2.sx * inv2.sx) AS BIGINT) AS cov2sq_e6
+       CAST(CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS BIGINT) AS mean2_e6,
+       CAST(CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS BIGINT) AS cov2sq_e6
 FROM inv inv1, inv inv2
 WHERE inv1.i_item_sk = inv2.i_item_sk
   AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
@@ -4010,13 +4005,11 @@ ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, mean1_e6,
          cov1sq_e6, d_moy2, mean2_e6, cov2sq_e6"""),
       "q_dsreal_q39b" -> (P + q39InvCte + """
 SELECT inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy,
-       CAST((inv1.sx * 1000000) // inv1.n AS BIGINT) AS mean1_e6,
-       CAST((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000)
-            // ((inv1.n - 1) * inv1.sx * inv1.sx) AS BIGINT) AS cov1sq_e6,
+       CAST(CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS BIGINT) AS mean1_e6,
+       CAST(CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS BIGINT) AS cov1sq_e6,
        inv2.d_moy AS d_moy2,
-       CAST((inv2.sx * 1000000) // inv2.n AS BIGINT) AS mean2_e6,
-       CAST((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000)
-            // ((inv2.n - 1) * inv2.sx * inv2.sx) AS BIGINT) AS cov2sq_e6
+       CAST(CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS BIGINT) AS mean2_e6,
+       CAST(CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS BIGINT) AS cov2sq_e6
 FROM inv inv1, inv inv2
 WHERE inv1.i_item_sk = inv2.i_item_sk
   AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
@@ -4088,17 +4081,17 @@ SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
        count(*) AS cnt1,
        CAST(min(cd_dep_count) AS INT) AS min_dep,
        CAST(max(cd_dep_count) AS INT) AS max_dep,
-       CAST((sum(cd_dep_count) * 1000000) // count(*) AS BIGINT)
+       CAST(CAST(((sum(cd_dep_count) * 1000000) - ((sum(cd_dep_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_dep_e6,
        cd_dep_employed_count, count(*) AS cnt2,
        CAST(min(cd_dep_employed_count) AS INT) AS min_emp,
        CAST(max(cd_dep_employed_count) AS INT) AS max_emp,
-       CAST((sum(cd_dep_employed_count) * 1000000) // count(*) AS BIGINT)
+       CAST(CAST(((sum(cd_dep_employed_count) * 1000000) - ((sum(cd_dep_employed_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_emp_e6,
        cd_dep_college_count, count(*) AS cnt3,
        CAST(min(cd_dep_college_count) AS INT) AS min_col,
        CAST(max(cd_dep_college_count) AS INT) AS max_col,
-       CAST((sum(cd_dep_college_count) * 1000000) // count(*) AS BIGINT)
+       CAST(CAST(((sum(cd_dep_college_count) * 1000000) - ((sum(cd_dep_college_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_col_e6
 FROM customer_dim c, customer_address ca, customer_demographics
 WHERE c.c_current_addr_sk = ca.ca_address_sk
@@ -4146,11 +4139,11 @@ ORDER BY cd_gender, cd_marital_status, cd_education_status,
          cd_purchase_estimate, cd_credit_rating
 LIMIT 100"""),
       "q_dsreal_q13" -> (P + """
-SELECT CAST((sum(ss_quantity) * 1000000) // count(*) AS BIGINT)
+SELECT CAST(CAST(((sum(ss_quantity) * 1000000) - ((sum(ss_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_qty_e6,
-       CAST((sum(ss_ext_sales_price_cents) * 1000000) // count(*)
+       CAST(CAST(((sum(ss_ext_sales_price_cents) * 1000000) - ((sum(ss_ext_sales_price_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS BIGINT) AS avg_ext_e6,
-       CAST((sum(ss_wholesale_cost_cents) * 1000000) // count(*)
+       CAST(CAST(((sum(ss_wholesale_cost_cents) * 1000000) - ((sum(ss_wholesale_cost_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS BIGINT) AS avg_whole_e6,
        CAST(sum(ss_wholesale_cost_cents) AS BIGINT) AS sum_whole
 FROM store_sales, store, customer_demographics, household_demographics,
@@ -4208,11 +4201,11 @@ WHERE s_store_sk = ss_store_sk
         AND ss_net_profit_cents BETWEEN 20000 AND 500000))"""),
       "q_dsreal_q85" -> (P + """
 SELECT substr(r_reason_desc, 1, 20) AS reason_desc,
-       CAST((sum(ws_quantity) * 1000000) // count(*) AS BIGINT)
+       CAST(CAST(((sum(ws_quantity) * 1000000) - ((sum(ws_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_qty_e6,
-       CAST((sum(wr_refunded_cash_cents) * 1000000) // count(*)
+       CAST(CAST(((sum(wr_refunded_cash_cents) * 1000000) - ((sum(wr_refunded_cash_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS BIGINT) AS avg_refunded_e6,
-       CAST((sum(wr_fee_cents) * 1000000) // count(*) AS BIGINT)
+       CAST(CAST(((sum(wr_fee_cents) * 1000000) - ((sum(wr_fee_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
          AS avg_fee_e6
 FROM web_sales, web_returns, web_page, customer_demographics cd1,
      customer_demographics cd2, customer_address, date_dim, reason
@@ -4294,13 +4287,13 @@ wsq AS (
   WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
   GROUP BY ca_county, d_qoy, d_year)
 SELECT ss1.ca_county, ss1.d_year,
-       CAST((ws2.web_sales * 1000000) // ws1.web_sales AS BIGINT)
+       CAST(CAST(((ws2.web_sales * 1000000) - ((ws2.web_sales * 1000000) % ws1.web_sales)) / (ws1.web_sales) AS BIGINT) AS BIGINT)
          AS web_q1_q2_increase_e6,
-       CAST((ss2.store_sales * 1000000) // ss1.store_sales AS BIGINT)
+       CAST(CAST(((ss2.store_sales * 1000000) - ((ss2.store_sales * 1000000) % ss1.store_sales)) / (ss1.store_sales) AS BIGINT) AS BIGINT)
          AS store_q1_q2_increase_e6,
-       CAST((ws3.web_sales * 1000000) // ws2.web_sales AS BIGINT)
+       CAST(CAST(((ws3.web_sales * 1000000) - ((ws3.web_sales * 1000000) % ws2.web_sales)) / (ws2.web_sales) AS BIGINT) AS BIGINT)
          AS web_q2_q3_increase_e6,
-       CAST((ss3.store_sales * 1000000) // ss2.store_sales AS BIGINT)
+       CAST(CAST(((ss3.store_sales * 1000000) - ((ss3.store_sales * 1000000) % ss2.store_sales)) / (ss2.store_sales) AS BIGINT) AS BIGINT)
          AS store_q2_q3_increase_e6
 FROM ssq ss1, ssq ss2, ssq ss3, wsq ws1, wsq ws2, wsq ws3
 WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
@@ -4346,7 +4339,7 @@ my_revenue AS (
         (SELECT DISTINCT d_month_seq + 3 FROM date_dim
          WHERE d_year = 1998 AND d_moy = 12)
   GROUP BY c_customer_sk),
-segments AS (SELECT CAST(revenue // 5000 AS BIGINT) AS segment
+segments AS (SELECT CAST(CAST((revenue - (revenue % 5000)) / (5000) AS BIGINT) AS BIGINT) AS segment
              FROM my_revenue)
 SELECT segment, count(*) AS num_customers,
        CAST(segment * 5000 AS BIGINT) AS segment_base
@@ -4452,11 +4445,11 @@ SELECT """ + Seq(
             s"ss_wholesale_cost_cents BETWEEN $wc AND ${wc + 2000000})"
           val sm = s"sum(CASE WHEN $f THEN ss_list_price_cents END)"
           val ct = s"count(CASE WHEN $f THEN 1 END)"
-          s"""CAST(($sm // $ct) * 1000000
-            + (($sm % $ct) * 1000000) // $ct AS BIGINT) AS b${i}_lp_e6,
+          s"""CAST((CAST(($sm - ($sm % $ct)) / ($ct) AS BIGINT)) * 1000000
+            + CAST(((($sm % $ct) * 1000000) - ((($sm % $ct) * 1000000) % $ct)) / ($ct) AS BIGINT) AS BIGINT) AS b${i}_lp_e6,
        CAST($ct AS BIGINT) AS b${i}_cnt,
        CAST(count(DISTINCT CASE WHEN $f
-            THEN ss_list_price_cents // 1000 END) AS BIGINT) AS b${i}_cntd"""
+            THEN CAST((ss_list_price_cents - (ss_list_price_cents % 1000)) / (1000) AS BIGINT) END) AS BIGINT) AS b${i}_cntd"""
         }.mkString(",\n       ") + """
 FROM store_sales"""),
       "q_dsreal_q41" -> (P + """
@@ -4530,7 +4523,7 @@ LIMIT 100"""),
       "q_dsreal_q89" -> (P + """
 SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
        d_moy, sum_sales,
-       CAST((t // n) * 1000000 + ((t % n) * 1000000) // n AS BIGINT)
+       CAST((CAST((t - (t % n)) / (n) AS BIGINT)) * 1000000 + CAST((((t % n) * 1000000) - (((t % n) * 1000000) % n)) / (n) AS BIGINT) AS BIGINT)
          AS avg_monthly_sales_e6
 FROM (
   SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
@@ -4550,7 +4543,7 @@ FROM (
   WINDOW w AS (PARTITION BY i_category, i_brand, s_store_name,
                s_company_name)) tmp1
 WHERE abs(sum_sales * n - t) * 10 > t * n
-ORDER BY sum_sales * 1000 - ((t // n) * 1000 + ((t % n) * 1000) // n),
+ORDER BY sum_sales * 1000 - ((CAST((t - (t % n)) / (n) AS BIGINT)) * 1000 + CAST((((t % n) * 1000) - (((t % n) * 1000) % n)) / (n) AS BIGINT)),
          s_store_name, i_category, i_class, i_brand, s_company_name,
          d_moy
 LIMIT 100"""),
@@ -4599,7 +4592,7 @@ WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
        (hd_dep_count = 0 AND hd_vehicle_count <= 2))
   AND s_store_name = 'Store_5'"""),
       "q_dsreal_q90" -> (P + """
-SELECT CAST((amc // pmc) * 1000000 + ((amc % pmc) * 1000000) // pmc
+SELECT CAST((CAST((amc - (amc % pmc)) / (pmc) AS BIGINT)) * 1000000 + CAST((((amc % pmc) * 1000000) - (((amc % pmc) * 1000000) % pmc)) / (pmc) AS BIGINT)
        AS BIGINT) AS am_pm_ratio_e6
 FROM (SELECT count(*) AS amc
       FROM web_sales, household_demographics, time_dim, web_page
@@ -4706,12 +4699,12 @@ v2 AS (
          w_rn AS (PARTITION BY i_category, i_brand, s_store_name,
                   s_company_name ORDER BY d_year, d_moy))
 SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
-       CAST((t * 1000000) // n AS BIGINT) AS avg_monthly_sales_e6,
+       CAST(CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS BIGINT) AS avg_monthly_sales_e6,
        sum_sales, psum, nsum
 FROM v2
 WHERE d_year = 1997 AND psum IS NOT NULL AND nsum IS NOT NULL
   AND t > 0 AND 10 * abs(sum_sales * n - t) > t
-ORDER BY sum_sales * 1000000 - (t * 1000000) // n, s_store_name,
+ORDER BY sum_sales * 1000000 - CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT), s_store_name,
          i_category, i_brand, s_company_name, d_moy
 LIMIT 100"""),
       "q_dsreal_q57" -> (P + """
@@ -4735,12 +4728,12 @@ v2 AS (
          w_rn AS (PARTITION BY i_category, i_brand, cc_name
                   ORDER BY d_year, d_moy))
 SELECT i_category, i_brand, cc_name, d_year, d_moy,
-       CAST((t * 1000000) // n AS BIGINT) AS avg_monthly_sales_e6,
+       CAST(CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS BIGINT) AS avg_monthly_sales_e6,
        sum_sales, psum, nsum
 FROM v2
 WHERE d_year = 1997 AND psum IS NOT NULL AND nsum IS NOT NULL
   AND t > 0 AND 10 * abs(sum_sales * n - t) > t
-ORDER BY sum_sales * 1000000 - (t * 1000000) // n, cc_name,
+ORDER BY sum_sales * 1000000 - CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT), cc_name,
          i_category, i_brand, d_moy
 LIMIT 100"""),
       "q_dsreal_q58" -> (P + """
@@ -4769,18 +4762,15 @@ ws_items AS (
                   WHERE d_date = DATE '1997-01-06')
   GROUP BY 1)
 SELECT ss_items.item_id AS item_id, ss_item_rev,
-       CAST((ss_item_rev * 300 * 1000000)
-            // (ss_item_rev + cs_item_rev + ws_item_rev) AS BIGINT)
+       CAST(CAST(((ss_item_rev * 300 * 1000000) - ((ss_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
          AS ss_dev_e6,
        cs_item_rev,
-       CAST((cs_item_rev * 300 * 1000000)
-            // (ss_item_rev + cs_item_rev + ws_item_rev) AS BIGINT)
+       CAST(CAST(((cs_item_rev * 300 * 1000000) - ((cs_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
          AS cs_dev_e6,
        ws_item_rev,
-       CAST((ws_item_rev * 300 * 1000000)
-            // (ss_item_rev + cs_item_rev + ws_item_rev) AS BIGINT)
+       CAST(CAST(((ws_item_rev * 300 * 1000000) - ((ws_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
          AS ws_dev_e6,
-       CAST(((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) // 3
+       CAST(CAST((((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) - (((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) % 3)) / (3) AS BIGINT)
             AS BIGINT) AS average_e6
 FROM ss_items, cs_items, ws_items
 WHERE ss_items.item_id = cs_items.item_id
@@ -4896,23 +4886,22 @@ LIMIT 100"""),
       "q_dsreal_q17" -> (P + """
 SELECT i_item_id, i_item_desc, s_state,
        CAST(count(ss_quantity) AS BIGINT) AS store_sales_quantitycount,
-       CAST((sum(ss_quantity) // count(*)) * 1000000
-            + ((sum(ss_quantity) % count(*)) * 1000000) // count(*)
+       CAST((CAST((sum(ss_quantity) - (sum(ss_quantity) % count(*))) / (count(*)) AS BIGINT)) * 1000000
+            + CAST((((sum(ss_quantity) % count(*)) * 1000000) - (((sum(ss_quantity) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT)
             AS BIGINT) AS store_sales_quantityave_e6,
        CAST(count(*) * sum(ss_quantity * ss_quantity)
             - sum(ss_quantity) * sum(ss_quantity) AS BIGINT)
          AS store_sales_quantityvarnum,
        CAST(count(sr_return_quantity) AS BIGINT)
          AS store_returns_quantitycount,
-       CAST((sum(sr_return_quantity) // count(*)) * 1000000
-            + ((sum(sr_return_quantity) % count(*)) * 1000000)
-              // count(*) AS BIGINT) AS store_returns_quantityave_e6,
+       CAST((CAST((sum(sr_return_quantity) - (sum(sr_return_quantity) % count(*))) / (count(*)) AS BIGINT)) * 1000000
+            + CAST((((sum(sr_return_quantity) % count(*)) * 1000000) - (((sum(sr_return_quantity) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT) AS store_returns_quantityave_e6,
        CAST(count(*) * sum(sr_return_quantity * sr_return_quantity)
             - sum(sr_return_quantity) * sum(sr_return_quantity)
             AS BIGINT) AS store_returns_quantityvarnum,
        CAST(count(cs_quantity) AS BIGINT) AS catalog_sales_quantitycount,
-       CAST((sum(cs_quantity) // count(*)) * 1000000
-            + ((sum(cs_quantity) % count(*)) * 1000000) // count(*)
+       CAST((CAST((sum(cs_quantity) - (sum(cs_quantity) % count(*))) / (count(*)) AS BIGINT)) * 1000000
+            + CAST((((sum(cs_quantity) % count(*)) * 1000000) - (((sum(cs_quantity) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT)
             AS BIGINT) AS catalog_sales_quantityave_e6,
        CAST(count(*) * sum(cs_quantity * cs_quantity)
             - sum(cs_quantity) * sum(cs_quantity) AS BIGINT)
@@ -4971,7 +4960,7 @@ LIMIT 100"""),
       "q_dsreal_q79" -> (P + """
 SELECT c_last_name, c_first_name, s_city, basket_number, amt, profit
 FROM (
-  SELECT ss_ticket_number // 8 AS basket_number, ss_customer_sk,
+  SELECT CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT) AS basket_number, ss_customer_sk,
          s_city,
          CAST(sum(ss_list_price_cents - ss_ext_sales_price_cents)
               AS BIGINT) AS amt,
@@ -4984,7 +4973,7 @@ FROM (
     AND d_dow = 1
     AND d_year IN (1999, 2000, 2001)
     AND s_market_id = 2
-  GROUP BY ss_ticket_number // 8, ss_customer_sk, s_city) ms,
+  GROUP BY CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT), ss_customer_sk, s_city) ms,
   customer_dim
 WHERE ss_customer_sk = c_customer_sk
 ORDER BY c_last_name, c_first_name, s_city, basket_number, amt, profit
@@ -5052,7 +5041,7 @@ WHERE d1.d_year BETWEEN $d1Lo AND $d1Hi
       order: String): String = s"""
 SELECT c_last_name, c_first_name, basket_number, cnt
 FROM (
-  SELECT ss_ticket_number // 8 AS basket_number,
+  SELECT CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT) AS basket_number,
          ss_customer_sk, count(*) AS cnt
   FROM store_sales, date_dim, store, household_demographics
   WHERE ss_sold_date_sk = d_date_sk
@@ -5064,7 +5053,7 @@ FROM (
     AND hd_dep_count * $depMul > hd_vehicle_count * $vehMul
     AND d_year IN (1999, 2000, 2001)
     AND s_county IN $counties
-  GROUP BY ss_ticket_number // 8, ss_customer_sk) dn, customer_dim
+  GROUP BY CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT), ss_customer_sk) dn, customer_dim
 WHERE ss_customer_sk = c_customer_sk
   AND $cntGate
 ORDER BY $order
@@ -5076,7 +5065,7 @@ LIMIT 100"""
 SELECT c_last_name, c_first_name, ca_city, bought_city, basket_number,
        $outCols
 FROM (
-  SELECT ss_ticket_number // 8 AS basket_number,
+  SELECT CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT) AS basket_number,
          ss_customer_sk, ca_city AS bought_city,
          $aggCols
   FROM store_sales, date_dim, store, household_demographics,
@@ -5089,7 +5078,7 @@ FROM (
     AND $dateGate
     AND d_year IN (1999, 2000, 2001)
     AND s_city IN $cities
-  GROUP BY ss_ticket_number // 8, ss_customer_sk, ca_city) dn,
+  GROUP BY CAST((ss_ticket_number - (ss_ticket_number % 8)) / (8) AS BIGINT), ss_customer_sk, ca_city) dn,
   customer_dim, customer_address current_addr
 WHERE ss_customer_sk = c_customer_sk
   AND c_current_addr_sk = current_addr.ca_address_sk

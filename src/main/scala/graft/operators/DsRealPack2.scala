@@ -41,8 +41,8 @@ object DsRealPack2 extends QueryPack {
     expr(s"(sum($c) div count(*)) * 1000000" +
       s" + ((sum($c) % count(*)) * 1000000) div count(*)")
   private def mmSql(c: String): String =
-    s"CAST((sum($c) // count(*)) * 1000000" +
-      s" + ((sum($c) % count(*)) * 1000000) // count(*) AS BIGINT)"
+    s"CAST((CAST((sum($c) - (sum($c) % count(*))) / (count(*)) AS BIGINT)) * 1000000" +
+      s" + CAST((((sum($c) % count(*)) * 1000000) - (((sum($c) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -800,7 +800,7 @@ object DsRealPack2 extends QueryPack {
   def oracle: Map[String, String] = {
     val P = DsOracle.prelude
     def microSql(sumC: String, cntC: String) =
-      s"($sumC // $cntC) * 1000000 + (($sumC % $cntC) * 1000000) // $cntC"
+      s"(CAST(($sumC - ($sumC % $cntC)) / ($cntC) AS BIGINT)) * 1000000 + CAST(((($sumC % $cntC) * 1000000) - ((($sumC % $cntC) * 1000000) % $cntC)) / ($cntC) AS BIGINT)"
     def microB(num: String, den: String) = microSql(num, den)
     val q9Ranges = Seq((1, 10, 3000), (11, 20, 5000), (21, 30, 3500),
       (31, 40, 6000), (41, 50, 2000))
@@ -893,7 +893,7 @@ LIMIT 100"""),
 
       "q_dsreal_q61" -> (P + """
 SELECT promotions, total,
-       CAST((promotions * 1000000) // total AS BIGINT) AS ratio_ppm
+       CAST(CAST(((promotions * 1000000) - ((promotions * 1000000) % total)) / (total) AS BIGINT) AS BIGINT) AS ratio_ppm
 FROM
   (SELECT CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS promotions
    FROM store_sales, store, promotion, date_dim, customer_dim,
@@ -1125,15 +1125,12 @@ wr_items AS (
     AND wr_returned_date_sk = d_date_sk
   GROUP BY i_item_id)
 SELECT sr_items.item_id AS item_id, sr_item_qty,
-       (sr_item_qty * 100000000)
-         // ((sr_item_qty + cr_item_qty + wr_item_qty) * 3) AS sr_dev,
+       CAST(((sr_item_qty * 100000000) - ((sr_item_qty * 100000000) % ((sr_item_qty + cr_item_qty + wr_item_qty) * 3))) / (((sr_item_qty + cr_item_qty + wr_item_qty) * 3)) AS BIGINT) AS sr_dev,
        cr_item_qty,
-       (cr_item_qty * 100000000)
-         // ((sr_item_qty + cr_item_qty + wr_item_qty) * 3) AS cr_dev,
+       CAST(((cr_item_qty * 100000000) - ((cr_item_qty * 100000000) % ((sr_item_qty + cr_item_qty + wr_item_qty) * 3))) / (((sr_item_qty + cr_item_qty + wr_item_qty) * 3)) AS BIGINT) AS cr_dev,
        wr_item_qty,
-       (wr_item_qty * 100000000)
-         // ((sr_item_qty + cr_item_qty + wr_item_qty) * 3) AS wr_dev,
-       ((sr_item_qty + cr_item_qty + wr_item_qty) * 1000000) // 3
+       CAST(((wr_item_qty * 100000000) - ((wr_item_qty * 100000000) % ((sr_item_qty + cr_item_qty + wr_item_qty) * 3))) / (((sr_item_qty + cr_item_qty + wr_item_qty) * 3)) AS BIGINT) AS wr_dev,
+       CAST((((sr_item_qty + cr_item_qty + wr_item_qty) * 1000000) - (((sr_item_qty + cr_item_qty + wr_item_qty) * 1000000) % 3)) / (3) AS BIGINT)
          AS average
 FROM sr_items, cr_items, wr_items
 WHERE sr_items.item_id = cr_items.item_id

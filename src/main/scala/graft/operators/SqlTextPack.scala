@@ -50,7 +50,29 @@ object SqlTextPack extends QueryPack {
     // r14 widening
     "q_dsreal_q15", "q_dsreal_q16", "q_dsreal_q21", "q_dsreal_q25",
     "q_dsreal_q29", "q_dsreal_q30", "q_dsreal_q43", "q_dsreal_q52",
-    "q_dsreal_q65", "q_dsreal_q86", "q_dsreal_q88", "q_dsreal_q93")
+    "q_dsreal_q65", "q_dsreal_q86", "q_dsreal_q88", "q_dsreal_q93",
+    // r14 widening, batch 2: every remaining dsreal oracle whose text
+    // Spark parses verbatim AND plans acceptably — each verified
+    // hash-equal vs DuckDB at sf0.01 before admission. Deliberately
+    // NOT admitted, beyond the `//`-blocked texts (non-ANSI DuckDB
+    // operator, Spark PARSE_SYNTAX_ERROR): q14a/q14b/q23a/q23b/q75,
+    // whose raw texts re-plan their WITH-CTE fact scans 8-39x (the
+    // DataFrame twins pin the shared frame once — the engine's
+    // documented value-add, same family as q22/q64/q72 in
+    // SqlTextParitySpec), and q77, whose raw text plans an accidental
+    // CartesianProduct (the twin reformulates the full-outer channel
+    // merge; a cartesian is a 100-TB non-starter, so the text stays
+    // out of the battery).
+    "q_dsreal_q4", "q_dsreal_q5", "q_dsreal_q6", "q_dsreal_q8",
+    "q_dsreal_q11",
+    "q_dsreal_q24a", "q_dsreal_q24b", "q_dsreal_q32",
+    "q_dsreal_q33", "q_dsreal_q37", "q_dsreal_q40", "q_dsreal_q41",
+    "q_dsreal_q45", "q_dsreal_q50", "q_dsreal_q56", "q_dsreal_q60",
+    "q_dsreal_q62", "q_dsreal_q67", "q_dsreal_q69", "q_dsreal_q70",
+    "q_dsreal_q71", "q_dsreal_q74", "q_dsreal_q76",
+    "q_dsreal_q80", "q_dsreal_q81", "q_dsreal_q82",
+    "q_dsreal_q84", "q_dsreal_q91", "q_dsreal_q92", "q_dsreal_q94",
+    "q_dsreal_q95", "q_dsreal_q99")
 
   private def dsrealOracle(name: String): String =
     DsRealPack.oracle.getOrElse(name, DsRealPack2.oracle(name))

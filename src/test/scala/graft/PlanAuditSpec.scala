@@ -205,6 +205,40 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sqltext_q65" -> (2, 2, "per-item-store revenue consumed twice " +
       "(row side + per-store min-over-avg gate); SQL text cannot pin"),
     "q_sqltext_q93" -> (2, 2, s"ss fact + sr returns join; $dsrealChan"),
+    // r14 widening batch 2 — budgets observed from the raw texts'
+    // plans (CTE-heavy texts that would exceed these are excluded
+    // from the battery; see SqlTextPack's admission note):
+    "q_sqltext_q4" -> (6, 6, "year_total CTE consumed 3x across 2 " +
+      "channels; SQL text cannot pin the shared frame"),
+    "q_sqltext_q5" -> (7, 7, "3 channels x (sales + returns) + the " +
+      s"returns-only branch; $dsrealChan"),
+    "q_sqltext_q11" -> (4, 4, "year_total CTE consumed 2x across 2 " +
+      "channels; SQL text cannot pin the shared frame"),
+    "q_sqltext_q24a" -> (6, 6, "ss+sr pair consumed twice (row side " +
+      "+ per-customer avg gate); SQL text cannot pin"),
+    "q_sqltext_q24b" -> (6, 6, "ss+sr pair consumed twice (row side " +
+      "+ per-customer avg gate); SQL text cannot pin"),
+    "q_sqltext_q33" -> (3, 3, s"3 channel manufacturer branches; $dsrealChan"),
+    "q_sqltext_q40" -> (2, 2, s"cs fact + cr returns left join; $dsrealChan"),
+    "q_sqltext_q50" -> (2, 2, s"ss fact + sr returns; $dsrealChan"),
+    "q_sqltext_q56" -> (3, 3, s"3 channel item-id branches; $dsrealChan"),
+    "q_sqltext_q60" -> (3, 3, s"3 channel item-id branches; $dsrealChan"),
+    "q_sqltext_q69" -> (3, 3, "store EXISTS + web/catalog NOT EXISTS " +
+      s"x2; $dsrealChan"),
+    "q_sqltext_q70" -> (3, 3, "ss fact + the state ranking subquery's " +
+      s"own ss pass + rollup side; $dsrealChan"),
+    "q_sqltext_q71" -> (3, 3, s"3-channel meal-time union; $dsrealChan"),
+    "q_sqltext_q74" -> (4, 4, "year_total CTE consumed 2x across 2 " +
+      "channels; SQL text cannot pin the shared frame"),
+    "q_sqltext_q76" -> (3, 3, s"3 NULL-key channel branches; $dsrealChan"),
+    "q_sqltext_q80" -> (6, 6, s"3 channels x (sales + returns); $dsrealChan"),
+    "q_sqltext_q81" -> (2, 2, "WITH catalog_total_return consumed " +
+      "twice (customer filter + per-state avg); SQL text cannot pin"),
+    "q_sqltext_q94" -> (4, 4, "ws fact + multi-warehouse EXISTS " +
+      "self-join (text cannot pin) + wr NOT EXISTS + count-distinct " +
+      s"branch; $dsrealChan"),
+    "q_sqltext_q95" -> (6, 6, "ws fact + ws-pair EXISTS self-join x2 " +
+      s"(text cannot pin) + wr semi branch; $dsrealChan"),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),

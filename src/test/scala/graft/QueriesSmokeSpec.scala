@@ -40,8 +40,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q_dsreal_q24a", "q_dsreal_q34", "q_dsreal_q40", "q_dsreal_q46",
       "q_dsreal_q68", "q_dsreal_q71", "q_dsreal_q72", "q_dsreal_q80",
       "q_dsreal_q82", "q_dsreal_q91",
-      // SQL-text twins of q_dsreal_q19/q21 (same text, same gates)
-      "q_sqltext_q19", "q_sqltext_q21",
+      // SQL-text twins of dsreal queries above (same text, same gates)
+      "q_sqltext_q19", "q_sqltext_q21", "q_sqltext_q4", "q_sqltext_q6",
+      "q_sqltext_q8", "q_sqltext_q24a", "q_sqltext_q40", "q_sqltext_q71",
+      "q_sqltext_q74", "q_sqltext_q80", "q_sqltext_q82", "q_sqltext_q91",
       // TPC-H min-cost / volume-share chains with HAVING thresholds
       "q_tpch_q2", "q_tpch_q7", "q_tpch_q11", "q_tpch_q20"
     ).map(_ -> smallSf).toMap
