@@ -11,7 +11,9 @@ object ScratchProbe {
     args.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
-        println(s"OK $n rows=${df.count()}")
+        val planned = "lineitem\\.parquet".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+        println(s"OK $n rows=${df.count()} lineitemSubtrees=$planned")
       } catch { case e: Throwable =>
         println(s"FAIL $n: ${e.getClass.getName}: ${e.getMessage}")
         e.printStackTrace()

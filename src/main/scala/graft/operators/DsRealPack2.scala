@@ -1183,7 +1183,7 @@ ORDER BY returns_loss DESC, call_center"""),
             netE: String) = s"""
     SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
            w_state, w_country, 'DHL,BARIAN' AS ship_carriers,
-           d_year AS "year",
+           d_year AS year,
            ${months.zipWithIndex.map { case (mn, i) =>
              s"""sum(CASE WHEN d_moy = ${i + 1} THEN $salesE
              ELSE 0 END) AS ${mn}_sales,
@@ -1202,10 +1202,10 @@ ORDER BY returns_loss DESC, call_center"""),
              w_state, w_country, d_year"""
         P + s"""
 SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
-       w_country, ship_carriers, "year",
+       w_country, ship_carriers, year,
        ${months.map { mn =>
          s"""CAST(sum(${mn}_sales) AS BIGINT) AS ${mn}_sales,
-       CAST(sum((${mn}_sales * 1000000) // w_warehouse_sq_ft) AS BIGINT)
+       CAST(sum(CAST(((${mn}_sales * 1000000) - ((${mn}_sales * 1000000) % w_warehouse_sq_ft)) / (w_warehouse_sq_ft) AS BIGINT)) AS BIGINT)
          AS ${mn}_sales_per_sq_foot,
        CAST(sum(${mn}_net) AS BIGINT) AS ${mn}_net"""
        }.mkString(",\n       ")}
@@ -1216,7 +1216,7 @@ FROM (${innerBranch("web_sales", "ws",
           "cs_sales_price_cents * cs_quantity",
           "cs_net_paid_inc_tax_cents * cs_quantity")}) x
 GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
-         w_state, w_country, ship_carriers, "year"
+         w_state, w_country, ship_carriers, year
 ORDER BY w_warehouse_name
 LIMIT 100"""
       },

@@ -239,6 +239,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"branch; $dsrealChan"),
     "q_sqltext_q95" -> (6, 6, "ws fact + ws-pair EXISTS self-join x2 " +
       s"(text cannot pin) + wr semi branch; $dsrealChan"),
+    // r14 widening batch 3 (the //-respelled texts) — observed:
+    "q_sqltext_q2" -> (4, 4, "wswscs week CTE consumed twice (y/z " +
+      "year split), 2 channels each; SQL text cannot pin"),
+    "q_sqltext_q17" -> (3, 3, s"ss + sr + cs triple; $dsrealChan"),
+    "q_sqltext_q31" -> (6, 6, "ss/ws quarterly CTEs consumed 3x each " +
+      "(q1/q2/q3 self-join); SQL text cannot pin"),
+    "q_sqltext_q35" -> (3, 3, "store EXISTS + web/catalog EXISTS " +
+      s"union; $dsrealChan"),
+    "q_sqltext_q44" -> (4, 4, "asc/desc rank subqueries + their " +
+      "shared avg-null gate; SQL text cannot pin"),
+    "q_sqltext_q49" -> (6, 6, "3 channels x (sales + returns); " +
+      dsrealChan),
+    "q_sqltext_q54" -> (3, 3, "cs/ws seed union + the ss revenue " +
+      s"pass; $dsrealChan"),
+    "q_sqltext_q58" -> (3, 3, s"3 channel item-rev branches; $dsrealChan"),
+    "q_sqltext_q59" -> (2, 2, "wss week CTE consumed twice (y/y+1 " +
+      "self-join); SQL text cannot pin"),
+    "q_sqltext_q61" -> (2, 2, "promotional + total ss passes; " +
+      dsrealChan),
+    "q_sqltext_q66" -> (2, 2, s"ws + cs channel branches; $dsrealChan"),
+    "q_sqltext_q78" -> (6, 6, "3 channels x (sales + anti-returns); " +
+      dsrealChan),
+    "q_sqltext_q83" -> (3, 3, s"3 return-channel branches; $dsrealChan"),
+    "q_sqltext_q85" -> (2, 2, s"wr returns + ws fact; $dsrealChan"),
+    "q_sqltext_q90" -> (2, 2, "am + pm ws passes; " + dsrealChan),
+    "q_sqltext_q97" -> (2, 2, s"ss + cs channel overlap; $dsrealChan"),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),
