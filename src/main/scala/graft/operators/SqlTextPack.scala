@@ -36,7 +36,7 @@ object SqlTextPack extends QueryPack {
 
   /** The dsreal queries whose oracle text is engine-neutral ANSI,
     * spanning the shape families above. r14 widens the battery from
-    * 11 to 92 reused texts in three batches: (1) hand-picked shape
+    * 11 to 93 reused texts in three batches: (1) hand-picked shape
     * coverage (scalar-subquery banks, correlated avg gates, rollup +
     * GROUPING(), DATE ± INTERVAL, NOT-EXISTS/IN chains, min-over-avg
     * subqueries, multi-fact chains, day-of-week pivots); (2) every
