@@ -3415,7 +3415,8 @@ LIMIT 100"""),
 SELECT * FROM (
   SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
          s_store_id, sumsales,
-         rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+         CAST(rank() OVER (PARTITION BY i_category
+             ORDER BY sumsales DESC) AS BIGINT) AS rk
   FROM (
     SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
            d_moy, s_store_id,
@@ -3434,11 +3435,12 @@ LIMIT 100"""),
       "q_dsreal_q36" -> (P + """
 SELECT CAST(CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) AS BIGINT) AS margin_ppm,
        i_category, i_class,
-       grouping(i_category) + grouping(i_class) AS lochierarchy,
-       rank() OVER (
+       CAST(grouping(i_category) + grouping(i_class) AS BIGINT)
+         AS lochierarchy,
+       CAST(rank() OVER (
          PARTITION BY grouping(i_category) + grouping(i_class),
                       CASE WHEN grouping(i_class) = 0 THEN i_category END
-         ORDER BY CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) ASC)
+         ORDER BY CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) ASC) AS BIGINT)
          AS rank_within_parent
 FROM store_sales, date_dim d1, item, store
 WHERE d1.d_year = 2000 AND d1.d_date_sk = ss_sold_date_sk

@@ -974,12 +974,14 @@ gated AS (
 asceding AS (
   SELECT * FROM (
     SELECT item_sk,
-           rank() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+           CAST(rank() OVER (ORDER BY rank_col ASC, item_sk ASC)
+             AS BIGINT) AS rnk
     FROM gated) v11 WHERE rnk < 11),
 descending AS (
   SELECT * FROM (
     SELECT item_sk,
-           rank() OVER (ORDER BY rank_col DESC, item_sk DESC) AS rnk
+           CAST(rank() OVER (ORDER BY rank_col DESC, item_sk DESC)
+             AS BIGINT) AS rnk
     FROM gated) v21 WHERE rnk < 11)
 SELECT asceding.rnk AS rnk, i1.i_product_name AS best_performing,
        i2.i_product_name AS worst_performing
@@ -1004,8 +1006,10 @@ SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
          currency_rank
   FROM (
     SELECT item, return_ratio,
-           rank() OVER (ORDER BY return_ratio, item) AS return_rank,
-           rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
+           CAST(rank() OVER (ORDER BY return_ratio, item)
+             AS BIGINT) AS return_rank,
+           CAST(rank() OVER (ORDER BY currency_ratio, item)
+             AS BIGINT) AS currency_rank
     FROM (
       SELECT ${sp}_item_sk AS item,
              CAST(${microB(s"sum(COALESCE(${rp}_return_quantity, 0))",
@@ -1031,11 +1035,11 @@ LIMIT 100"""),
 SELECT CAST(sum(np) AS BIGINT) AS total_sum, s_state, s_county,
        CAST(grouping(s_state) + grouping(s_county) AS BIGINT)
          AS lochierarchy,
-       rank() OVER (
+       CAST(rank() OVER (
          PARTITION BY grouping(s_state) + grouping(s_county),
                       CASE WHEN grouping(s_county) = 0 THEN s_state END
          ORDER BY sum(np) DESC, s_state NULLS FIRST, s_county NULLS FIRST)
-         AS rank_within_parent
+         AS BIGINT) AS rank_within_parent
 FROM (
   SELECT s_state, s_county, sum(ss_net_profit_cents) AS np
   FROM store_sales, date_dim d1, store
