@@ -2866,8 +2866,9 @@ ORDER BY wh, sm_type, $dimName
 LIMIT 100"""
   }
 
-  /** Oracle-side twin of [[mmE6]] (DuckDB `//` = Spark `div` for the
-    * non-negative operands used here). */
+  /** Oracle-side twin of [[mmE6]], spelled with the engine-neutral
+    * exact integer division (== Spark `div` for the non-negative
+    * operands used here) so the text also parses via spark.sql. */
   private def mmE6Sql(c: String): String =
     s"CAST((CAST((sum($c) - (sum($c) % count(*))) / (count(*)) AS BIGINT)) * 1000000" +
       s" + CAST((((sum($c) % count(*)) * 1000000) - (((sum($c) % count(*)) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)"
