@@ -42,12 +42,15 @@ object SqlTextPack extends QueryPack {
     * subqueries, multi-fact chains, day-of-week pivots); (2) every
     * text Spark already parsed verbatim; (3) the texts formerly
     * blocked on DuckDB's non-ANSI `//`, after the oracle-side
-    * respelling to exact engine-neutral division. Of the 103 dsreal
-    * oracles, the only ten NOT in the battery are the documented
-    * value-add asymmetries (q9/q14a/q14b/q22/q23a/q23b/q64/q72/q75:
-    * raw text re-plans shared frames the twins pin; q77: raw text
-    * plans a cartesian) — see the batch notes below and
-    * SqlTextParitySpec. */
+    * respelling to exact engine-neutral division; (4, r15) q9, rescued
+    * by the injected [[graft.plans.ScalarAggBankFusion]] analyzer rule
+    * — with it installed the raw text's 15 scalar subqueries fuse into
+    * ONE fact pass (FusionRuleSpec pins both shapes). Of the 103
+    * dsreal oracles, the only nine NOT in the battery are the
+    * documented value-add asymmetries (q14a/q14b/q22/q23a/q23b/q64/
+    * q72/q75: raw text re-plans shared frames the twins pin; q77: raw
+    * text plans a cartesian) — see the batch notes below,
+    * SqlTextParitySpec, and COVERAGE.md's rule-reachability table. */
   private val Reused: Seq[String] = Seq(
     "q_dsreal_q1", "q_dsreal_q3", "q_dsreal_q10", "q_dsreal_q19",
     "q_dsreal_q38", "q_dsreal_q42", "q_dsreal_q48", "q_dsreal_q51",
@@ -81,9 +84,7 @@ object SqlTextPack extends QueryPack {
     // r14 widening, batch 3: the formerly //-blocked texts, admitted
     // after their oracles were respelled to the engine-neutral exact
     // division (see DsRealPack) and each verified hash-equal vs DuckDB
-    // at sf0.01. q9 stays excluded: its raw text plans 15 fact scans
-    // (one per scalar subquery) where the DataFrame twin computes all
-    // buckets in a single pass — the q14a/q23a value-add family.
+    // at sf0.01.
     "q_dsreal_q2", "q_dsreal_q7", "q_dsreal_q12",
     "q_dsreal_q13", "q_dsreal_q17", "q_dsreal_q18", "q_dsreal_q20",
     "q_dsreal_q26", "q_dsreal_q27", "q_dsreal_q28", "q_dsreal_q31",
@@ -93,7 +94,14 @@ object SqlTextPack extends QueryPack {
     "q_dsreal_q58", "q_dsreal_q59", "q_dsreal_q61", "q_dsreal_q63",
     "q_dsreal_q66", "q_dsreal_q68", "q_dsreal_q73", "q_dsreal_q78",
     "q_dsreal_q79", "q_dsreal_q83", "q_dsreal_q85", "q_dsreal_q89",
-    "q_dsreal_q90", "q_dsreal_q97", "q_dsreal_q98")
+    "q_dsreal_q90", "q_dsreal_q97", "q_dsreal_q98",
+    // r15: q9 admitted — its raw text plans 15 scalar subqueries (one
+    // fact pass per quantity band even after stock subquery merging);
+    // the injected ScalarAggBankFusion rule folds each band gate into
+    // FILTER clauses so MergeScalarSubqueries fuses ALL of them into a
+    // single conditional-aggregate pass, the same single-scan shape as
+    // the q_dsreal_q9 DataFrame twin (2.5x wall-clock at sf0.1).
+    "q_dsreal_q9")
 
   private def dsrealOracle(name: String): String =
     DsRealPack.oracle.getOrElse(name, DsRealPack2.oracle(name))

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.SqlTextPack
+import graft.plans.ScalarAggBankFusion
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the injected [[graft.plans.ScalarAggBankFusion]] analyzer rule
+  * (r14 judge directive 2): with the rule ON, q9's raw SQL text — 15
+  * scalar subqueries over the same derived fact, three per quantity
+  * band — fuses into ONE conditional-aggregate pass; with the rule OFF
+  * (runtime conf), Spark's stock MergeScalarSubqueries can only merge
+  * the same-gate triples, leaving one fact pass PER BAND. Both shapes
+  * are asserted, plus row equality between the two, so the rule can
+  * never silently change results or silently stop firing.
+  */
+class FusionRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def q9Text: DataFrame =
+    SqlTextPack.queries("q_sqltext_q9")(spark, d)
+
+  /** Number of distinct fused subquery bodies in the optimized plan:
+    * MergeScalarSubqueries leaves every ScalarSubquery holding
+    * Project(GetStructField_i, <merged body>), so strip the top
+    * Project and count distinct canonicalized bodies — one per
+    * surviving fact pass. */
+  private def mergedBodies(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case s: ScalarSubquery => s.plan match {
+        case Project(_, c) => c.canonicalized
+        case p => p.canonicalized
+      }
+    }).distinct.size
+
+  private def withRule[A](on: Boolean)(body: => A): A = {
+    spark.conf.set(ScalarAggBankFusion.EnabledKey, on.toString)
+    try body finally spark.conf.unset(ScalarAggBankFusion.EnabledKey)
+  }
+
+  test("rule ON: q9's 15 scalar subqueries fuse into one " +
+      "conditional-aggregate pass") {
+    withRule(on = true) {
+      val df = q9Text
+      val subs = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case s: ScalarSubquery => s })
+      assert(subs.size == 15, s"expected 15 subquery sites, ${subs.size}")
+      assert(mergedBodies(df) == 1,
+        "the band gates did not fuse into a single pass")
+      assert(df.queryExecution.optimizedPlan.toString.contains(" FILTER ("),
+        "fused aggregates lost their FILTER clauses")
+    }
+  }
+
+  test("rule OFF: stock planning leaves one fact pass per band, and " +
+      "the gate stays a pushable Filter") {
+    withRule(on = false) {
+      val df = q9Text
+      assert(mergedBodies(df) == 5,
+        "expected the 5 per-band merged bodies with fusion disabled")
+      assert(!df.queryExecution.optimizedPlan.toString.contains(" FILTER ("))
+    }
+  }
+
+  test("rule ON and OFF return identical rows") {
+    val on = withRule(on = true)(q9Text.collect().map(_.toSeq).toSeq)
+    val off = withRule(on = false)(q9Text.collect().map(_.toSeq).toSeq)
+    assert(on == off, s"fusion changed results\non=$on\noff=$off")
+  }
+
+  test("no-bank guard: a single gated scalar subquery is left alone " +
+      "(its Filter keeps scan pushdown)") {
+    graft.Tables.registerAll(spark, d)
+    val df = spark.sql(
+      """SELECT o_orderpriority,
+                (SELECT count(*) FROM lineitem WHERE l_quantity > 25) AS c
+         FROM orders LIMIT 1""")
+    val subPlans = df.queryExecution.analyzed
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case s: ScalarSubquery => s.plan })
+    assert(subPlans.size == 1)
+    assert(subPlans.head.collect { case f: Filter => f }.nonEmpty,
+      "the lone subquery's WHERE was folded into a FILTER clause — " +
+        "the rule fired without a fusable bank (pushdown lost)")
+  }
+
+  test("correlated subqueries are never rewritten") {
+    graft.Tables.registerAll(spark, d)
+    val text =
+      """SELECT o_orderkey,
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey = o_orderkey AND l_quantity > 10) AS a,
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey = o_orderkey AND l_quantity <= 10) AS b
+         FROM orders ORDER BY o_orderkey LIMIT 5"""
+    // correctness is the assertion that matters: the rewrite would be
+    // unsound here (per-row gates), so equal results ON vs OFF prove
+    // the rule declined to fire
+    val on = withRule(on = true)(
+      spark.sql(text).collect().map(_.toSeq).toSeq)
+    val off = withRule(on = false)(
+      spark.sql(text).collect().map(_.toSeq).toSeq)
+    assert(on.nonEmpty && on == off)
+  }
+}

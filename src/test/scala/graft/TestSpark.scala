@@ -8,6 +8,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the engine's injected Catalyst rules (scalar-agg-bank fusion,
+      // trivial-hamming rewrite) are part of the product — tests run
+      // with them active, exactly like Verify/Bench sessions
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
