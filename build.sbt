@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r14 post-mortem: a 45-minute bench session (456 queries x 2-3 runs,
+  // whole-stage codegen churning a class per plan) degraded mid-session
+  // up to 34x per query; the default 240m code cache filling up (JIT
+  // falls back to interpreter once flushing can't keep up) is the prime
+  // suspect. Reserve enough that compiled code is never evicted;
+  // Bench's jvm_health snapshots make any residual pressure visible.
+  "-XX:ReservedCodeCacheSize=1g",
 )

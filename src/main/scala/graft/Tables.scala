@@ -15,10 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Frames memoized per (session, dir, table): every construction is
+    * a parquet read (driver-side file listing + footer schema), and
+    * the dsreal battery used to rebuild every referenced star frame on
+    * every query call (judge r14 directive 5). A DataFrame is an
+    * immutable plan bound to its session, so reuse is safe; the
+    * testdata dirs are immutable, so the snapshotted file listing
+    * cannot go stale. Keyed by session identity — frames die with
+    * their session. */
+  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
+    (Integer, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else if (name == "embeddings") embeddings(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    frameCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name), _ =>
+        if (name == "events") buildEvents(spark, dir)
+        else if (name == "embeddings") buildEmbeddings(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -36,7 +49,9 @@ object Tables {
     *    TIMESTAMP_NS -> TIMESTAMP cast.
     *  - any timestamp flavor: normalize to timestamp_ntz so downstream
     *    window/bucket arithmetic sees one type regardless of generator. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  private def buildEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
@@ -63,7 +78,10 @@ object Tables {
     * oracle side to float identically. The narrowing is WARNED loudly
     * (stderr, once per load) so a generator drift shows up in the
     * verify log instead of only as downstream hash mismatches. */
-  def embeddings(s: SparkSession, d: String): DataFrame = {
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+
+  private def buildEmbeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val raw = s.read.parquet(s"$d/embeddings.parquet")

@@ -48,7 +48,31 @@ object DsTables {
   val Epoch = "1995-01-01"
   val Days = 2557 // 1995-01-01 .. 2001-12-31 inclusive (leap 1996, 2000)
 
-  def dateDim(s: SparkSession): DataFrame = {
+  /** Frames memoized per (session, dir) — judge r14 directive 5: the
+    * dsreal battery rebuilt every referenced star frame (a parquet
+    * listing + footer read through [[graft.Tables]], then a long
+    * withColumn analysis chain) on EVERY query call; SqlTextPack
+    * already memoized exactly this for its views. Same safety argument
+    * as [[graft.Tables.load]]'s cache (immutable plans, immutable
+    * testdata dirs, keyed by session identity). get/putIfAbsent, NOT
+    * computeIfAbsent: builders recurse (sales -> base), and
+    * ConcurrentHashMap forbids recursive updates — a benign double
+    * build under race beats a deadlock. Session-less dims key d="". */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Integer, String, String), DataFrame]()
+  private def memo(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (Integer.valueOf(System.identityHashCode(s)), d, name)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def dateDim(s: SparkSession): DataFrame = memo(s, "", "dateDim") {
     import s.implicits._
     s.range(0, Days).select(
       $"id".as("d_date_sk"),
@@ -69,7 +93,7 @@ object DsTables {
       .withColumn("d_dow", expr("d_date_sk % 7").cast("int"))
   }
 
-  def item(s: SparkSession, d: String): DataFrame = {
+  def item(s: SparkSession, d: String): DataFrame = memo(s, d, "item") {
     import s.implicits._
     T.part(s, d).select(
       $"p_partkey".as("i_item_sk"),
@@ -108,7 +132,7 @@ object DsTables {
       .drop("i_class_name")
   }
 
-  def customerDim(s: SparkSession, d: String): DataFrame = {
+  def customerDim(s: SparkSession, d: String): DataFrame = memo(s, d, "customerDim") {
     import s.implicits._
     T.customer(s, d).select(
       $"c_custkey".as("c_customer_sk"),
@@ -143,7 +167,7 @@ object DsTables {
     * c_current_addr_sk); state cycles 10 US states by nation, the
     * city/county/zip granularities nest coarser-to-finer
     * (TpcdsSchemaProvider.java customer_address). */
-  def customerAddress(s: SparkSession, d: String): DataFrame = {
+  def customerAddress(s: SparkSession, d: String): DataFrame = memo(s, d, "customerAddress") {
     import s.implicits._
     T.customer(s, d).select(
       $"c_custkey".as("ca_address_sk"),
@@ -175,7 +199,7 @@ object DsTables {
     * (TpcdsSchemaProvider.java customer_demographics; the real dim is
     * the 1.9M-row cartesian — the derived one keeps every attribute
     * value reachable while staying broadcast-sized). */
-  def customerDemographics(s: SparkSession): DataFrame = {
+  def customerDemographics(s: SparkSession): DataFrame = memo(s, "", "customerDemographics") {
     import s.implicits._
     s.range(1, 211).select(
       $"id".as("cd_demo_sk"),
@@ -204,7 +228,7 @@ object DsTables {
 
   /** household_demographics: 72 rows over 20 income bands x 6 buy
     * potentials (TpcdsSchemaProvider.java household_demographics). */
-  def householdDemographics(s: SparkSession): DataFrame = {
+  def householdDemographics(s: SparkSession): DataFrame = memo(s, "", "householdDemographics") {
     import s.implicits._
     s.range(1, 73).select(
       $"id".as("hd_demo_sk"),
@@ -220,7 +244,7 @@ object DsTables {
   }
 
   /** income_band: 20 contiguous 10k bands. */
-  def incomeBand(s: SparkSession): DataFrame = {
+  def incomeBand(s: SparkSession): DataFrame = memo(s, "", "incomeBand") {
     import s.implicits._
     s.range(1, 21).select(
       $"id".as("ib_income_band_sk"),
@@ -229,7 +253,7 @@ object DsTables {
   }
 
   /** reason: 10 synthetic return reasons (q85's dim). */
-  def reason(s: SparkSession): DataFrame = {
+  def reason(s: SparkSession): DataFrame = memo(s, "", "reason") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("r_reason_sk"),
@@ -239,7 +263,7 @@ object DsTables {
 
   /** web_page: the web channel's page dim, 1..10 like the other
     * channel location dims. */
-  def webPage(s: SparkSession): DataFrame = {
+  def webPage(s: SparkSession): DataFrame = memo(s, "", "webPage") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("wp_web_page_sk"),
@@ -251,7 +275,7 @@ object DsTables {
   /** time_dim: one row per second of day (TpcdsSchemaProvider
     * time_dim); meal-time bands breakfast 6-8, lunch 11-13, dinner
     * 17-19, NULL otherwise — broadcast-sized (86400 rows). */
-  def timeDim(s: SparkSession): DataFrame = {
+  def timeDim(s: SparkSession): DataFrame = memo(s, "", "timeDim") {
     import s.implicits._
     s.range(0, 86400).select(
       $"id".as("t_time_sk"),
@@ -268,7 +292,7 @@ object DsTables {
 
   /** ship_mode: the 5 shipping classes (TpcdsSchemaProvider
     * ship_mode). */
-  def shipMode(s: SparkSession): DataFrame = {
+  def shipMode(s: SparkSession): DataFrame = memo(s, "", "shipMode") {
     import s.implicits._
     s.range(1, 6).select(
       $"id".as("sm_ship_mode_sk"),
@@ -282,7 +306,7 @@ object DsTables {
         .otherwise("USPS").as("sm_carrier"))
   }
 
-  def store(s: SparkSession): DataFrame = {
+  def store(s: SparkSession): DataFrame = memo(s, "", "store") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("s_store_sk"),
@@ -319,13 +343,13 @@ object DsTables {
   /** catalog_page / web_site: the catalog and web channels' id dims
     * (the real schema's analogs of store), keyed by the same 1..10
     * surrogate the facts carry in *_store_sk. */
-  def catalogPage(s: SparkSession): DataFrame = {
+  def catalogPage(s: SparkSession): DataFrame = memo(s, "", "catalogPage") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("cp_catalog_page_sk"),
       concat(lit("CP"), $"id".cast("string")).as("cp_catalog_page_id"))
   }
-  def webSite(s: SparkSession): DataFrame = {
+  def webSite(s: SparkSession): DataFrame = memo(s, "", "webSite") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("web_site_sk"),
@@ -338,7 +362,7 @@ object DsTables {
 
   /** lineitem x orders with the channel split key and every derived
     * measure, the single scan all six fact tables project from. */
-  private def base(s: SparkSession, d: String): DataFrame = {
+  private def base(s: SparkSession, d: String): DataFrame = memo(s, d, "base") {
     import s.implicits._
     T.lineitem(s, d)
       .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
@@ -417,7 +441,7 @@ object DsTables {
   }
 
   private def sales(s: SparkSession, d: String, chan: Int, p: String,
-      custCol: String, orderCol: String): DataFrame = {
+      custCol: String, orderCol: String): DataFrame = memo(s, d, "sales_" + p) {
     // the shipped channels carry a ship-date role (real cs/ws schema);
     // store sales are immediate and have none, as in dsdgen output
     val shipCols = if (p == "ss") Nil
@@ -491,7 +515,8 @@ object DsTables {
   }
 
   private def returns(s: SparkSession, d: String, chan: Int, p: String,
-      orderCol: String, custCol: String): DataFrame = {
+      orderCol: String, custCol: String): DataFrame =
+    memo(s, d, "returns_" + p) {
     // q85's web-return snowflake keys: the refunded party is the
     // buyer (their sale-time demographics/address), the returning
     // party's demographics cycle separately
@@ -554,7 +579,7 @@ object DsTables {
     * cs_store_sk (the q95 store-as-warehouse precedent): the derived
     * star has one 1..10 location key per channel and the dims that
     * hang off it are role-named views of it. */
-  def callCenter(s: SparkSession): DataFrame = {
+  def callCenter(s: SparkSession): DataFrame = memo(s, "", "callCenter") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("cc_call_center_sk"),
@@ -569,7 +594,7 @@ object DsTables {
 
   /** promotion: 10 synthetic rows (TpcdsSchemaProvider.java promotion);
     * facts reference it via ${p}_promo_sk (NULL for ~29% of sales). */
-  def promotion(s: SparkSession): DataFrame = {
+  def promotion(s: SparkSession): DataFrame = memo(s, "", "promotion") {
     import s.implicits._
     s.range(1, 11).select(
       $"id".as("p_promo_sk"),
@@ -588,7 +613,7 @@ object DsTables {
 
   /** warehouse: 5 synthetic rows (TpcdsSchemaProvider.java warehouse),
     * the inventory/q72 dimension — broadcast-sized like store. */
-  def warehouse(s: SparkSession): DataFrame = {
+  def warehouse(s: SparkSession): DataFrame = memo(s, "", "warehouse") {
     import s.implicits._
     s.range(1, 6).select(
       $"id".as("w_warehouse_sk"),
@@ -620,7 +645,7 @@ object DsTables {
     * the expansion is map-side and inherits item's partitioning — no
     * shuffle at any SF.
     */
-  def inventory(s: SparkSession, d: String): DataFrame = {
+  def inventory(s: SparkSession, d: String): DataFrame = memo(s, d, "inventory") {
     import s.implicits._
     val weeks = dateDim(s)
       .filter($"d_date_sk" % 7 === 0 && $"d_year".between(1999, 2000))
