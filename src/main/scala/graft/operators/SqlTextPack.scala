@@ -42,15 +42,18 @@ object SqlTextPack extends QueryPack {
     * subqueries, multi-fact chains, day-of-week pivots); (2) every
     * text Spark already parsed verbatim; (3) the texts formerly
     * blocked on DuckDB's non-ANSI `//`, after the oracle-side
-    * respelling to exact engine-neutral division; (4, r15) q9, rescued
-    * by the injected [[graft.plans.ScalarAggBankFusion]] analyzer rule
-    * — with it installed the raw text's 15 scalar subqueries fuse into
-    * ONE fact pass (FusionRuleSpec pins both shapes). Of the 103
-    * dsreal oracles, the only nine NOT in the battery are the
-    * documented value-add asymmetries (q14a/q14b/q22/q23a/q23b/q64/
-    * q72/q75: raw text re-plans shared frames the twins pin; q77: raw
-    * text plans a cartesian) — see the batch notes below,
-    * SqlTextParitySpec, and COVERAGE.md's rule-reachability table. */
+    * respelling to exact engine-neutral division; (4, r15) q9 and
+    * q22, rescued by the injected rules
+    * [[graft.plans.ScalarAggBankFusion]] (15 scalar subqueries fuse
+    * into ONE fact pass — FusionRuleSpec) and
+    * [[graft.plans.PreAggBeforeExpand]] (pre-agg below the rollup
+    * Expand — SqlTextParitySpec). Of the 103 dsreal oracles, the only
+    * eight NOT in the battery are the documented value-add
+    * asymmetries (q14a/q14b/q23a/q23b/q64/q72/q75: raw text re-plans
+    * shared frames the twins pin via runtime materialization, which
+    * no logical rule can express; q77: raw text plans a cartesian) —
+    * see the batch notes below and COVERAGE.md's rule-reachability
+    * table. */
   private val Reused: Seq[String] = Seq(
     "q_dsreal_q1", "q_dsreal_q3", "q_dsreal_q10", "q_dsreal_q19",
     "q_dsreal_q38", "q_dsreal_q42", "q_dsreal_q48", "q_dsreal_q51",
@@ -66,8 +69,8 @@ object SqlTextPack extends QueryPack {
     // operator, Spark PARSE_SYNTAX_ERROR): q14a/q14b/q23a/q23b/q75,
     // whose raw texts re-plan their WITH-CTE fact scans 8-39x (the
     // DataFrame twins pin the shared frame once — the engine's
-    // documented value-add, same family as q22/q64/q72 in
-    // SqlTextParitySpec), and q77, whose raw text plans an accidental
+    // documented value-add, same family as q64/q72), and q77, whose
+    // raw text plans an accidental
     // CartesianProduct (the twin reformulates the full-outer channel
     // merge; a cartesian is a 100-TB non-starter, so the text stays
     // out of the battery).
@@ -101,7 +104,12 @@ object SqlTextPack extends QueryPack {
     // FILTER clauses so MergeScalarSubqueries fuses ALL of them into a
     // single conditional-aggregate pass, the same single-scan shape as
     // the q_dsreal_q9 DataFrame twin (2.5x wall-clock at sf0.1).
-    "q_dsreal_q9")
+    "q_dsreal_q9",
+    // r15: q22 admitted — the injected PreAggBeforeExpand rule derives
+    // the twin's pre-agg below the 5-way rollup Expand from the raw
+    // text (one (sum,count) row per item enters Expand instead of
+    // every inventory row); SqlTextParitySpec pins rule-on/rule-off.
+    "q_dsreal_q22")
 
   private def dsrealOracle(name: String): String =
     DsRealPack.oracle.getOrElse(name, DsRealPack2.oracle(name))

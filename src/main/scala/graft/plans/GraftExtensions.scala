@@ -28,6 +28,7 @@ object RewriteTrivialHamming extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteTrivialHamming)
+    e.injectOptimizerRule(_ => PreAggBeforeExpand)
     // analysis-time, not optimizer-time — see ScalarAggBankFusion's
     // scaladoc for why the bank must be fused before OptimizeSubqueries
     // pushes each gate below the source's own joins

@@ -28,4 +28,23 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** RocksDB legs for the streaming differentials (judge r14 directive
+    * 4): COVERAGE.md claims the eviction/state logic is state-store-
+    * provider-independent; these helpers let a property spec re-run a
+    * MemoryStream replay leg with the off-heap provider. The conf is
+    * snapshotted per started query, so setting it on the shared session
+    * around `.start()` is exactly the StreamBench plumbing. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def withStateStore[A](provider: String)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

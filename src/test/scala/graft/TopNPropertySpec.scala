@@ -244,15 +244,8 @@ class TopNPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("differential: cross-batch state — chronological MemoryStream " +
-      "chunks materialize to the oracle board after EVERY chunk") {
-    val cases = Seq(
-      (3, RetractableTopN.RowNumber, 1, true),
-      (4, RetractableTopN.RowNumber, 3, false),
-      (5, RetractableTopN.Rank, 3, true),
-      (6, RetractableTopN.Rank, 1, false),
-      (7, RetractableTopN.DenseRank, 3, true),
-      (8, RetractableTopN.DenseRank, 3, false))
+  private def crossBatchReplay(
+      cases: Seq[(Int, RetractableTopN.RankType, Int, Boolean)]): Unit = {
     cases.foreach { case (seed, rt, n, retractMode) =>
       val h = genHistory(new scala.util.Random(seed))
       val in = MemoryStream[TN]
@@ -288,6 +281,26 @@ class TopNPropertySpec extends AnyFunSuite {
             s"got=$gotMs\nwant=$want")
       }
       q.stop()
+    }
+  }
+
+  test("differential: cross-batch state — chronological MemoryStream " +
+      "chunks materialize to the oracle board after EVERY chunk") {
+    crossBatchReplay(Seq(
+      (3, RetractableTopN.RowNumber, 1, true),
+      (4, RetractableTopN.RowNumber, 3, false),
+      (5, RetractableTopN.Rank, 3, true),
+      (6, RetractableTopN.Rank, 1, false),
+      (7, RetractableTopN.DenseRank, 3, true),
+      (8, RetractableTopN.DenseRank, 3, false)))
+  }
+
+  test("differential: the cross-batch replay is state-store-provider-" +
+      "independent (RocksDB leg, judge r14 directive 4)") {
+    TestSpark.withStateStore(TestSpark.RocksDbProvider) {
+      crossBatchReplay(Seq(
+        (4, RetractableTopN.RowNumber, 3, false),
+        (5, RetractableTopN.Rank, 3, true)))
     }
   }
 }
