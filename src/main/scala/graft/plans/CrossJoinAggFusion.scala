@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** The FROM-clause spelling of the scalar-agg bank
+  * ([[ScalarAggBankFusion]] handles the subquery spelling; same
+  * reference mapping, SURVEY §3.1 / FlinkBatchRuleSets.scala):
+  *
+  *   SELECT a.x / b.y FROM (SELECT sum(v) x FROM t WHERE p) a,
+  *                         (SELECT sum(v) y FROM t WHERE q) b
+  *
+  * plans as a cross join of two single-row aggregates — one scan of
+  * `t` PER BRANCH. Every global aggregate yields exactly one row
+  * (empty input included), so a condition-free inner/cross join of N
+  * such branches over canonically-equal bases is exactly one row too,
+  * and is computed in ONE pass by a single Aggregate whose outputs
+  * carry each branch's gate as a FILTER clause — the same equivalence
+  * [[ScalarAggBankFusion]] uses, minus the subquery indirection. The
+  * fused node reuses each branch's output Aliases (ExprIds preserved),
+  * so nothing above the join changes.
+  *
+  * Runs at post-hoc resolution for the same reason as the subquery
+  * rule: at analysis end each branch still has its written
+  * `Aggregate(global, aggs, Filter(gate, base))` shape, before the
+  * optimizer pushes gates below the base's own joins. N-ary: a
+  * left-deep or bushy tree of such joins collapses in one application
+  * (the collector descends through nested condition-free inner/cross
+  * joins).
+  *
+  * Fires only when ≥2 branches share a canonical base with ≥2 distinct
+  * gates among them, all gates and aggregates deterministic and
+  * subquery-free — identical conservatism to the subquery rule, and
+  * the same kill switch granularity.
+  */
+object CrossJoinAggFusion extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.fuseCrossJoinAggs.enabled"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(EnabledKey, "true") == "true"
+
+  /** One fusable branch: its aggregate list, optional gate, base, and
+    * the SubqueryAlias/View wrappers stripped on the way down (the
+    * fused plan keeps the attrs, so wrappers can be dropped). */
+  private case class Branch(aggs: Seq[NamedExpression],
+      cond: Option[Expression], base: LogicalPlan)
+
+  @annotation.tailrec
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripAlias(c)
+    case v: View => stripAlias(v.child)
+    case _ => p
+  }
+
+  private def asBranch(p: LogicalPlan): Option[Branch] =
+    stripAlias(p) match {
+      case Aggregate(Nil, aggs, child, None) =>
+        val (cond, base) = child match {
+          case Filter(c, b) => (Some(c), b)
+          case b => (None, b)
+        }
+        val ok = (aggs ++ cond).forall(e => e.deterministic &&
+            !e.exists(_.isInstanceOf[SubqueryExpression])) &&
+          aggs.exists(_.exists(_.isInstanceOf[AggregateExpression]))
+        if (ok) Some(Branch(aggs, cond, base)) else None
+      case _ => None
+    }
+
+  /** Collects the leaves of a maximal condition-free inner/cross join
+    * tree. Returns None unless EVERY leaf is a fusable branch (a
+    * partial collapse would change the join's row-multiplication
+    * semantics only if a side could be empty — and a non-branch side
+    * can be). */
+  private def collect(p: LogicalPlan): Option[Seq[Branch]] = p match {
+    case Join(l, r, Inner | Cross, None, _) =>
+      for (ls <- collect(l); rs <- collect(r)) yield ls ++ rs
+    case other => asBranch(other).map(Seq(_))
+  }
+
+  private def normalized(cond: Expression, base: LogicalPlan): Expression =
+    cond.transform {
+      case a: Attribute =>
+        val i = base.output.indexWhere(_.exprId == a.exprId)
+        AttributeReference(s"_pos$i", a.dataType, a.nullable)(ExprId(i.toLong))
+    }.canonicalized
+
+  private def gated(aggs: Seq[NamedExpression],
+      cond: Option[Expression]): Seq[NamedExpression] = cond match {
+    case None => aggs
+    case Some(c) => aggs.map(_.transform {
+      case ae: AggregateExpression =>
+        ae.copy(filter = Some(ae.filter.map(And(_, c)).getOrElse(c)))
+    }.asInstanceOf[NamedExpression])
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || !plan.resolved) plan
+    else plan.transform {
+      case j @ Join(_, _, Inner | Cross, None, _) =>
+        collect(j) match {
+          case Some(branches) if branches.size >= 2 &&
+              branches.map(b => stripAlias(b.base).canonicalized)
+                .distinct.size == 1 &&
+              branches.map(b => b.cond.map(normalized(_, b.base)))
+                .distinct.size >= 2 =>
+            // one pass over the first branch's base computes every
+            // branch's aggregates; output attr order matches the
+            // join's (left-to-right), ExprIds preserved
+            val base = branches.head.base
+            val rebased = branches.map { b =>
+              if (b.base eq base) b
+              else {
+                // rebind this branch's attrs onto the shared base
+                // positionally (canonical equality guarantees the
+                // outputs correspond)
+                val sub = b.base.output.zip(base.output).map {
+                  case (from, to) => from.exprId -> to
+                }.toMap
+                Branch(
+                  b.aggs.map(_.transform {
+                    case a: Attribute if sub.contains(a.exprId) =>
+                      sub(a.exprId)
+                  }.asInstanceOf[NamedExpression]),
+                  b.cond.map(_.transform {
+                    case a: Attribute if sub.contains(a.exprId) =>
+                      sub(a.exprId)
+                  }), base)
+              }
+            }
+            Aggregate(Nil,
+              rebased.flatMap(b => gated(b.aggs, b.cond)), base, None)
+          case _ => j
+        }
+    }
+}

@@ -31,8 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PreAggBeforeExpand)
     // analysis-time, not optimizer-time — see ScalarAggBankFusion's
     // scaladoc for why the bank must be fused before OptimizeSubqueries
-    // pushes each gate below the source's own joins
+    // pushes each gate below the source's own joins; CrossJoinAggFusion
+    // is the FROM-clause spelling of the same bank
     e.injectPostHocResolutionRule(_ => ScalarAggBankFusion)
+    e.injectPostHocResolutionRule(_ => CrossJoinAggFusion)
   }
 }
 
