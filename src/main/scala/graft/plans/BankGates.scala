@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias, View}
+
+/** Shared gate/predicate machinery for the two scalar-agg bank fusion
+  * rules ([[ScalarAggBankFusion]], [[CrossJoinAggFusion]]).
+  *
+  * A bank member's WHERE is a conjunction mixing two kinds of
+  * predicate:
+  *   - GATES — single-attribute (or attribute-free) conjuncts like
+  *     `t_hour BETWEEN 8 AND 9` — the part that differs between bank
+  *     members and is folded into aggregate FILTER clauses;
+  *   - STRUCTURAL predicates — anything referencing ≥2 attributes,
+  *     most importantly comma-join equalities (`ws_sold_time_sk =
+  *     t_time_sk`): these must stay BELOW the aggregate as a Filter,
+  *     both so the optimizer can turn the comma-join back into a real
+  *     join (folding them up once left an unconditioned cartesian —
+  *     the q90 hang) and because they are shared structure the fused
+  *     pass still needs exactly once.
+  *
+  * Any split of a conjunction between FILTER clause and Filter node is
+  * semantically exact for a global aggregate (`Aggregate(f FILTER g,
+  * Filter(b, base)) == Aggregate(f, Filter(g AND b, base))`); the
+  * classification only decides how much scan pushdown is traded for
+  * fusion, and members only fuse when their structural remainder is
+  * canonically identical.
+  */
+private[plans] object BankGates {
+
+  @annotation.tailrec
+  def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripAlias(c)
+    case v: View => stripAlias(v.child)
+    case _ => p
+  }
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** gates = foldable-up conjuncts; structural = must stay below. */
+  def splitGates(cond: Option[Expression])
+      : (Seq[Expression], Seq[Expression]) =
+    cond.map(conjuncts).getOrElse(Nil)
+      .partition(_.references.size <= 1)
+
+  /** Conjuncts rendered comparable across bank members: each member's
+    * base carries its own ExprIds (view expansion / relation dedup),
+    * so attributes are replaced by their base-output POSITION before
+    * canonical comparison, and conjunct order is erased. Only used to
+    * decide fire/no-fire and grouping — a collision can only make the
+    * rules more conservative. */
+  def normalizedSet(cs: Seq[Expression], base: LogicalPlan): Seq[String] =
+    cs.map(_.transform {
+      case a: Attribute =>
+        val i = base.output.indexWhere(_.exprId == a.exprId)
+        AttributeReference(s"_pos$i", a.dataType, a.nullable)(ExprId(i.toLong))
+    }.canonicalized.toString).sorted
+
+  /** The member's plan below the aggregate, with structural conjuncts
+    * re-attached. */
+  def withStructural(structural: Seq[Expression],
+      base: LogicalPlan): LogicalPlan =
+    structural.reduceOption(And).map(Filter(_, base)).getOrElse(base)
+
+  /** Folds the member's gate into FILTER clauses on every aggregate
+    * call. Constants outside aggregate calls are row-independent, and
+    * analysis guarantees a global aggregate has no bare attribute
+    * outside one. */
+  def gateAggs(aggs: Seq[NamedExpression],
+      gates: Seq[Expression]): Seq[NamedExpression] =
+    gates.reduceOption(And) match {
+      case None => aggs
+      case Some(g) => aggs.map(_.transform {
+        case ae: aggregate.AggregateExpression =>
+          ae.copy(filter = Some(ae.filter.map(And(_, g)).getOrElse(g)))
+      }.asInstanceOf[NamedExpression])
+    }
+}

@@ -32,10 +32,18 @@ import org.apache.spark.sql.internal.SQLConf
   * (the collector descends through nested condition-free inner/cross
   * joins).
   *
-  * Fires only when ≥2 branches share a canonical base with ≥2 distinct
-  * gates among them, all gates and aggregates deterministic and
-  * subquery-free — identical conservatism to the subquery rule, and
-  * the same kill switch granularity.
+  * Each branch's WHERE is split by [[BankGates]]: single-attribute
+  * gates fold into FILTER clauses; structural conjuncts (comma-join
+  * predicates) stay below the fused aggregate as a Filter, so the
+  * optimizer still reconstitutes the branch's real joins — this is
+  * what makes the TPC-DS q90 shape (two comma-join branches differing
+  * only in an hour band) fuse into ONE joined pass instead of either
+  * two passes or a cartesian.
+  *
+  * Fires only when ≥2 branches share a canonical (base, structural
+  * remainder) with ≥2 distinct gate sets among them, all gates and
+  * aggregates deterministic and subquery-free — identical conservatism
+  * to the subquery rule, and the same kill-switch granularity.
   */
 object CrossJoinAggFusion extends Rule[LogicalPlan] {
 
@@ -44,21 +52,17 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(EnabledKey, "true") == "true"
 
-  /** One fusable branch: its aggregate list, optional gate, base, and
-    * the SubqueryAlias/View wrappers stripped on the way down (the
-    * fused plan keeps the attrs, so wrappers can be dropped). */
+  /** One fusable branch: its aggregate list, foldable gate conjuncts,
+    * structural conjuncts that must stay below (see [[BankGates]]),
+    * and base; the SubqueryAlias/View wrappers are stripped on the way
+    * down (the fused plan keeps the attrs, so wrappers can be
+    * dropped). */
   private case class Branch(aggs: Seq[NamedExpression],
-      cond: Option[Expression], base: LogicalPlan)
-
-  @annotation.tailrec
-  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
-    case SubqueryAlias(_, c) => stripAlias(c)
-    case v: View => stripAlias(v.child)
-    case _ => p
-  }
+      gates: Seq[Expression], structural: Seq[Expression],
+      base: LogicalPlan)
 
   private def asBranch(p: LogicalPlan): Option[Branch] =
-    stripAlias(p) match {
+    BankGates.stripAlias(p) match {
       case Aggregate(Nil, aggs, child, None) =>
         val (cond, base) = child match {
           case Filter(c, b) => (Some(c), b)
@@ -67,7 +71,10 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
         val ok = (aggs ++ cond).forall(e => e.deterministic &&
             !e.exists(_.isInstanceOf[SubqueryExpression])) &&
           aggs.exists(_.exists(_.isInstanceOf[AggregateExpression]))
-        if (ok) Some(Branch(aggs, cond, base)) else None
+        if (ok) {
+          val (gates, structural) = BankGates.splitGates(cond)
+          Some(Branch(aggs, gates, structural, base))
+        } else None
       case _ => None
     }
 
@@ -82,35 +89,22 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
     case other => asBranch(other).map(Seq(_))
   }
 
-  private def normalized(cond: Expression, base: LogicalPlan): Expression =
-    cond.transform {
-      case a: Attribute =>
-        val i = base.output.indexWhere(_.exprId == a.exprId)
-        AttributeReference(s"_pos$i", a.dataType, a.nullable)(ExprId(i.toLong))
-    }.canonicalized
-
-  private def gated(aggs: Seq[NamedExpression],
-      cond: Option[Expression]): Seq[NamedExpression] = cond match {
-    case None => aggs
-    case Some(c) => aggs.map(_.transform {
-      case ae: AggregateExpression =>
-        ae.copy(filter = Some(ae.filter.map(And(_, c)).getOrElse(c)))
-    }.asInstanceOf[NamedExpression])
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || !plan.resolved) plan
     else plan.transform {
       case j @ Join(_, _, Inner | Cross, None, _) =>
         collect(j) match {
           case Some(branches) if branches.size >= 2 &&
-              branches.map(b => stripAlias(b.base).canonicalized)
+              branches.map(b => (BankGates.stripAlias(b.base).canonicalized,
+                BankGates.normalizedSet(b.structural, b.base)))
                 .distinct.size == 1 &&
-              branches.map(b => b.cond.map(normalized(_, b.base)))
+              branches.map(b => BankGates.normalizedSet(b.gates, b.base))
                 .distinct.size >= 2 =>
-            // one pass over the first branch's base computes every
-            // branch's aggregates; output attr order matches the
-            // join's (left-to-right), ExprIds preserved
+            // one pass over the first branch's base (plus its
+            // structural filter — identical across branches by the
+            // group key) computes every branch's aggregates; output
+            // attr order matches the join's (left-to-right), ExprIds
+            // preserved
             val base = branches.head.base
             val rebased = branches.map { b =>
               if (b.base eq base) b
@@ -121,19 +115,19 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
                 val sub = b.base.output.zip(base.output).map {
                   case (from, to) => from.exprId -> to
                 }.toMap
+                def re(e: Expression): Expression = e.transform {
+                  case a: Attribute if sub.contains(a.exprId) =>
+                    sub(a.exprId)
+                }
                 Branch(
-                  b.aggs.map(_.transform {
-                    case a: Attribute if sub.contains(a.exprId) =>
-                      sub(a.exprId)
-                  }.asInstanceOf[NamedExpression]),
-                  b.cond.map(_.transform {
-                    case a: Attribute if sub.contains(a.exprId) =>
-                      sub(a.exprId)
-                  }), base)
+                  b.aggs.map(re(_).asInstanceOf[NamedExpression]),
+                  b.gates.map(re), b.structural.map(re), base)
               }
             }
             Aggregate(Nil,
-              rebased.flatMap(b => gated(b.aggs, b.cond)), base, None)
+              rebased.flatMap(b => BankGates.gateAggs(b.aggs, b.gates)),
+              BankGates.withStructural(rebased.head.structural, base),
+              None)
           case _ => j
         }
     }

@@ -42,12 +42,20 @@ import org.apache.spark.sql.internal.SQLConf
   * directly above the FROM — so the rewrite is a local, provably
   * equivalent transformation.
   *
-  * Firing conditions (all required — the rewrite trades the gate's scan
+  * The WHERE is first split by [[BankGates]]: single-attribute GATE
+  * conjuncts fold up into FILTER clauses, while structural conjuncts
+  * (≥2 attributes — comma-join predicates above all) stay below as a
+  * Filter, so a `FROM a, b WHERE a.k = b.k AND gate` member keeps its
+  * join recoverable by the optimizer instead of degenerating into an
+  * unconditioned cartesian (the q90-family hazard).
+  *
+  * Firing conditions (all required — the rewrite trades the gates' scan
   * pushdown for fusion, so it must only fire when fusion is real):
   *   - ≥2 uncorrelated scalar subqueries under the same operator whose
-  *     plans are global aggregates over canonically-equal bases;
-  *   - ≥2 DISTINCT gates among them (all-equal gates already merge via
-  *     stock MergeScalarSubqueries with pushdown intact — leave those);
+  *     plans are global aggregates over canonically-equal bases WITH
+  *     canonically-equal structural remainders;
+  *   - ≥2 DISTINCT gate sets among them (all-equal gates already merge
+  *     via stock MergeScalarSubqueries with pushdown intact);
   *   - gates and aggregate expressions deterministic, no nested
   *     subqueries inside either.
   *
@@ -61,18 +69,14 @@ object ScalarAggBankFusion extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(EnabledKey, "true") == "true"
 
-  /** One bank candidate: the subquery, its aggregate list, its gate
-    * (None = ungated member, left untouched but still groupable), and
-    * the base plan under the gate. */
+  /** One bank candidate: the subquery, its aggregate list, the
+    * foldable gate conjuncts (empty = ungated member, left untouched
+    * but still groupable), the structural conjuncts that must stay
+    * below (see [[BankGates]] — comma-join predicates), and the base
+    * plan. */
   private case class Cand(sub: ScalarSubquery, aggs: Seq[NamedExpression],
-      cond: Option[Expression], base: LogicalPlan)
-
-  @annotation.tailrec
-  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
-    case SubqueryAlias(_, c) => stripAlias(c)
-    case v: View => stripAlias(v.child)
-    case _ => p
-  }
+      gates: Seq[Expression], structural: Seq[Expression],
+      base: LogicalPlan)
 
   private def decompose(s: ScalarSubquery): Option[Cand] = {
     if (s.outerAttrs.nonEmpty || s.joinCond.nonEmpty) return None
@@ -86,45 +90,32 @@ object ScalarAggBankFusion extends Rule[LogicalPlan] {
         val ok = exprs.forall(e => e.deterministic &&
             !e.exists(_.isInstanceOf[SubqueryExpression])) &&
           aggs.exists(_.exists(_.isInstanceOf[AggregateExpression]))
-        if (ok) Some(Cand(s, aggs, cond, base)) else None
+        if (ok) {
+          val (gates, structural) = BankGates.splitGates(cond)
+          Some(Cand(s, aggs, gates, structural, base))
+        } else None
       case _ => None
     }
   }
 
-  /** Gate rendered comparable across bank members: each member's base
-    * carries its own ExprIds (view expansion / relation dedup), so
-    * attributes are replaced by their base-output POSITION before
-    * canonical comparison. Only used to decide fire/no-fire — a
-    * collision can only make the rule more conservative. */
-  private def normalized(cond: Expression, base: LogicalPlan): Expression =
-    cond.transform {
-      case a: Attribute =>
-        val i = base.output.indexWhere(_.exprId == a.exprId)
-        AttributeReference(s"_pos$i", a.dataType, a.nullable)(ExprId(i.toLong))
-    }.canonicalized
-
-  /** The equivalence at the heart of the rule: fold the gate into a
-    * FILTER clause on every aggregate call. Constants outside aggregate
-    * calls are row-independent, and analysis guarantees a global
-    * aggregate has no bare attribute outside one. */
-  private def fuse(c: Cand, cond: Expression): ScalarSubquery = {
-    val newAggs = c.aggs.map(_.transform {
-      case ae: AggregateExpression =>
-        ae.copy(filter = Some(ae.filter.map(And(_, cond)).getOrElse(cond)))
-    }.asInstanceOf[NamedExpression])
-    c.sub.copy(plan = Aggregate(Nil, newAggs, c.base, None))
-  }
+  private def fuse(c: Cand): ScalarSubquery =
+    c.sub.copy(plan = Aggregate(Nil, BankGates.gateAggs(c.aggs, c.gates),
+      BankGates.withStructural(c.structural, c.base), None))
 
   private def fuseNode(node: LogicalPlan,
       subs: Seq[ScalarSubquery]): LogicalPlan = {
     val cands = subs.flatMap(decompose)
     val repl = new java.util.IdentityHashMap[ScalarSubquery, ScalarSubquery]
-    cands.groupBy(c => stripAlias(c.base).canonicalized).values.foreach {
+    // members group on (base, structural remainder): only subqueries
+    // that keep an IDENTICAL shape below the aggregate can merge
+    cands.groupBy(c => (BankGates.stripAlias(c.base).canonicalized,
+        BankGates.normalizedSet(c.structural, c.base))).values.foreach {
       group =>
-        val gates = group.map(c => c.cond.map(normalized(_, c.base))).distinct
+        val gates = group
+          .map(c => BankGates.normalizedSet(c.gates, c.base)).distinct
         if (group.size >= 2 && gates.size >= 2)
-          group.foreach(c =>
-            c.cond.foreach(cond => repl.put(c.sub, fuse(c, cond))))
+          group.filter(_.gates.nonEmpty)
+            .foreach(c => repl.put(c.sub, fuse(c)))
     }
     if (repl.isEmpty) node
     else node.mapExpressions(_.transform {

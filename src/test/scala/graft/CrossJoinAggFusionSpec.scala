@@ -75,6 +75,29 @@ class CrossJoinAggFusionSpec extends AnyFunSuite {
     assert(on == Seq(Seq(null, 0L)) && on == off)
   }
 
+  test("q90 shape: comma-join branches keep their join predicates " +
+      "below the fused aggregate (no cartesian) and fuse to one pass") {
+    // two branches over the same comma-join differing only in a
+    // single-attribute gate — the TPC-DS q90 shape that hung r15's
+    // verify when the join predicates were folded up with the gate
+    val sql =
+      """SELECT am.c AS am_c, pm.c AS pm_c
+         FROM (SELECT count(*) AS c FROM lineitem, orders
+               WHERE l_orderkey = o_orderkey AND l_quantity <= 25) am,
+              (SELECT count(*) AS c FROM lineitem, orders
+               WHERE l_orderkey = o_orderkey AND l_quantity > 25) pm"""
+    val df = run(sql, on = true)
+    assert(joins(run(sql, on = true)) == 1,
+      "expected exactly the reconstituted lineitem-orders join")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"structural conjuncts were folded up — cartesian:\n$phys")
+    assert(scans(df) == 1, s"expected one lineitem scan, got ${scans(df)}")
+    val on = df.collect().map(_.toSeq).toSeq
+    val off = run(sql, on = false).collect().map(_.toSeq).toSeq
+    assert(on.size == 1 && on == off, s"on=$on off=$off")
+  }
+
   test("guards: different sources and grouped branches are untouched") {
     val mixed =
       """SELECT a.s AS a_s, b.c AS b_c

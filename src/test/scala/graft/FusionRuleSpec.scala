@@ -87,6 +87,26 @@ class FusionRuleSpec extends AnyFunSuite {
         "the rule fired without a fusable bank (pushdown lost)")
   }
 
+  test("comma-join subquery banks keep their join predicates below " +
+      "the aggregate (no cartesian) and still fuse on the gates") {
+    graft.Tables.registerAll(spark, d)
+    val sql =
+      """SELECT (SELECT count(*) FROM lineitem, orders
+                 WHERE l_orderkey = o_orderkey AND l_quantity <= 25) AS a,
+                (SELECT count(*) FROM lineitem, orders
+                 WHERE l_orderkey = o_orderkey AND l_quantity > 25) AS b"""
+    val df = withRule(on = true)(spark.sql(sql))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"structural conjuncts were folded up — cartesian:\n$phys")
+    assert(mergedBodies(df) == 1,
+      "gate-differing comma-join subqueries did not fuse")
+    val on = df.collect().map(_.toSeq).toSeq
+    val off = withRule(on = false)(
+      spark.sql(sql).collect().map(_.toSeq).toSeq)
+    assert(on == off)
+  }
+
   test("correlated subqueries are never rewritten") {
     graft.Tables.registerAll(spark, d)
     val text =
