@@ -26,26 +26,79 @@ import sys
 IDENT = re.compile(r"[A-Za-z0-9_.*$]")
 
 
+def _skip_simple_string(src, i):
+    """src[i] == '\"' opening a simple string -> index past the close."""
+    j = i + 1
+    n = len(src)
+    while j < n and src[j] != '"':
+        j += 2 if src[j] == "\\" else 1
+    return j + 1
+
+
+def _triple_end(src, i, interpolated):
+    """src[i] is just past an opening \"\"\"; returns (content_spans,
+    end_index_past_close). Interpolation-aware (ADVICE r14): inside an
+    s/f/raw interpolator, a ${...} block is Scala code that may contain
+    NESTED string literals (including \"\"\"), which the old lexer
+    mis-closed on — the documented q66 miss. The ${...} code span is
+    excluded from the SQL content spans."""
+    spans = []
+    seg = i
+    n = len(src)
+    while i < n:
+        if src.startswith('"""', i):
+            # """" (quote before close) belongs to the content in Scala
+            while src.startswith('""""', i):
+                i += 1
+            spans.append((seg, i))
+            return spans, i + 3
+        if interpolated and src.startswith("${", i):
+            spans.append((seg, i))
+            j = i + 1  # at '{'
+            depth = 0
+            while j < n:
+                c = src[j]
+                if src.startswith('"""', j):
+                    interp2 = j > 0 and src[j - 1] in "sfw"  # s/f/raw
+                    _, j = _triple_end(src, j + 3, interp2)
+                elif c == '"':
+                    j = _skip_simple_string(src, j)
+                elif c == "{":
+                    depth += 1
+                    j += 1
+                elif c == "}":
+                    depth -= 1
+                    j += 1
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            if depth != 0:
+                raise ValueError(f"unclosed interpolation at {i}")
+            i = seg = j
+        else:
+            i += 1
+    raise ValueError(f"unterminated triple-quoted string at {seg}")
+
+
 def find_strings(src):
-    """Spans of ALL Scala string literals (single- and triple-quoted),
-    via a small lexer that also skips // and /* */ comments, so a
-    `//` inside prose is never mistaken for SQL."""
+    """Spans of ALL Scala string-literal CONTENT (single- and
+    triple-quoted), via a small lexer that skips // and /* */ comments
+    and, inside interpolated strings, the ${...} code blocks (whose
+    nested literals are lexed recursively rather than mis-closing the
+    outer span — ADVICE r14 hardening)."""
     spans = []
     i, n = 0, len(src)
     while i < n:
         c = src[i]
         if src.startswith('"""', i):
-            e = src.find('"""', i + 3)
-            if e < 0:
-                break
-            spans.append((i + 3, e))
-            i = e + 3
+            interpolated = i > 0 and IDENT.match(src[i - 1]) is not None
+            inner, i = _triple_end(src, i + 3, interpolated)
+            spans.extend(inner)
         elif c == '"':
-            j = i + 1
-            while j < n and src[j] != '"':
-                j += 2 if src[j] == "\\" else 1
-            spans.append((i + 1, j))
-            i = j + 1
+            j = _skip_simple_string(src, i)
+            spans.append((i + 1, j - 1))
+            i = j
         elif src.startswith("//", i):
             i = src.find("\n", i)
             if i < 0:
@@ -66,6 +119,8 @@ def scan_left(src, i):
     while j > 0 and src[j - 1] in " \t\n":
         j -= 1
     end = j
+    if j == 0:
+        raise ValueError(f"// at start of source? index {i}")
     if src[j - 1] == ")":
         depth = 0
         while j > 0:
@@ -116,6 +171,19 @@ def rewrite(src, path):
     out = []
     pos = 0
     count = 0
+    # refuse rather than skip un-padded `//` inside SQL spans (ADVICE
+    # r14): a missed site would otherwise only surface if the text
+    # happens to enter the Spark battery and PARSE_SYNTAX_ERROR there
+    for m in re.finditer(r"//", src):
+        i = m.start()
+        if not any(a <= i < b for a, b in spans):
+            continue
+        pad = (i >= 1 and src[i - 1] == " " and
+               i + 2 < len(src) and src[i + 2] == " ")
+        if not pad:
+            raise ValueError(
+                f"{path}: un-padded // inside a string at {i}: "
+                f"...{src[max(0, i - 30):i + 30]}... — respell by hand")
     for m in re.finditer(r" // ", src):
         i = m.start()
         if not any(a <= i < b for a, b in spans):
