@@ -3434,7 +3434,7 @@ ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
          d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
 LIMIT 100"""),
       "q_dsreal_q36" -> (P + """
-SELECT CAST(CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) AS BIGINT) AS margin_ppm,
+SELECT CAST(((sum(ss_net_profit_cents) * 1000000) - ((sum(ss_net_profit_cents) * 1000000) % sum(ss_ext_sales_price_cents))) / (sum(ss_ext_sales_price_cents)) AS BIGINT) AS margin_ppm,
        i_category, i_class,
        CAST(grouping(i_category) + grouping(i_class) AS BIGINT)
          AS lochierarchy,
@@ -3856,13 +3856,13 @@ wswscs AS (
   WHERE d_date_sk = sold_date_sk
   GROUP BY d_week_seq)
 SELECT y.d_week_seq AS d_week_seq1,
-       CAST(CAST(((y.sun_sales * 100) - ((y.sun_sales * 100) % z.sun_sales)) / (z.sun_sales) AS BIGINT) AS BIGINT) AS sun_pct,
-       CAST(CAST(((y.mon_sales * 100) - ((y.mon_sales * 100) % z.mon_sales)) / (z.mon_sales) AS BIGINT) AS BIGINT) AS mon_pct,
-       CAST(CAST(((y.tue_sales * 100) - ((y.tue_sales * 100) % z.tue_sales)) / (z.tue_sales) AS BIGINT) AS BIGINT) AS tue_pct,
-       CAST(CAST(((y.wed_sales * 100) - ((y.wed_sales * 100) % z.wed_sales)) / (z.wed_sales) AS BIGINT) AS BIGINT) AS wed_pct,
-       CAST(CAST(((y.thu_sales * 100) - ((y.thu_sales * 100) % z.thu_sales)) / (z.thu_sales) AS BIGINT) AS BIGINT) AS thu_pct,
-       CAST(CAST(((y.fri_sales * 100) - ((y.fri_sales * 100) % z.fri_sales)) / (z.fri_sales) AS BIGINT) AS BIGINT) AS fri_pct,
-       CAST(CAST(((y.sat_sales * 100) - ((y.sat_sales * 100) % z.sat_sales)) / (z.sat_sales) AS BIGINT) AS BIGINT) AS sat_pct
+       CAST(((y.sun_sales * 100) - ((y.sun_sales * 100) % z.sun_sales)) / (z.sun_sales) AS BIGINT) AS sun_pct,
+       CAST(((y.mon_sales * 100) - ((y.mon_sales * 100) % z.mon_sales)) / (z.mon_sales) AS BIGINT) AS mon_pct,
+       CAST(((y.tue_sales * 100) - ((y.tue_sales * 100) % z.tue_sales)) / (z.tue_sales) AS BIGINT) AS tue_pct,
+       CAST(((y.wed_sales * 100) - ((y.wed_sales * 100) % z.wed_sales)) / (z.wed_sales) AS BIGINT) AS wed_pct,
+       CAST(((y.thu_sales * 100) - ((y.thu_sales * 100) % z.thu_sales)) / (z.thu_sales) AS BIGINT) AS thu_pct,
+       CAST(((y.fri_sales * 100) - ((y.fri_sales * 100) % z.fri_sales)) / (z.fri_sales) AS BIGINT) AS fri_pct,
+       CAST(((y.sat_sales * 100) - ((y.sat_sales * 100) % z.sat_sales)) / (z.sat_sales) AS BIGINT) AS sat_pct
 FROM (SELECT * FROM wswscs WHERE d_week_seq IN
         (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)) y,
      (SELECT * FROM wswscs WHERE d_week_seq IN
@@ -3913,13 +3913,13 @@ wss AS (
   WHERE d_date_sk = ss_sold_date_sk
   GROUP BY d_week_seq, ss_store_sk)
 SELECT y.s_store_name1, y.s_store_id1, y.d_week_seq1,
-       CAST(CAST(((y.sun_sales1 * 100) - ((y.sun_sales1 * 100) % x.sun_sales2)) / (x.sun_sales2) AS BIGINT) AS BIGINT) AS sun_pct,
-       CAST(CAST(((y.mon_sales1 * 100) - ((y.mon_sales1 * 100) % x.mon_sales2)) / (x.mon_sales2) AS BIGINT) AS BIGINT) AS mon_pct,
-       CAST(CAST(((y.tue_sales1 * 100) - ((y.tue_sales1 * 100) % x.tue_sales2)) / (x.tue_sales2) AS BIGINT) AS BIGINT) AS tue_pct,
-       CAST(CAST(((y.wed_sales1 * 100) - ((y.wed_sales1 * 100) % x.wed_sales2)) / (x.wed_sales2) AS BIGINT) AS BIGINT) AS wed_pct,
-       CAST(CAST(((y.thu_sales1 * 100) - ((y.thu_sales1 * 100) % x.thu_sales2)) / (x.thu_sales2) AS BIGINT) AS BIGINT) AS thu_pct,
-       CAST(CAST(((y.fri_sales1 * 100) - ((y.fri_sales1 * 100) % x.fri_sales2)) / (x.fri_sales2) AS BIGINT) AS BIGINT) AS fri_pct,
-       CAST(CAST(((y.sat_sales1 * 100) - ((y.sat_sales1 * 100) % x.sat_sales2)) / (x.sat_sales2) AS BIGINT) AS BIGINT) AS sat_pct
+       CAST(((y.sun_sales1 * 100) - ((y.sun_sales1 * 100) % x.sun_sales2)) / (x.sun_sales2) AS BIGINT) AS sun_pct,
+       CAST(((y.mon_sales1 * 100) - ((y.mon_sales1 * 100) % x.mon_sales2)) / (x.mon_sales2) AS BIGINT) AS mon_pct,
+       CAST(((y.tue_sales1 * 100) - ((y.tue_sales1 * 100) % x.tue_sales2)) / (x.tue_sales2) AS BIGINT) AS tue_pct,
+       CAST(((y.wed_sales1 * 100) - ((y.wed_sales1 * 100) % x.wed_sales2)) / (x.wed_sales2) AS BIGINT) AS wed_pct,
+       CAST(((y.thu_sales1 * 100) - ((y.thu_sales1 * 100) % x.thu_sales2)) / (x.thu_sales2) AS BIGINT) AS thu_pct,
+       CAST(((y.fri_sales1 * 100) - ((y.fri_sales1 * 100) % x.fri_sales2)) / (x.fri_sales2) AS BIGINT) AS fri_pct,
+       CAST(((y.sat_sales1 * 100) - ((y.sat_sales1 * 100) % x.sat_sales2)) / (x.sat_sales2) AS BIGINT) AS sat_pct
 FROM
  (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
          s_store_id AS s_store_id1, sun_sales AS sun_sales1,
@@ -3995,11 +3995,11 @@ ORDER BY qoh_e6, i_product_name NULLS FIRST, i_brand NULLS FIRST,
 LIMIT 100"""),
       "q_dsreal_q39a" -> (P + q39InvCte + """
 SELECT inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy,
-       CAST(CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS BIGINT) AS mean1_e6,
-       CAST(CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS BIGINT) AS cov1sq_e6,
+       CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS mean1_e6,
+       CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS cov1sq_e6,
        inv2.d_moy AS d_moy2,
-       CAST(CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS BIGINT) AS mean2_e6,
-       CAST(CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS BIGINT) AS cov2sq_e6
+       CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS mean2_e6,
+       CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS cov2sq_e6
 FROM inv inv1, inv inv2
 WHERE inv1.i_item_sk = inv2.i_item_sk
   AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
@@ -4008,11 +4008,11 @@ ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, mean1_e6,
          cov1sq_e6, d_moy2, mean2_e6, cov2sq_e6"""),
       "q_dsreal_q39b" -> (P + q39InvCte + """
 SELECT inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy,
-       CAST(CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS BIGINT) AS mean1_e6,
-       CAST(CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS BIGINT) AS cov1sq_e6,
+       CAST(((inv1.sx * 1000000) - ((inv1.sx * 1000000) % inv1.n)) / (inv1.n) AS BIGINT) AS mean1_e6,
+       CAST(((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) - ((inv1.n * (inv1.n * inv1.sxx - inv1.sx * inv1.sx) * 1000000) % ((inv1.n - 1) * inv1.sx * inv1.sx))) / (((inv1.n - 1) * inv1.sx * inv1.sx)) AS BIGINT) AS cov1sq_e6,
        inv2.d_moy AS d_moy2,
-       CAST(CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS BIGINT) AS mean2_e6,
-       CAST(CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS BIGINT) AS cov2sq_e6
+       CAST(((inv2.sx * 1000000) - ((inv2.sx * 1000000) % inv2.n)) / (inv2.n) AS BIGINT) AS mean2_e6,
+       CAST(((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) - ((inv2.n * (inv2.n * inv2.sxx - inv2.sx * inv2.sx) * 1000000) % ((inv2.n - 1) * inv2.sx * inv2.sx))) / (((inv2.n - 1) * inv2.sx * inv2.sx)) AS BIGINT) AS cov2sq_e6
 FROM inv inv1, inv inv2
 WHERE inv1.i_item_sk = inv2.i_item_sk
   AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
@@ -4084,17 +4084,17 @@ SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
        count(*) AS cnt1,
        CAST(min(cd_dep_count) AS INT) AS min_dep,
        CAST(max(cd_dep_count) AS INT) AS max_dep,
-       CAST(CAST(((sum(cd_dep_count) * 1000000) - ((sum(cd_dep_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+       CAST(((sum(cd_dep_count) * 1000000) - ((sum(cd_dep_count) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_dep_e6,
        cd_dep_employed_count, count(*) AS cnt2,
        CAST(min(cd_dep_employed_count) AS INT) AS min_emp,
        CAST(max(cd_dep_employed_count) AS INT) AS max_emp,
-       CAST(CAST(((sum(cd_dep_employed_count) * 1000000) - ((sum(cd_dep_employed_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+       CAST(((sum(cd_dep_employed_count) * 1000000) - ((sum(cd_dep_employed_count) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_emp_e6,
        cd_dep_college_count, count(*) AS cnt3,
        CAST(min(cd_dep_college_count) AS INT) AS min_col,
        CAST(max(cd_dep_college_count) AS INT) AS max_col,
-       CAST(CAST(((sum(cd_dep_college_count) * 1000000) - ((sum(cd_dep_college_count) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+       CAST(((sum(cd_dep_college_count) * 1000000) - ((sum(cd_dep_college_count) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_col_e6
 FROM customer_dim c, customer_address ca, customer_demographics
 WHERE c.c_current_addr_sk = ca.ca_address_sk
@@ -4142,12 +4142,10 @@ ORDER BY cd_gender, cd_marital_status, cd_education_status,
          cd_purchase_estimate, cd_credit_rating
 LIMIT 100"""),
       "q_dsreal_q13" -> (P + """
-SELECT CAST(CAST(((sum(ss_quantity) * 1000000) - ((sum(ss_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+SELECT CAST(((sum(ss_quantity) * 1000000) - ((sum(ss_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_qty_e6,
-       CAST(CAST(((sum(ss_ext_sales_price_cents) * 1000000) - ((sum(ss_ext_sales_price_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
-         AS BIGINT) AS avg_ext_e6,
-       CAST(CAST(((sum(ss_wholesale_cost_cents) * 1000000) - ((sum(ss_wholesale_cost_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
-         AS BIGINT) AS avg_whole_e6,
+       CAST(((sum(ss_ext_sales_price_cents) * 1000000) - ((sum(ss_ext_sales_price_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS avg_ext_e6,
+       CAST(((sum(ss_wholesale_cost_cents) * 1000000) - ((sum(ss_wholesale_cost_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS avg_whole_e6,
        CAST(sum(ss_wholesale_cost_cents) AS BIGINT) AS sum_whole
 FROM store_sales, store, customer_demographics, household_demographics,
      customer_address, date_dim
@@ -4204,11 +4202,10 @@ WHERE s_store_sk = ss_store_sk
         AND ss_net_profit_cents BETWEEN 20000 AND 500000))"""),
       "q_dsreal_q85" -> (P + """
 SELECT substr(r_reason_desc, 1, 20) AS reason_desc,
-       CAST(CAST(((sum(ws_quantity) * 1000000) - ((sum(ws_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+       CAST(((sum(ws_quantity) * 1000000) - ((sum(ws_quantity) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_qty_e6,
-       CAST(CAST(((sum(wr_refunded_cash_cents) * 1000000) - ((sum(wr_refunded_cash_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
-         AS BIGINT) AS avg_refunded_e6,
-       CAST(CAST(((sum(wr_fee_cents) * 1000000) - ((sum(wr_fee_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS BIGINT)
+       CAST(((sum(wr_refunded_cash_cents) * 1000000) - ((sum(wr_refunded_cash_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT) AS avg_refunded_e6,
+       CAST(((sum(wr_fee_cents) * 1000000) - ((sum(wr_fee_cents) * 1000000) % count(*))) / (count(*)) AS BIGINT)
          AS avg_fee_e6
 FROM web_sales, web_returns, web_page, customer_demographics cd1,
      customer_demographics cd2, customer_address, date_dim, reason
@@ -4290,13 +4287,13 @@ wsq AS (
   WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
   GROUP BY ca_county, d_qoy, d_year)
 SELECT ss1.ca_county, ss1.d_year,
-       CAST(CAST(((ws2.web_sales * 1000000) - ((ws2.web_sales * 1000000) % ws1.web_sales)) / (ws1.web_sales) AS BIGINT) AS BIGINT)
+       CAST(((ws2.web_sales * 1000000) - ((ws2.web_sales * 1000000) % ws1.web_sales)) / (ws1.web_sales) AS BIGINT)
          AS web_q1_q2_increase_e6,
-       CAST(CAST(((ss2.store_sales * 1000000) - ((ss2.store_sales * 1000000) % ss1.store_sales)) / (ss1.store_sales) AS BIGINT) AS BIGINT)
+       CAST(((ss2.store_sales * 1000000) - ((ss2.store_sales * 1000000) % ss1.store_sales)) / (ss1.store_sales) AS BIGINT)
          AS store_q1_q2_increase_e6,
-       CAST(CAST(((ws3.web_sales * 1000000) - ((ws3.web_sales * 1000000) % ws2.web_sales)) / (ws2.web_sales) AS BIGINT) AS BIGINT)
+       CAST(((ws3.web_sales * 1000000) - ((ws3.web_sales * 1000000) % ws2.web_sales)) / (ws2.web_sales) AS BIGINT)
          AS web_q2_q3_increase_e6,
-       CAST(CAST(((ss3.store_sales * 1000000) - ((ss3.store_sales * 1000000) % ss2.store_sales)) / (ss2.store_sales) AS BIGINT) AS BIGINT)
+       CAST(((ss3.store_sales * 1000000) - ((ss3.store_sales * 1000000) % ss2.store_sales)) / (ss2.store_sales) AS BIGINT)
          AS store_q2_q3_increase_e6
 FROM ssq ss1, ssq ss2, ssq ss3, wsq ws1, wsq ws2, wsq ws3
 WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
@@ -4342,7 +4339,7 @@ my_revenue AS (
         (SELECT DISTINCT d_month_seq + 3 FROM date_dim
          WHERE d_year = 1998 AND d_moy = 12)
   GROUP BY c_customer_sk),
-segments AS (SELECT CAST(CAST((revenue - (revenue % 5000)) / (5000) AS BIGINT) AS BIGINT) AS segment
+segments AS (SELECT CAST((revenue - (revenue % 5000)) / (5000) AS BIGINT) AS segment
              FROM my_revenue)
 SELECT segment, count(*) AS num_customers,
        CAST(segment * 5000 AS BIGINT) AS segment_base
@@ -4702,7 +4699,7 @@ v2 AS (
          w_rn AS (PARTITION BY i_category, i_brand, s_store_name,
                   s_company_name ORDER BY d_year, d_moy))
 SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
-       CAST(CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS BIGINT) AS avg_monthly_sales_e6,
+       CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS avg_monthly_sales_e6,
        sum_sales, psum, nsum
 FROM v2
 WHERE d_year = 1997 AND psum IS NOT NULL AND nsum IS NOT NULL
@@ -4731,7 +4728,7 @@ v2 AS (
          w_rn AS (PARTITION BY i_category, i_brand, cc_name
                   ORDER BY d_year, d_moy))
 SELECT i_category, i_brand, cc_name, d_year, d_moy,
-       CAST(CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS BIGINT) AS avg_monthly_sales_e6,
+       CAST(((t * 1000000) - ((t * 1000000) % n)) / (n) AS BIGINT) AS avg_monthly_sales_e6,
        sum_sales, psum, nsum
 FROM v2
 WHERE d_year = 1997 AND psum IS NOT NULL AND nsum IS NOT NULL
@@ -4765,16 +4762,15 @@ ws_items AS (
                   WHERE d_date = DATE '1997-01-06')
   GROUP BY 1)
 SELECT ss_items.item_id AS item_id, ss_item_rev,
-       CAST(CAST(((ss_item_rev * 300 * 1000000) - ((ss_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
+       CAST(((ss_item_rev * 300 * 1000000) - ((ss_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT)
          AS ss_dev_e6,
        cs_item_rev,
-       CAST(CAST(((cs_item_rev * 300 * 1000000) - ((cs_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
+       CAST(((cs_item_rev * 300 * 1000000) - ((cs_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT)
          AS cs_dev_e6,
        ws_item_rev,
-       CAST(CAST(((ws_item_rev * 300 * 1000000) - ((ws_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT) AS BIGINT)
+       CAST(((ws_item_rev * 300 * 1000000) - ((ws_item_rev * 300 * 1000000) % (ss_item_rev + cs_item_rev + ws_item_rev))) / ((ss_item_rev + cs_item_rev + ws_item_rev)) AS BIGINT)
          AS ws_dev_e6,
-       CAST(CAST((((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) - (((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) % 3)) / (3) AS BIGINT)
-            AS BIGINT) AS average_e6
+       CAST((((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) - (((ss_item_rev + cs_item_rev + ws_item_rev) * 1000000) % 3)) / (3) AS BIGINT) AS average_e6
 FROM ss_items, cs_items, ws_items
 WHERE ss_items.item_id = cs_items.item_id
   AND ss_items.item_id = ws_items.item_id

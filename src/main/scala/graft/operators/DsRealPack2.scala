@@ -893,7 +893,7 @@ LIMIT 100"""),
 
       "q_dsreal_q61" -> (P + """
 SELECT promotions, total,
-       CAST(CAST(((promotions * 1000000) - ((promotions * 1000000) % total)) / (total) AS BIGINT) AS BIGINT) AS ratio_ppm
+       CAST(((promotions * 1000000) - ((promotions * 1000000) % total)) / (total) AS BIGINT) AS ratio_ppm
 FROM
   (SELECT CAST(sum(ss_ext_sales_price_cents) AS BIGINT) AS promotions
    FROM store_sales, store, promotion, date_dim, customer_dim,
