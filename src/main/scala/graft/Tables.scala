@@ -21,14 +21,15 @@ object Tables {
     * every query call (judge r14 directive 5). A DataFrame is an
     * immutable plan bound to its session, so reuse is safe; the
     * testdata dirs are immutable, so the snapshotted file listing
-    * cannot go stale. Keyed by session identity — frames die with
-    * their session. */
-  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
-    (Integer, String, String), DataFrame]()
+    * cannot go stale. Weak-keyed on the session reference
+    * ([[SessionCaches]]) so frames really do die with their session. */
+  private val frameCache = SessionCaches.newRegistry[
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    frameCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), _ =>
+    SessionCaches.perSession(frameCache, spark)(
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ =>
         if (name == "events") buildEvents(spark, dir)
         else if (name == "embeddings") buildEmbeddings(spark, dir)
         else spark.read.parquet(s"$dir/$name.parquet"))

@@ -54,20 +54,23 @@ object DsTables {
     * withColumn analysis chain) on EVERY query call; SqlTextPack
     * already memoized exactly this for its views. Same safety argument
     * as [[graft.Tables.load]]'s cache (immutable plans, immutable
-    * testdata dirs, keyed by session identity). get/putIfAbsent, NOT
-    * computeIfAbsent: builders recurse (sales -> base), and
-    * ConcurrentHashMap forbids recursive updates — a benign double
-    * build under race beats a deadlock. Session-less dims key d="". */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (Integer, String, String), DataFrame]()
+    * testdata dirs, weak-keyed on the session reference via
+    * [[graft.SessionCaches]]). get/putIfAbsent, NOT computeIfAbsent:
+    * builders recurse (sales -> base), and ConcurrentHashMap forbids
+    * recursive updates — a benign double build under race beats a
+    * deadlock. Session-less dims key d="". */
+  private val cache = graft.SessionCaches.newRegistry[
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
   private def memo(s: SparkSession, d: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val k = (Integer.valueOf(System.identityHashCode(s)), d, name)
-    val hit = cache.get(k)
+    val perSession = graft.SessionCaches.perSession(cache, s)(
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    val k = (d, name)
+    val hit = perSession.get(k)
     if (hit != null) hit
     else {
       val built = build
-      val prev = cache.putIfAbsent(k, built)
+      val prev = perSession.putIfAbsent(k, built)
       if (prev != null) prev else built
     }
   }

@@ -132,13 +132,13 @@ object SqlTextPack extends QueryPack {
     * real driver time (each is a parquet read: file listing + footer
     * schema), so re-registration is skipped while the SAME session
     * keeps asking for the SAME dir — and correctly redone when the dir
-    * changes (scale-replica runs re-point every view). Keyed by
-    * session identity: views die with their session. */
-  private val starRegistered =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    * changes (scale-replica runs re-point every view). Weak-keyed on
+    * the session reference ([[graft.SessionCaches]]): views die with
+    * their session, and two live sessions can never collide. */
+  private val starRegistered = graft.SessionCaches.newRegistry[String]()
 
   private def registerStar(s: SparkSession, d: String): Unit =
-    if (starRegistered.put(System.identityHashCode(s), d) != d)
+    if (starRegistered.put(s, d) != d)
       buildStarViews(s, d)
 
   /** Temp views named exactly like the oracle prelude's CTEs, so one
