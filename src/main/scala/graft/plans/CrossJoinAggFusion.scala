@@ -64,13 +64,26 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
   private def asBranch(p: LogicalPlan): Option[Branch] =
     BankGates.stripAlias(p) match {
       case Aggregate(Nil, aggs, child, None) =>
-        val (cond, base) = child match {
-          case Filter(c, b) => (Some(c), b)
-          case b => (None, b)
+        val (whereConds, base0) = child match {
+          case Filter(c, b) => (BankGates.conjuncts(c), b)
+          case b => (Nil, b)
         }
+        // JOIN…ON and comma-join spell the same member: flatten the
+        // base's inner joins so the ON conjuncts pool with the WHERE
+        // conjuncts and both spellings yield one canonical
+        // (skeleton, gates, structural) form (r15 directive 5)
+        val (base, onConds) = BankGates.flattenJoins(base0)
+        val cond = whereConds ++ onConds
+        // base.deterministic matters here specifically: unlike the
+        // subquery rule (which leaves each member's base in place for
+        // stock MergeScalarSubqueries to merge under ITS determinism
+        // check), this rule physically collapses N base instances into
+        // one — fusing N independent evaluations of a nondeterministic
+        // source (rand/sample in a shared view) would change results.
         val ok = (aggs ++ cond).forall(e => e.deterministic &&
             !e.exists(_.isInstanceOf[SubqueryExpression])) &&
-          aggs.exists(_.exists(_.isInstanceOf[AggregateExpression]))
+          aggs.exists(_.exists(_.isInstanceOf[AggregateExpression])) &&
+          base.deterministic
         if (ok) {
           val (gates, structural) = BankGates.splitGates(cond)
           Some(Branch(aggs, gates, structural, base))
@@ -83,8 +96,14 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
     * partial collapse would change the join's row-multiplication
     * semantics only if a side could be empty — and a non-branch side
     * can be). */
+  /** The top-level join between members carries no real condition —
+    * None, or the `ON true` a JOIN-spelled bank writes (any other ON
+    * filters the joined row and blocks fusion). */
+  private def freeCond(c: Option[Expression]): Boolean =
+    c.forall(_ == Literal.TrueLiteral)
+
   private def collect(p: LogicalPlan): Option[Seq[Branch]] = p match {
-    case Join(l, r, Inner | Cross, None, _) =>
+    case Join(l, r, Inner | Cross, cond, _) if freeCond(cond) =>
       for (ls <- collect(l); rs <- collect(r)) yield ls ++ rs
     case other => asBranch(other).map(Seq(_))
   }
@@ -92,7 +111,7 @@ object CrossJoinAggFusion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || !plan.resolved) plan
     else plan.transform {
-      case j @ Join(_, _, Inner | Cross, None, _) =>
+      case j @ Join(_, _, Inner | Cross, cond, _) if freeCond(cond) =>
         collect(j) match {
           case Some(branches) if branches.size >= 2 &&
               branches.map(b => (BankGates.stripAlias(b.base).canonicalized,

@@ -82,10 +82,14 @@ object ScalarAggBankFusion extends Rule[LogicalPlan] {
     if (s.outerAttrs.nonEmpty || s.joinCond.nonEmpty) return None
     s.plan match {
       case Aggregate(Nil, aggs, child, None) =>
-        val (cond, base) = child match {
-          case Filter(c, b) => (Some(c), b)
-          case b => (None, b)
+        val (whereConds, base0) = child match {
+          case Filter(c, b) => (BankGates.conjuncts(c), b)
+          case b => (Nil, b)
         }
+        // JOIN…ON and comma-join spell the same member (r15
+        // directive 5) — see [[BankGates.flattenJoins]]
+        val (base, onConds) = BankGates.flattenJoins(base0)
+        val cond = whereConds ++ onConds
         val exprs = aggs ++ cond
         val ok = exprs.forall(e => e.deterministic &&
             !e.exists(_.isInstanceOf[SubqueryExpression])) &&

@@ -98,6 +98,65 @@ class CrossJoinAggFusionSpec extends AnyFunSuite {
     assert(on.size == 1 && on == off, s"on=$on off=$off")
   }
 
+  test("JOIN…ON spelling fuses like the comma spelling (r15 directive " +
+      "5): ON conjuncts pool with WHERE conjuncts") {
+    // the q90 bank with every join spelled INNER JOIN … ON, the gate
+    // in the WHERE — plus the members themselves joined with ON true
+    val sql =
+      """SELECT am.c AS am_c, pm.c AS pm_c
+         FROM (SELECT count(*) AS c FROM lineitem
+               INNER JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_quantity <= 25) am
+         INNER JOIN
+              (SELECT count(*) AS c FROM lineitem
+               INNER JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_quantity > 25) pm
+         ON true"""
+    val df = run(sql, on = true)
+    assert(joins(df) == 1,
+      "expected exactly the reconstituted lineitem-orders join")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"ON conjuncts were folded up — cartesian:\n$phys")
+    assert(scans(df) == 1, s"expected one lineitem scan, got ${scans(df)}")
+    val on = df.collect().map(_.toSeq).toSeq
+    val off = run(sql, on = false).collect().map(_.toSeq).toSeq
+    assert(on.size == 1 && on == off, s"on=$on off=$off")
+  }
+
+  test("mixed spellings fuse when join order matches; a gate written " +
+      "in the ON clause still folds") {
+    val sql =
+      """SELECT am.c AS am_c, pm.c AS pm_c
+         FROM (SELECT count(*) AS c FROM lineitem, orders
+               WHERE l_orderkey = o_orderkey AND l_quantity <= 25) am,
+              (SELECT count(*) AS c FROM lineitem
+               INNER JOIN orders
+               ON l_orderkey = o_orderkey AND l_quantity > 25) pm"""
+    val df = run(sql, on = true)
+    assert(joins(df) == 1 && scans(df) == 1,
+      s"joins=${joins(df)} scans=${scans(df)}")
+    val on = df.collect().map(_.toSeq).toSeq
+    val off = run(sql, on = false).collect().map(_.toSeq).toSeq
+    assert(on.size == 1 && on == off, s"on=$on off=$off")
+  }
+
+  test("guard: a REAL condition between members blocks fusion (it " +
+      "filters the joined row)") {
+    val sql =
+      """SELECT am.c AS am_c, pm.c AS pm_c
+         FROM (SELECT count(*) AS c FROM lineitem
+               WHERE l_quantity <= 25) am
+         INNER JOIN
+              (SELECT count(*) AS c FROM lineitem
+               WHERE l_quantity > 25) pm
+         ON am.c < pm.c"""
+    val df = run(sql, on = true)
+    assert(joins(df) == 1, "members joined ON a real predicate must " +
+      "keep their join")
+    assert(scans(df) == 2)
+  }
+
   test("guards: different sources and grouped branches are untouched") {
     val mixed =
       """SELECT a.s AS a_s, b.c AS b_c
