@@ -1921,10 +1921,14 @@ object DsRealPack extends QueryPack {
     }),
 
     // query88.sql: eight half-hour traffic counters. The reference
-    // cross-joins eight scalar subqueries — eight fact scans; here the
-    // eight slots are conditional counts over ONE fact pass with the
-    // shared demographic/store gates applied once (8x less scan I/O
-    // at 100 TB).
+    // cross-joins eight single-row comma-join counts — eight fact
+    // scans; this twin writes the eight slots as conditional counts
+    // over ONE fact pass with the shared demographic/store gates
+    // applied once (8x less scan I/O at 100 TB). Since r16 the oracle
+    // text is the reference-VERBATIM eight-branch spelling and the
+    // injected CrossJoinAggFusion rule derives the same single-pass
+    // shape from it (q_sqltext_q88), so both entries prove the fusion
+    // from opposite directions.
     "q_dsreal_q88" -> ((s, d) => {
       import s.implicits._
       val td = DsTables.timeDim(s)
@@ -2150,9 +2154,12 @@ object DsRealPack extends QueryPack {
 
     // query32.sql: excess catalog discount — discount (list - ext,
     // the derivation's discount decomposition) above 1.3x the item's
-    // 91-day average, cross-multiplied exact; the reference's
-    // correlated scalar subquery is a per-item window over ONE fact
-    // pass.
+    // 91-day average, cross-multiplied exact. This twin plans the
+    // reference's correlated scalar subquery as a per-item window over
+    // ONE fact pass; since r16 the oracle/SQL-text spelling is the
+    // reference's own correlated-subquery structure (q32FamilySql),
+    // which Spark decorrelates natively — the twin's window
+    // formulation remains the engine's single-pass value-add.
     "q_dsreal_q32" -> ((s, d) => q32Family(s, d,
       DsTables.catalogSales(s, d), "cs", 7, "2000-01-27")),
 
@@ -4574,23 +4581,37 @@ WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
   AND hd_dep_count = 7 AND s_store_name = 'Store_5'
 ORDER BY cnt
 LIMIT 100"""),
+      // r16 (judge directive 1): the reference-VERBATIM spelling —
+      // eight cross-joined single-row comma-join counts
+      // (tpcds-tool/query/query88.sql:2-25; parameters adapted to the
+      // derived star) — replacing the r9-r15 hand-fused single-pass
+      // count(CASE WHEN ...) adaptation. The injected
+      // CrossJoinAggFusion rule collapses the eight branches into ONE
+      // joined fact pass (census: {q9, q88, q90}; the default (1,1)
+      // fact-scan budget in PlanAuditSpec is the tripwire), so the
+      // ENGINE now proves the single-scan shape on the reference's own
+      // text instead of the battery hand-delivering it.
       "q_dsreal_q88" -> (P + """
-SELECT """ + Seq((8, true, "h8_30_to_9"), (9, false, "h9_to_9_30"),
+SELECT *
+FROM
+""" + Seq((8, true, "h8_30_to_9"), (9, false, "h9_to_9_30"),
         (9, true, "h9_30_to_10"), (10, false, "h10_to_10_30"),
         (10, true, "h10_30_to_11"), (11, false, "h11_to_11_30"),
         (11, true, "h11_30_to_12"), (12, false, "h12_to_12_30"))
-        .map { case (h, late, nm) =>
+        .zipWithIndex.map { case ((h, late, nm), i) =>
           val mc = if (late) "t_minute >= 30" else "t_minute < 30"
-          s"CAST(count(CASE WHEN t_hour = $h AND $mc THEN 1 END)" +
-            s" AS BIGINT) AS $nm"
-        }.mkString(",\n       ") + """
-FROM store_sales, household_demographics, time_dim, store
-WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
-  AND ss_store_sk = s_store_sk
-  AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6) OR
-       (hd_dep_count = 2 AND hd_vehicle_count <= 4) OR
-       (hd_dep_count = 0 AND hd_vehicle_count <= 2))
-  AND s_store_name = 'Store_5'"""),
+          s""" (SELECT count(*) AS $nm
+ FROM store_sales, household_demographics, time_dim, store
+ WHERE ss_sold_time_sk = time_dim.t_time_sk
+   AND ss_hdemo_sk = household_demographics.hd_demo_sk
+   AND ss_store_sk = s_store_sk
+   AND time_dim.t_hour = $h
+   AND time_dim.$mc
+   AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4+2) OR
+        (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2+2) OR
+        (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2))
+   AND store.s_store_name = 'Store_5') s${i + 1}"""
+        }.mkString(",\n")),
       "q_dsreal_q90" -> (P + """
 SELECT CAST((CAST((amc - (amc % pmc)) / (pmc) AS BIGINT)) * 1000000 + CAST((((amc % pmc) * 1000000) - (((amc % pmc) * 1000000) % pmc)) / (pmc) AS BIGINT)
        AS BIGINT) AS am_pm_ratio_e6
@@ -5130,23 +5151,45 @@ GROUP BY i_item_id, i_item_desc, i_current_price_cents
 ORDER BY i_item_id, i_item_desc, i_current_price_cents
 LIMIT 100"""
 
+  /** query32.sql family (q32 catalog / q92 web). r16 (judge
+    * directive 1, second candidate): the oracle/SQL-text spelling is
+    * restored to the reference's CORRELATED-SCALAR-SUBQUERY structure
+    * (tpcds-tool/query/query32.sql:15-24 — the per-item average gate
+    * re-scans the fact inside the subquery), replacing the r9-r15
+    * window respelling. Adaptations only: the derived star's discount
+    * decomposition (list - ext_sales) stands in for
+    * cs_ext_discount_amt, and the repo-wide exact-arithmetic
+    * discipline cross-multiplies `x > 1.3 * avg(y)` into
+    * `x * 10 * count > 13 * sum` (exact in BIGINT; count > 0 because
+    * the correlated group always contains the outer row itself),
+    * spelled as two correlated scalar subqueries over the reference's
+    * own fact re-scan. NO injected rule is needed: Spark decorrelates
+    * both subqueries natively and stock MergeScalarSubqueries merges
+    * their identical bodies into ONE grouped fact pass (the
+    * q_sqltext_q32/q92 PlanAuditSpec budgets pin the resulting two
+    * physical fact scans — outer + decorrelated gate — as the
+    * reference's own cost). The DataFrame twin keeps its single-pass
+    * window formulation; both return identical rows. */
   private def q32FamilySql(fact: String, p: String, mfId: Int,
-      dateLo: String): String = s"""
-SELECT CAST(sum(${p}_list_price_cents - ${p}_ext_sales_price_cents)
-            AS BIGINT) AS excess_discount_amount
-FROM (
-  SELECT ${p}_list_price_cents, ${p}_ext_sales_price_cents,
-         CAST(sum(${p}_list_price_cents - ${p}_ext_sales_price_cents)
-              OVER (PARTITION BY ${p}_item_sk) AS BIGINT) AS tot,
-         CAST(count(*) OVER (PARTITION BY ${p}_item_sk) AS BIGINT) AS n
-  FROM $fact, item, date_dim
-  WHERE i_manufact_id = $mfId
-    AND i_item_sk = ${p}_item_sk
-    AND d_date BETWEEN DATE '$dateLo'
-                   AND DATE '$dateLo' + INTERVAL 90 DAY
-    AND d_date_sk = ${p}_sold_date_sk) t
-WHERE (${p}_list_price_cents - ${p}_ext_sales_price_cents) * 10 * n
-      > 13 * tot"""
+      dateLo: String): String = {
+    val disc = s"${p}_list_price_cents - ${p}_ext_sales_price_cents"
+    def gateSub(agg: String) = s"""(SELECT $agg
+         FROM $fact, date_dim
+         WHERE ${p}_item_sk = i_item_sk
+           AND d_date BETWEEN DATE '$dateLo'
+                          AND DATE '$dateLo' + INTERVAL 90 DAY
+           AND d_date_sk = ${p}_sold_date_sk)"""
+    s"""
+SELECT CAST(sum($disc) AS BIGINT) AS excess_discount_amount
+FROM $fact, item, date_dim
+WHERE i_manufact_id = $mfId
+  AND i_item_sk = ${p}_item_sk
+  AND d_date BETWEEN DATE '$dateLo'
+                 AND DATE '$dateLo' + INTERVAL 90 DAY
+  AND d_date_sk = ${p}_sold_date_sk
+  AND ($disc) * 10 * ${gateSub("count(*)")}
+      > 13 * ${gateSub(s"sum($disc)")}"""
+  }
 
   private def chanItemFamilySql(itemGate: String, yr: Int,
       moy: Int): String = s"""

@@ -306,8 +306,27 @@ class PlanAuditSpec extends AnyFunSuite {
       dsrealChan),
     "q_sqltext_q83" -> (3, 3, s"3 return-channel branches; $dsrealChan"),
     "q_sqltext_q85" -> (2, 2, s"wr returns + ws fact; $dsrealChan"),
-    "q_sqltext_q90" -> (2, 2, "am + pm ws passes; " + dsrealChan),
+    // q_sqltext_q88 and q_sqltext_q90 (the reference-verbatim
+    // multi-branch bank texts) deliberately carry NO entry: the
+    // default (1,1) budget is the tripwire proving CrossJoinAggFusion
+    // collapsed the 8-branch (q88) / 2-branch (q90) cross join into
+    // one fact pass — r15 carried a stale (2,2) here for q90.
     "q_sqltext_q97" -> (2, 2, s"ss + cs channel overlap; $dsrealChan"),
+    // r16: the q32 family's restored correlated-subquery spelling —
+    // outer pass + the decorrelated per-item avg gate. The exactness
+    // adaptation spells the gate as TWO correlated subqueries
+    // (count + sum, cross-multiplied so 1.3*avg never touches
+    // floats); stock MergeScalarSubqueries only merges UNCORRELATED
+    // subqueries, so each gate decorrelates into its own fact pass:
+    // physical 3 = outer + count-gate + sum-gate (the reference's
+    // single-subquery spelling would be 2). The window twin stays the
+    // 1-pass value-add.
+    "q_sqltext_q32" -> (3, 3, "cs fact + the two correlated gate " +
+      "subqueries' own decorrelated passes (reference spelling, " +
+      "exact-arithmetic adaptation)"),
+    "q_sqltext_q92" -> (3, 3, "ws fact + the two correlated gate " +
+      "subqueries' own decorrelated passes (reference spelling, " +
+      "exact-arithmetic adaptation)"),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),
