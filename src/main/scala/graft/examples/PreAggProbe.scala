@@ -14,11 +14,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
 object PreAggProbe {
   def main(args: Array[String]): Unit = {
     val on = !args.contains("off")
+    val push = !args.contains("nopush")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.plans.PreAggBeforeExpand.EnabledKey, on.toString)
+      .config(graft.plans.PreAggBeforeExpand.PushKey, push.toString)
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,10 +42,24 @@ object PreAggProbe {
     val opt = df.queryExecution.optimizedPlan
     val preAgg = opt.collect { case e: Expand => e }.exists(
       _.children.exists(_.collectFirst { case a: Aggregate => a }.nonEmpty))
-    println(s"==== preAggBelowExpand=$preAgg (on=$on)")
-    val t0 = System.nanoTime()
+    // the r16 push: a SECOND aggregate below the pre-agg's join
+    // (fact-side partials computed before the item join)
+    val pushedAgg = opt.collect { case a: Aggregate => a }.exists(
+      _.children.exists(_.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.children.exists(_.collectFirst {
+              case a2: Aggregate => a2 }.nonEmpty) => j
+      }.nonEmpty))
+    println(s"==== preAggBelowExpand=$preAgg pushedBelowJoin=$pushedAgg " +
+      s"(on=$on push=$push)")
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      df.collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val rows = df.collect()
-    println(s"==== rows=${rows.length} sec=${(System.nanoTime() - t0) / 1e9}")
+    println(f"==== rows=${rows.length} min=${times.min}%.2f " +
+      s"times=${times.map(t => f"$t%.2f").mkString(",")}")
     println(rows.take(5).mkString("\n"))
     println(rows.takeRight(3).mkString("\n"))
     spark.stop()

@@ -61,6 +61,17 @@ class SqlTextParitySpec extends AnyFunSuite {
     p.collect { case e: Expand => e }.exists(e =>
       e.children.exists(_.collectFirst { case a: Aggregate => a }.nonEmpty))
 
+  /** The r16 eager-aggregation push: a SECOND aggregate below the
+    * pre-agg's JOIN — fact-side partials computed before the item join
+    * (the hand-built twin's perItem shape). */
+  private def aggBelowJoin(p: LogicalPlan): Boolean =
+    p.collect { case a: Aggregate => a }.exists(
+      _.children.exists(_.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.children.exists(_.collectFirst {
+              case a2: Aggregate => a2 }.nonEmpty) => j
+      }.nonEmpty))
+
   test("q22: the raw SQL text and the hand-planned DataFrame twin " +
       "return identical rows") {
     val text = textDf.collect().map(_.toSeq).toSeq
@@ -88,5 +99,27 @@ class SqlTextParitySpec extends AnyFunSuite {
         "re-scope PreAggBeforeExpand and update COVERAGE.md")
     assert(aggBelowExpand(twinPlan),
       "the DataFrame twin lost its pre-agg below the rollup Expand")
+  }
+
+  test("q22: the r16 eager-aggregation push moves the partials below " +
+      "the item join (the twin's perItem shape); its own kill switch " +
+      "pins the r15 above-join boundary") {
+    val pushed = textDf.queryExecution.optimizedPlan
+    spark.conf.set(graft.plans.PreAggBeforeExpand.PushKey, "false")
+    val unpushed = try textDf.queryExecution.optimizedPlan
+      finally spark.conf.unset(graft.plans.PreAggBeforeExpand.PushKey)
+    assert(aggBelowJoin(pushed),
+      "PreAggBeforeExpand's pushThroughJoin no longer fires on the raw " +
+        "q22 text — every inventory row would re-aggregate under the " +
+        "four item-string keys (the r15 5x text/twin residual)")
+    assert(aggBelowExpand(unpushed) && !aggBelowJoin(unpushed),
+      "with the push disabled the r15 pre-agg-above-join shape should " +
+        "remain (kill-switch granularity lost?)")
+    // answers must not depend on the push
+    spark.conf.set(graft.plans.PreAggBeforeExpand.PushKey, "false")
+    val offRows = try textDf.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(graft.plans.PreAggBeforeExpand.PushKey)
+    assert(textDf.collect().map(_.toSeq).toSeq == offRows,
+      "push on/off answers diverged")
   }
 }
