@@ -20,6 +20,55 @@ import org.apache.spark.sql.functions._
   * generation cost stays out of the measurement.
   */
 object StreamBench {
+
+  // --- r16 session-credibility instrumentation (judge r15 directive
+  // 6): the r14->r15 dsreal_* hdfs rows swung 3-4x on unchanged code
+  // with nothing in the artifact to attribute it. Same discipline the
+  // batch bench got in r15: every PASS's rows/s is recorded (so the
+  // best-of is auditable and a one-bad-pass swing is visible), the
+  // dsreal ops get a third pass (they swung most), and a JVM health
+  // snapshot (code cache / metaspace / GC / block dirs) is taken
+  // before each op. stdout keeps the short line; the full per-pass +
+  // health detail lands in streambench_out.json.
+  private val benchT0 = System.nanoTime()
+  private val passLog =
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+  private val healthLog =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def healthSnapshot(): String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+    def usedMb(name: String) = pools.filter(_.getName.contains(name))
+      .map(_.getUsage.getUsed).sum / (1 << 20)
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val blockMb = Option(new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp")).listFiles)
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("blockmgr-") ||
+        f.getName.startsWith("spark-"))
+      .map(dirBytes).sum / (1 << 20)
+    s"""{"at":${(System.nanoTime() - benchT0) / 1e9},""" +
+      s""""code_cache_mb":${usedMb("CodeHeap")},""" +
+      s""""metaspace_mb":${usedMb("Metaspace")},""" +
+      s""""gc_ms":$gcMs,"block_dirs_mb":$blockMb}"""
+  }
+
+  /** Best rows/s over `passes` fresh-pipeline passes, with the per-pass
+    * values and a pre-op health snapshot recorded for the artifact. */
+  private def bestOf(tag: String, passes: Int)(
+      runPass: () => Double): (String, Double) = {
+    healthLog(tag) = healthSnapshot()
+    val ps = (1 to passes).map(_ => runPass())
+    passLog(tag) = ps
+    tag -> ps.max
+  }
+
   case class E(id: Long, ts: java.sql.Timestamp, k: Long, v: Double)
   case class Doc(doc_id: Long, source: String, text: String)
   case class SS(item: Long, ticket: Long, store: Long, cents: Long,
@@ -70,7 +119,7 @@ object StreamBench {
     val timed = salesChunks.drop(1)
     val storeDim = broadcast(graft.dsreal.DsTables.store(spark)
       .select(col("s_store_sk"), col("s_store_name")))
-    val best = (1 to 2).map { _ =>
+    bestOf("dsreal_weekly", 3) { () =>
       val in = MemoryStream[SS]
       val q = in.toDS().withWatermark("ts", "1 day")
         .join(storeDim, col("store") === col("s_store_sk"))
@@ -87,8 +136,7 @@ object StreamBench {
       spark.sql("DROP VIEW IF EXISTS sb_dsweekly")
       System.gc()
       timed.map(_.size).sum / sec
-    }.max
-    "dsreal_weekly" -> best
+    }
   }
 
   /** Retraction throughput on the real star: sales as +I, each
@@ -119,7 +167,7 @@ object StreamBench {
       ins ++ amends
     }
     val fed = (0 until 6).map(events)
-    val best = (1 to 2).map { _ =>
+    bestOf("dsreal_changelog_agg", 3) { () =>
       val in = MemoryStream[(String, Long, Double)]
       val q = graft.streaming.ChangelogAgg
         .sumCount(in.toDS())(_._2, _._1, _._3)
@@ -135,8 +183,7 @@ object StreamBench {
       spark.sql("DROP VIEW IF EXISTS sb_dscagg")
       System.gc()
       fed.drop(1).map(_.size).sum / sec
-    }.max
-    "dsreal_changelog_agg" -> best
+    }
   }
 
   /** Sales x returns stream-stream interval join on the real star
@@ -148,7 +195,7 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (salesChunks, retChunks) = realChunks(spark, 6)
-    val best = (1 to 2).map { _ =>
+    bestOf("dsreal_interval_join", 3) { () =>
       val sIn = MemoryStream[SS]
       val rIn = MemoryStream[SR]
       val sales = sIn.toDS()
@@ -178,8 +225,7 @@ object StreamBench {
       System.gc()
       (salesChunks.drop(1).map(_.size).sum +
         retChunks.drop(1).map(_.size).sum) / sec
-    }.max
-    "dsreal_interval_join" -> best
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -245,7 +291,7 @@ object StreamBench {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val fed = (1 to batches).map(feed) // keep generation out of the timed span
       val perBatch = fed.head.size
-      val best = (1 to 2).map { _ =>
+      bestOf(tag, 2) { () =>
         val in = MemoryStream[T]
         val q = plan(in.toDS()).writeStream.format("memory")
           .queryName(s"sb_$tag").outputMode(mode).start()
@@ -258,8 +304,7 @@ object StreamBench {
         spark.sql(s"DROP VIEW IF EXISTS sb_$tag")
         System.gc()
         batches.toLong * perBatch / sec
-      }.max
-      tag -> best
+      }
     }
     def measure(tag: String, mode: String = "update")(
         plan: org.apache.spark.sql.Dataset[E] => org.apache.spark.sql.DataFrame): (String, Double) =
@@ -326,7 +371,18 @@ object StreamBench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.0f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_rows_per_sec","ops":$qs,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus,"state_store":"$stateStore"}""")
+    println(s"""{"metric":"stream_rows_per_sec","ops":$qs,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus,"state_store":"$stateStore","full":"streambench_out.json"}""")
+    // full per-pass + per-op health detail for round-over-round
+    // adjudication (judge r15 directive 6)
+    val passesJson = passLog.map { case (k, ps) =>
+      "\"" + k + "\":[" + ps.map(p => f"$p%.0f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val healthJson = healthLog.map { case (k, h) => "\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("streambench_out.json"),
+      (s"""{"metric":"stream_rows_per_sec","ops":$qs,"passes":$passesJson,"health":$healthJson,"rows_per_batch":$rowsPerBatch,"batches":$batches,"cpus":$cpus,"state_store":"$stateStore"}""" + "\n")
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }
