@@ -30,7 +30,7 @@ object RuleFireProbe {
             "normalization)")
         else if (v.fires)
           println(s"FIRES $name scalar=${v.scalar} cross=${v.cross} " +
-            s"preagg=${v.preAgg}")
+            s"corr=${v.corr} preagg=${v.preAgg}")
       } catch { case e: Throwable => println(s"ERR $name ${e.getMessage}") }
     }
     spark.stop()

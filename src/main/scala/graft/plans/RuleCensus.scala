@@ -28,12 +28,12 @@ object RuleCensus {
   /** unstable: the rule-off plan itself doesn't rebuild identically
     * even after [[normalize]] — fire/no-fire can't be asserted. */
   case class Verdict(unstable: Boolean, scalar: Boolean, cross: Boolean,
-      preAgg: Boolean) {
-    def fires: Boolean = scalar || cross || preAgg
+      corr: Boolean, preAgg: Boolean) {
+    def fires: Boolean = scalar || cross || corr || preAgg
   }
 
-  private val analysisKeys =
-    Seq(ScalarAggBankFusion.EnabledKey, CrossJoinAggFusion.EnabledKey)
+  private val analysisKeys = Seq(ScalarAggBankFusion.EnabledKey,
+    CrossJoinAggFusion.EnabledKey, CorrelatedAggMerge.EnabledKey)
 
   /** Renumbers CTE ids IN THE PLAN (tree order), before
     * canonicalization. The string-level renumber below is not enough
@@ -90,9 +90,12 @@ object RuleCensus {
     }
     val aOff = analyzed(analysisKeys)
     if (aOff != analyzed(analysisKeys))
-      return Verdict(unstable = true, false, false, false)
-    val scalar = analyzed(Seq(CrossJoinAggFusion.EnabledKey)) != aOff
-    val cross = analyzed(Seq(ScalarAggBankFusion.EnabledKey)) != aOff
+      return Verdict(unstable = true, false, false, false, false)
+    def only(key: String): Boolean =
+      analyzed(analysisKeys.filterNot(_ == key)) != aOff
+    val scalar = only(ScalarAggBankFusion.EnabledKey)
+    val cross = only(CrossJoinAggFusion.EnabledKey)
+    val corr = only(CorrelatedAggMerge.EnabledKey)
     // PreAgg can only fire on a grouping-sets Expand — skip the
     // optimizer builds when the analyzed plan has none
     val hasExpand = {
@@ -106,9 +109,9 @@ object RuleCensus {
     val preAgg = hasExpand && {
       val oOff = optimized(Seq(PreAggBeforeExpand.EnabledKey))
       if (oOff != optimized(Seq(PreAggBeforeExpand.EnabledKey)))
-        return Verdict(unstable = true, scalar, cross, false)
+        return Verdict(unstable = true, scalar, cross, corr, false)
       optimized(Nil) != oOff
     }
-    Verdict(unstable = false, scalar, cross, preAgg)
+    Verdict(unstable = false, scalar, cross, corr, preAgg)
   }
 }
