@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // is the FROM-clause spelling of the same bank
     e.injectPostHocResolutionRule(_ => ScalarAggBankFusion)
     e.injectPostHocResolutionRule(_ => CrossJoinAggFusion)
+    // sibling correlated aggregates over one base merge into a single
+    // struct-valued subquery BEFORE the optimizer decorrelates each
+    // one separately (the restored q32-family spelling's two gates)
+    e.injectPostHocResolutionRule(_ => CorrelatedAggMerge)
+    // PROTOTYPE, default OFF (spark.graft.ctePin.enabled): runtime
+    // materialization of multi-referenced WITH frames — see CtePin's
+    // adjudication docs
+    e.injectPostHocResolutionRule(session => new CtePin(session))
   }
 }
 

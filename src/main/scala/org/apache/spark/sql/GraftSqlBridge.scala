@@ -23,6 +23,13 @@ object GraftSqlBridge {
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.sessionState.conf.autoBroadcastJoinThreshold
 
+  /** A DataFrame over an already-analyzed logical plan (Dataset.ofRows
+    * is private[sql]) — used by the CtePin prototype to execute a CTE
+    * def body it extracted during analysis. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The persisted RDD behind a checkpointed/pinned DataFrame — lets
     * iterative operators release superseded rounds DETERMINISTICALLY
     * instead of waiting for the ContextCleaner's GC-driven reaping.
