@@ -47,13 +47,16 @@ object SqlTextPack extends QueryPack {
     * [[graft.plans.ScalarAggBankFusion]] (15 scalar subqueries fuse
     * into ONE fact pass — FusionRuleSpec) and
     * [[graft.plans.PreAggBeforeExpand]] (pre-agg below the rollup
-    * Expand — SqlTextParitySpec). Of the 103 dsreal oracles, the only
-    * eight NOT in the battery are the documented value-add
-    * asymmetries (q14a/q14b/q23a/q23b/q64/q72/q75: raw text re-plans
-    * shared frames the twins pin via runtime materialization, which
-    * no logical rule can express; q77: raw text plans a cartesian) —
-    * see the batch notes below and COVERAGE.md's rule-reachability
-    * table. */
+    * Expand — SqlTextParitySpec); (5, r16) q72, whose exclusion
+    * proved stale (flat join text, no CTE). Of the 103 dsreal
+    * oracles, the only seven NOT in the battery are the documented
+    * value-add asymmetries (q14a/q14b/q23a/q23b/q64/q75: raw text
+    * re-plans shared WITH frames the twins pin via runtime
+    * materialization — the [[graft.plans.CtePin]] prototype shows a
+    * post-hoc rule CAN pin them from text but cannot COST the
+    * decision, winning ~1.9x on q14a/q75 and losing on q23a; q77:
+    * raw text plans a cartesian) — see the batch notes below and
+    * COVERAGE.md's rule-reachability table. */
   private val Reused: Seq[String] = Seq(
     "q_dsreal_q1", "q_dsreal_q3", "q_dsreal_q10", "q_dsreal_q19",
     "q_dsreal_q38", "q_dsreal_q42", "q_dsreal_q48", "q_dsreal_q51",
@@ -69,7 +72,7 @@ object SqlTextPack extends QueryPack {
     // operator, Spark PARSE_SYNTAX_ERROR): q14a/q14b/q23a/q23b/q75,
     // whose raw texts re-plan their WITH-CTE fact scans 8-39x (the
     // DataFrame twins pin the shared frame once — the engine's
-    // documented value-add, same family as q64/q72), and q77, whose
+    // documented value-add, same family as q64), and q77, whose
     // raw text plans an accidental
     // CartesianProduct (the twin reformulates the full-outer channel
     // merge; a cartesian is a 100-TB non-starter, so the text stays
@@ -109,7 +112,13 @@ object SqlTextPack extends QueryPack {
     // the twin's pre-agg below the 5-way rollup Expand from the raw
     // text (one (sum,count) row per item enters Expand instead of
     // every inventory row); SqlTextParitySpec pins rule-on/rule-off.
-    "q_dsreal_q22")
+    "q_dsreal_q22",
+    // r16: q72 admitted — its exclusion rode along with the shared-
+    // frame CTE family, but the current oracle text is a FLAT 11-join
+    // (no WITH at all): measured 2 planned fact scans (cs + cr
+    // channel slices), hash-equal vs DuckDB, and sub-second warm at
+    // sf0.1. Nothing to rescue; the exclusion was stale.
+    "q_dsreal_q72")
 
   private def dsrealOracle(name: String): String =
     DsRealPack.oracle.getOrElse(name, DsRealPack2.oracle(name))
@@ -137,7 +146,7 @@ object SqlTextPack extends QueryPack {
     * their session, and two live sessions can never collide. */
   private val starRegistered = graft.SessionCaches.newRegistry[String]()
 
-  private def registerStar(s: SparkSession, d: String): Unit =
+  private[graft] def registerStar(s: SparkSession, d: String): Unit =
     if (starRegistered.put(s, d) != d)
       buildStarViews(s, d)
 

@@ -271,6 +271,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sqltext_q70" -> (3, 3, "ss fact + the state ranking subquery's " +
       s"own ss pass + rollup side; $dsrealChan"),
     "q_sqltext_q71" -> (3, 3, s"3-channel meal-time union; $dsrealChan"),
+    "q_sqltext_q72" -> (2, 2, "cs fact + cr returns left join " +
+      s"(r16 admission — flat join text, no CTE); $dsrealChan"),
     "q_sqltext_q74" -> (4, 4, "year_total CTE consumed 2x across 2 " +
       "channels; SQL text cannot pin the shared frame"),
     "q_sqltext_q76" -> (3, 3, s"3 NULL-key channel branches; $dsrealChan"),
@@ -317,16 +319,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // adaptation spells the gate as TWO correlated subqueries
     // (count + sum, cross-multiplied so 1.3*avg never touches
     // floats); stock MergeScalarSubqueries only merges UNCORRELATED
-    // subqueries, so each gate decorrelates into its own fact pass:
-    // physical 3 = outer + count-gate + sum-gate (the reference's
-    // single-subquery spelling would be 2). The window twin stays the
-    // 1-pass value-add.
-    "q_sqltext_q32" -> (3, 3, "cs fact + the two correlated gate " +
-      "subqueries' own decorrelated passes (reference spelling, " +
-      "exact-arithmetic adaptation)"),
-    "q_sqltext_q92" -> (3, 3, "ws fact + the two correlated gate " +
-      "subqueries' own decorrelated passes (reference spelling, " +
-      "exact-arithmetic adaptation)"),
+    // subqueries, so un-merged they cost a fact pass EACH (physical
+    // 3). The injected CorrelatedAggMerge rule rewrites the pair into
+    // one struct-valued subquery at analysis end, so decorrelation
+    // plans ONE gate pass: physical 2 = the reference's own
+    // single-subquery cost. The window twin stays the 1-pass
+    // value-add.
+    "q_sqltext_q32" -> (2, 2, "cs fact + the merged correlated gate's " +
+      "single decorrelated pass (reference spelling; " +
+      "CorrelatedAggMerge)"),
+    "q_sqltext_q92" -> (2, 2, "ws fact + the merged correlated gate's " +
+      "single decorrelated pass (reference spelling; " +
+      "CorrelatedAggMerge)"),
     "q_tpch_q11" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q15" -> (2, 1, "scalar-subquery side runs as its own job"),
     "q_tpch_q17" -> (2, 2, prunedTwin),

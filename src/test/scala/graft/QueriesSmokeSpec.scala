@@ -45,7 +45,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q_sqltext_q8", "q_sqltext_q24a", "q_sqltext_q40", "q_sqltext_q71",
       "q_sqltext_q74", "q_sqltext_q80", "q_sqltext_q82", "q_sqltext_q91",
       "q_sqltext_q31", "q_sqltext_q34", "q_sqltext_q46", "q_sqltext_q54",
-      "q_sqltext_q68",
+      "q_sqltext_q68", "q_sqltext_q72",
       // TPC-H min-cost / volume-share chains with HAVING thresholds
       "q_tpch_q2", "q_tpch_q7", "q_tpch_q11", "q_tpch_q20"
     ).map(_ -> smallSf).toMap
