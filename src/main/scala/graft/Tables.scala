@@ -26,13 +26,54 @@ object Tables {
   private val frameCache = SessionCaches.newRegistry[
     java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The tables whose consumers do heavy per-row derivation (fact
+    * joins, tokenization/shingling, vector scoring) and therefore get
+    * the size-gated fan-out of [[graft.ext.FanOut]]: a single-row-group
+    * parquet file is ONE scan task no matter the split config, so
+    * without the fan-out those pipelines run one-core (measured r16 —
+    * see FanOut's scaladoc). Dims are deliberately NOT fanned out:
+    * they end up broadcast, where an extra exchange is pure cost. */
+  private val fannedOut: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** [[load]] WITHOUT the fan-out — for the handful of queries whose
+    * output is a raw DOUBLE aggregate over the whole table (q1_agg,
+    * q_tpch_q1, q_groupingsets): repartitioning changes float
+    * summation order, which moves those sums by an ulp and across the
+    * oracle's rounding boundary (measured r16: exactly these three of
+    * 459 failed diffcheck under the fan-out). Every other query is
+    * integer-exact by repo-wide discipline (cents / micro-units) and
+    * keeps the fan-out. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionCaches.perSession(frameCache, spark)(
       new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-      .computeIfAbsent((dir, name), _ =>
+      .computeIfAbsent((dir, name + "#raw"), _ =>
         if (name == "events") buildEvents(spark, dir)
         else if (name == "embeddings") buildEmbeddings(spark, dir)
         else spark.read.parquet(s"$dir/$name.parquet"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the fan-out kill switch participates in the cache key so that
+    // flipping it mid-session (specs, CleanProbe A/Bs) really rebuilds
+    // the frame — otherwise the first build's choice would be memoized
+    // and conf-off could not restore the pre-r16 plan in-session
+    val fanned = fannedOut.contains(name) &&
+      spark.conf.get(graft.ext.FanOut.EnabledConf, "true").toBoolean
+    SessionCaches.perSession(frameCache, spark)(
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, if (fanned) name else name + "#nofan"), _ => {
+        val raw =
+          if (name == "events") buildEvents(spark, dir)
+          else if (name == "embeddings") buildEmbeddings(spark, dir)
+          else spark.read.parquet(s"$dir/$name.parquet")
+        fannedOut.get(name) match {
+          case Some(key) if fanned =>
+            graft.ext.FanOut.fanOut(raw, org.apache.spark.sql.functions.col(key))
+          case _ => raw
+        }
+      })
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -41,6 +82,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** Unfanned lineitem — see [[loadRaw]]: only for the raw-DOUBLE-sum
+    * queries whose oracle hash is float-summation-order sensitive. */
+  def lineitemRaw(s: SparkSession, d: String): DataFrame =
+    loadRaw(s, d, "lineitem")
   /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (older
     * generators; Spark's reader rejects it unless nanos are surfaced as
     * long) or plain TIMESTAMP(MICROS). Adapt to what's on disk:

@@ -65,7 +65,13 @@ object DsTables {
       build: => DataFrame): DataFrame = {
     val perSession = graft.SessionCaches.perSession(cache, s)(
       new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-    val k = (d, name)
+    // the fan-out kill switch participates in every memo key: base and
+    // its derivatives embed the (possibly fanned) lineitem scan, so a
+    // mid-session conf flip must rebuild rather than return the cached
+    // pre-flip frame (same contract as Tables.load)
+    val k = (d,
+      if (s.conf.get(graft.ext.FanOut.EnabledConf, "true").toBoolean) name
+      else name + "#nofan")
     val hit = perSession.get(k)
     if (hit != null) hit
     else {
@@ -367,6 +373,11 @@ object DsTables {
     * measure, the single scan all six fact tables project from. */
   private def base(s: SparkSession, d: String): DataFrame = memo(s, d, "base") {
     import s.implicits._
+    // The lineitem scan arrives fanned out from Tables.load (size-gated
+    // repartition on l_orderkey — see graft.ext.FanOut), so the join
+    // and the ~35 derived columns below run at full parallelism even on
+    // single-row-group fixtures (measured r16: the fused one-task
+    // scan+derive+agg stage was 1.5 s single-core on q_dsreal_q48).
     T.lineitem(s, d)
       .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .select(
@@ -654,7 +665,13 @@ object DsTables {
       .filter($"d_date_sk" % 7 === 0 && $"d_year".between(1999, 2000))
       .select($"d_date_sk".as("inv_date_sk"))
     val wh = s.range(1, 6).select($"id".as("inv_warehouse_sk"))
-    T.part(s, d).select($"p_partkey".as("inv_item_sk"))
+    // the x525 week/warehouse expansion below inherits the part scan's
+    // parallelism — ONE task on single-row-group fixtures (measured
+    // r16: 2.56 s and a 116 MB one-task shuffle write inside
+    // q_sqltext_q72). Fan the 20k-row scan out first; size-gated
+    // no-op on inputs big enough to be split-parallel already.
+    graft.ext.FanOut.fanOut(
+        T.part(s, d).select($"p_partkey".as("inv_item_sk")), $"inv_item_sk")
       .crossJoin(broadcast(weeks))
       .crossJoin(broadcast(wh))
       .withColumn("inv_quantity_on_hand",

@@ -61,6 +61,18 @@ object ConnectedComponents {
       .union(sym.select(col("a").as("id")))
       .distinct()
       .select(col("id"), col("id").as("lbl")))
+    // One count job up front buys every round its join strategy: a
+    // pinned round re-enters the plan as a bare RDD scan with default
+    // (pessimistic) stats, so without a hint BOTH per-round joins
+    // re-shuffle their inputs every round — including the persisted
+    // edge table, whose partitioning a pin cannot carry across jobs.
+    // Hinting the label table as the SMALL side (broadcast while it
+    // fits, shuffle_hash beyond — Iterate.smallSide, same regime
+    // switch as PageRank) keeps the edges in place: per-round data
+    // movement drops to the min-label aggregation itself. The label
+    // row count is CONSTANT across rounds (the id universe), so one
+    // estimate serves the whole loop.
+    val nIds = labels.count()
     // the bare pin of the CURRENT round, releasable once superseded
     // (labels itself becomes a projection over it after round 1)
     var curPin = labels
@@ -68,12 +80,14 @@ object ConnectedComponents {
     var converged = false
     while (!converged && round < maxRounds) {
       // (a) each neighbor of b offers b's current label to a
-      val viaEdge = sym.join(labels, sym("b") === labels("id"))
+      val viaEdge = sym.join(Iterate.smallSide(labels, nIds),
+          sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"), lit(false).as("is_self"))
       // (b) pointer doubling: a node also takes its label's label,
       // halving remaining chain lengths every round
       val viaParent = labels.toDF("id", "mid")
-        .join(labels.toDF("pid", "plbl"), col("mid") === col("pid"))
+        .join(Iterate.smallSide(labels.toDF("pid", "plbl"), nIds),
+          col("mid") === col("pid"))
         .select(col("id"), col("plbl").as("lbl"), lit(false).as("is_self"))
       // the node's own current label rides through the union tagged
       // is_self, so the SAME aggregation that computes the new label

@@ -49,12 +49,15 @@ object AggregatePack extends QueryPack {
     }),
 
     "q_groupingsets" -> ((s, d) => {
-      T.registerAll(s, d)
+      // raw (unfanned) view: sum_price is a raw DOUBLE sum over the
+      // whole table — float-summation-order sensitive vs the oracle
+      // under the scan fan-out (see Tables.loadRaw)
+      T.lineitemRaw(s, d).createOrReplaceTempView("lineitem_raw")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
                sum(l_extendedprice) AS sum_price,
                CAST(grouping_id() AS INT) AS gid
-        FROM lineitem
+        FROM lineitem_raw
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       """)
     }),

@@ -30,7 +30,11 @@ object RelationalPack extends QueryPack {
     // TPC-H Q1: scan -> filter -> hash agg (partial/final). The flagship.
     "q1_agg" -> ((s, d) => {
       import s.implicits._
-      T.lineitem(s, d)
+      // lineitemRaw (not lineitem): this query's outputs are raw DOUBLE
+      // sums over the whole table — the scan fan-out would change float
+      // summation order and move them an ulp across the oracle rounding
+      // boundary (measured r16; see Tables.loadRaw)
+      T.lineitemRaw(s, d)
         .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(

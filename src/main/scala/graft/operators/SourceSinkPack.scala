@@ -96,7 +96,11 @@ object SourceSinkPack extends QueryPack {
     "q_avro_nested" -> ((s, d) => {
       import s.implicits._
       val dir = tmpDir("avro_nested_orders")
-      val o = T.orders(s, d)
+      // fan the single-split orders scan out before the per-row encode
+      // + file write (size-gated no-op at scale — graft.ext.FanOut):
+      // the whole write-roundtrip otherwise encodes on one core and
+      // round-trips through a single output file
+      val o = graft.ext.FanOut.fanOut(T.orders(s, d), $"o_orderkey")
       val src = o.select(
         $"o_orderkey", $"o_custkey",
         struct($"o_orderstatus".as("status"),
@@ -127,7 +131,11 @@ object SourceSinkPack extends QueryPack {
     "q_avro_complex" -> ((s, d) => {
       import s.implicits._
       val dir = tmpDir("avro_complex_orders")
-      val o = T.orders(s, d)
+      // fan the single-split orders scan out before the per-row encode
+      // + file write (size-gated no-op at scale — graft.ext.FanOut):
+      // the whole write-roundtrip otherwise encodes on one core and
+      // round-trips through a single output file
+      val o = graft.ext.FanOut.fanOut(T.orders(s, d), $"o_orderkey")
       val src = o.select(
         $"o_orderkey",
         $"o_orderstatus".as("status"), // -> enum {O,F,P}
@@ -234,7 +242,11 @@ object SourceSinkPack extends QueryPack {
       import s.implicits._
       import graft.sources.DebeziumJson
       val dir = tmpDir("dbz_orders")
-      val o = T.orders(s, d)
+      // fan the single-split orders scan out before the per-row encode
+      // + file write (size-gated no-op at scale — graft.ext.FanOut):
+      // the whole write-roundtrip otherwise encodes on one core and
+      // round-trips through a single output file
+      val o = graft.ext.FanOut.fanOut(T.orders(s, d), $"o_orderkey")
       val pay = struct(o.columns.map(col): _*)
       val payUpd = struct(o.columns.map(c =>
         if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)
@@ -305,7 +317,11 @@ object SourceSinkPack extends QueryPack {
       import s.implicits._
       import graft.sources.{CanalJson, DebeziumJson}
       val dir = tmpDir("canal_orders")
-      val o = T.orders(s, d)
+      // fan the single-split orders scan out before the per-row encode
+      // + file write (size-gated no-op at scale — graft.ext.FanOut):
+      // the whole write-roundtrip otherwise encodes on one core and
+      // round-trips through a single output file
+      val o = graft.ext.FanOut.fanOut(T.orders(s, d), $"o_orderkey")
       val pay = struct(o.columns.map(col): _*)
       val payUpd = struct(o.columns.map(c =>
         if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)
@@ -343,7 +359,11 @@ object SourceSinkPack extends QueryPack {
       import s.implicits._
       import graft.sources.{DebeziumJson, MaxwellJson}
       val dir = tmpDir("maxwell_orders")
-      val o = T.orders(s, d)
+      // fan the single-split orders scan out before the per-row encode
+      // + file write (size-gated no-op at scale — graft.ext.FanOut):
+      // the whole write-roundtrip otherwise encodes on one core and
+      // round-trips through a single output file
+      val o = graft.ext.FanOut.fanOut(T.orders(s, d), $"o_orderkey")
       val pay = struct(o.columns.map(col): _*)
       val payUpd = struct(o.columns.map(c =>
         if (c == "o_totalprice") (col(c) + 10).as(c) else col(c)): _*)

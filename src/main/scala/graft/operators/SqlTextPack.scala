@@ -146,9 +146,16 @@ object SqlTextPack extends QueryPack {
     * their session, and two live sessions can never collide. */
   private val starRegistered = graft.SessionCaches.newRegistry[String]()
 
-  private[graft] def registerStar(s: SparkSession, d: String): Unit =
-    if (starRegistered.put(s, d) != d)
+  private[graft] def registerStar(s: SparkSession, d: String): Unit = {
+    // the fan-out kill switch joins the key: a mid-session conf flip
+    // (FusionRuleSpec's fan-out-off leg, CleanProbe A/Bs) must re-bind
+    // the views to freshly built frames, not keep serving the plans
+    // built under the previous setting
+    val key = d + (if (s.conf.get(graft.ext.FanOut.EnabledConf,
+      "true").toBoolean) "" else "#nofan")
+    if (starRegistered.put(s, key) != key)
       buildStarViews(s, d)
+  }
 
   /** Temp views named exactly like the oracle prelude's CTEs, so one
     * SQL text resolves in both engines. View registration is lazy (no

@@ -119,7 +119,9 @@ object TpchPack2 extends QueryPack {
     // Q1: full pricing summary — the canonical wide hash-agg.
     "q_tpch_q1" -> ((s, d) => {
       import s.implicits._
-      T.lineitem(s, d)
+      // lineitemRaw: raw DOUBLE sums — float-summation-order sensitive
+      // vs the oracle under the scan fan-out (see Tables.loadRaw)
+      T.lineitemRaw(s, d)
         .filter($"l_shipdate" <= ts("2001-09-01"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(

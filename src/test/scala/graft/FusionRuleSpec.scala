@@ -41,26 +41,51 @@ class FusionRuleSpec extends AnyFunSuite {
     try body finally spark.conf.unset(ScalarAggBankFusion.EnabledKey)
   }
 
-  test("rule ON: q9's 15 scalar subqueries fuse into one " +
-      "conditional-aggregate pass") {
+  // r16 boundary note: the scan fan-out (graft.ext.FanOut, a
+  // RepartitionByExpression over the lineitem scan) splits the fused
+  // bank in two. MergeScalarSubqueries merges structurally and has no
+  // Repartition case, so across branches whose column pruning differs
+  // (count(*) needs only the gate column; the avg pairs also need the
+  // price columns) the differently-pruned scans under the Repartition
+  // block the merge, and the bank settles at TWO bodies: the 5
+  // count-only sites in one pass, the 10 sum/count sites in another.
+  // Both passes now run at full scan parallelism (pre-r16 the single
+  // fused pass ran on ONE task — the fan-out is the better trade; see
+  // OPTIMIZATION_r16.md). With the fan-out disabled the rule still
+  // produces the single pass — pinned below so the 1-pass capability
+  // cannot silently rot.
+  test("rule ON: q9's 15 scalar subqueries fuse into two " +
+      "conditional-aggregate passes under the scan fan-out " +
+      "(count-pruned + avg-pruned)") {
     withRule(on = true) {
       val df = q9Text
       val subs = df.queryExecution.optimizedPlan.expressions
         .flatMap(_.collect { case s: ScalarSubquery => s })
       assert(subs.size == 15, s"expected 15 subquery sites, ${subs.size}")
-      assert(mergedBodies(df) == 1,
-        "the band gates did not fuse into a single pass")
+      assert(mergedBodies(df) == 2,
+        "the band gates did not fuse into the two pruning-split passes")
       assert(df.queryExecution.optimizedPlan.toString.contains(" FILTER ("),
         "fused aggregates lost their FILTER clauses")
     }
   }
 
-  test("rule OFF: stock planning leaves one fact pass per band, and " +
-      "the gate stays a pushable Filter") {
+  test("rule ON + fan-out OFF: the bank fuses into ONE pass (the r15 " +
+      "single-pass shape is reachable whenever the scan is not fanned)") {
+    spark.conf.set(graft.ext.FanOut.EnabledConf, "false")
+    try withRule(on = true) {
+      assert(mergedBodies(q9Text) == 1,
+        "without the repartition barrier the bank must fuse to one pass")
+    } finally spark.conf.unset(graft.ext.FanOut.EnabledConf)
+  }
+
+  test("rule OFF: stock planning leaves the pruning-split per-band " +
+      "bodies, and the gate stays a pushable Filter") {
     withRule(on = false) {
       val df = q9Text
-      assert(mergedBodies(df) == 5,
-        "expected the 5 per-band merged bodies with fusion disabled")
+      // 5 bands x the same count/avg pruning split = 10 stock bodies
+      // (2x what the injected rule leaves)
+      assert(mergedBodies(df) == 10,
+        "expected the 10 per-band pruning-split bodies with fusion disabled")
       assert(!df.queryExecution.optimizedPlan.toString.contains(" FILTER ("))
     }
   }

@@ -80,23 +80,50 @@ class PlanAuditSpec extends AnyFunSuite {
   // Bounded-shuffle operators: exactly one exchange (the top-k window
   // partitioned by source). WindowGroupLimit must appear so map tasks
   // pre-trim to k rows before that shuffle.
+  // r16: the size-gated scan fan-out (graft.ext.FanOut) may add ONE
+  // deliberate REPARTITION_BY_NUM exchange over a fanned base table.
+  // The 100-TB property these tests pin — the operator itself never
+  // REQUIRES a shuffle — is asserted with the fan-out kill switch off
+  // (the plan the engine produces at scale, where the gate keeps the
+  // fan-out from firing); the default plan is additionally checked to
+  // contain nothing beyond the declared budget plus fan-out exchanges.
+  private def withFanOutOff[A](body: => A): A = {
+    spark.conf.set(graft.ext.FanOut.EnabledConf, "false")
+    try body finally spark.conf.unset(graft.ext.FanOut.EnabledConf)
+  }
+  private def shuffleCount(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    """Exchange (hash|range|SinglePartition)""".r.findAllIn(plan).length
+  }
+  private def requiredShuffleCount(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    ("""Exchange (hash|range|SinglePartition)""".r.findAllIn(plan).length
+      - "REPARTITION_BY_NUM".r.findAllIn(plan).length)
+  }
+
   test("q_weighted_sample plans one shuffle with WindowGroupLimit pushdown") {
     val plan = SparkEntry.queries("q_weighted_sample")(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
-    val shuffles = """Exchange (hash|range|SinglePartition)""".r
-      .findAllIn(plan).length
-    assert(shuffles == 1, s"expected exactly one exchange:\n$plan")
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit map-side trim:\n$plan")
+    assert(requiredShuffleCount("q_weighted_sample") == 1,
+      s"expected exactly one required exchange:\n$plan")
+    withFanOutOff {
+      assert(shuffleCount("q_weighted_sample") == 1,
+        "fan-out off: exactly the one window exchange")
+    }
   }
 
   shuffleFree.foreach { name =>
     test(s"$name plans zero shuffle exchanges (per-row operator)") {
-      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
-        .queryExecution.executedPlan.toString
-      val shuffles = """Exchange (hash|range|SinglePartition)""".r
-        .findAllIn(plan).length
-      assert(shuffles == 0, s"$name should be shuffle-free:\n$plan")
+      assert(requiredShuffleCount(name) == 0,
+        s"$name must not require a shuffle (fan-out exchanges excluded)")
+      withFanOutOff {
+        assert(shuffleCount(name) == 0,
+          s"$name should be shuffle-free with the fan-out disabled")
+      }
     }
   }
 

@@ -344,11 +344,14 @@ class ScaleSpec extends AnyFunSuite {
       // the listener bus is async: poll to quiescence
       var prev = -1; var cur = actions.get()
       while (cur != prev) { prev = cur; Thread.sleep(200); cur = actions.get() }
-      // actions = 1 initial-labels pin + 1 pin per round; the pre-r8
-      // code paid 2 per round (pin + isEmpty convergence scan)
-      assert(cur == rounds + 1,
-        s"expected ${rounds + 1} actions (init pin + $rounds round pins), " +
-          s"saw $cur — a second per-round action crept back in")
+      // actions = 1 initial-labels pin + 1 up-front label count (r16:
+      // feeds the per-round join-strategy hint — constant across
+      // rounds, NOT per-round) + 1 pin per round; the pre-r8 code paid
+      // 2 per round (pin + isEmpty convergence scan)
+      assert(cur == rounds + 2,
+        s"expected ${rounds + 2} actions (init pin + size count + " +
+          s"$rounds round pins), saw $cur — a second per-round action " +
+          "crept back in")
     } finally spark.listenerManager.unregister(listener)
   }
 

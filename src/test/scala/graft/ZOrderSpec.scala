@@ -89,7 +89,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"),
       s"bounds must broadcast as one row:\n$p")
-    assert("Exchange hash".r.findAllIn(p).isEmpty,
+    // the z-value computation must never REQUIRE a shuffle: the only
+    // admissible hash exchange is the deliberate, size-gated scan
+    // fan-out (REPARTITION_BY_NUM — graft.ext.FanOut, r16), which
+    // vanishes at scale and under its kill switch. A hash exchange the
+    // PLANNER inserted (ENSURE_REQUIREMENTS) would mean the per-row
+    // arithmetic regressed into a keyed operation.
+    assert("Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
+        .findAllIn(p).isEmpty,
       s"per-row z-value must not hash-shuffle the fact:\n$p")
+    spark.conf.set(graft.ext.FanOut.EnabledConf, "false")
+    try {
+      val unfanned = SparkEntry.queries("q_zorder")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hash".r.findAllIn(unfanned).isEmpty,
+        s"fan-out off: the plan must be hash-shuffle-free:\n$unfanned")
+    } finally spark.conf.unset(graft.ext.FanOut.EnabledConf)
   }
 }
