@@ -32,10 +32,16 @@ object Tables {
     * parquet file is ONE scan task no matter the split config, so
     * without the fan-out those pipelines run one-core (measured r16 —
     * see FanOut's scaladoc). Dims are deliberately NOT fanned out:
-    * they end up broadcast, where an extra exchange is pure cost. */
-  private val fannedOut: Map[String, String] = Map(
-    "lineitem" -> "l_orderkey", "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
+    * they end up broadcast, where an extra exchange is pure cost.
+    *
+    * Width class per table (see FanOut): documents/embeddings feed
+    * COMPUTE-BOUND consumers (shingling, vector scoring) — full
+    * parallelism; lineitem feeds derivation/join/agg pipelines that
+    * saturate at a few tasks (measured r16) — size-derived width. */
+  private val fannedOut: Map[String, (String, Boolean)] = Map(
+    "lineitem" -> ("l_orderkey", true), // sized
+    "documents" -> ("doc_id", false), // compute: full width
+    "embeddings" -> ("vec_id", false))
 
   /** [[load]] WITHOUT the fan-out — for the handful of queries whose
     * output is a raw DOUBLE aggregate over the whole table (q1_agg,
@@ -60,16 +66,26 @@ object Tables {
     // and conf-off could not restore the pre-r16 plan in-session
     val fanned = fannedOut.contains(name) &&
       spark.conf.get(graft.ext.FanOut.EnabledConf, "true").toBoolean
+    // width confs ride through the key too (same honesty rule: a
+    // mid-session conf change must rebuild, not serve the stale frame)
+    val widthKey =
+      spark.conf.getOption(graft.ext.FanOut.PartitionsConf).map("#p" + _)
+        .getOrElse("") +
+      spark.conf.getOption(graft.ext.FanOut.TargetBytesConf).map("#t" + _)
+        .getOrElse("")
     SessionCaches.perSession(frameCache, spark)(
       new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-      .computeIfAbsent((dir, if (fanned) name else name + "#nofan"), _ => {
+      .computeIfAbsent(
+        (dir, if (fanned) name + widthKey else name + "#nofan"), _ => {
         val raw =
           if (name == "events") buildEvents(spark, dir)
           else if (name == "embeddings") buildEmbeddings(spark, dir)
           else spark.read.parquet(s"$dir/$name.parquet")
         fannedOut.get(name) match {
-          case Some(key) if fanned =>
-            graft.ext.FanOut.fanOut(raw, org.apache.spark.sql.functions.col(key))
+          case Some((key, sized)) if fanned =>
+            val k = org.apache.spark.sql.functions.col(key)
+            if (sized) graft.ext.FanOut.fanOutSized(raw, k)
+            else graft.ext.FanOut.fanOut(raw, k)
           case _ => raw
         }
       })

@@ -70,8 +70,12 @@ object DsTables {
     // mid-session conf flip must rebuild rather than return the cached
     // pre-flip frame (same contract as Tables.load)
     val k = (d,
-      if (s.conf.get(graft.ext.FanOut.EnabledConf, "true").toBoolean) name
-      else name + "#nofan")
+      (if (s.conf.get(graft.ext.FanOut.EnabledConf, "true").toBoolean) name
+       else name + "#nofan") +
+        s.conf.getOption(graft.ext.FanOut.PartitionsConf)
+          .map("#p" + _).getOrElse("") +
+        s.conf.getOption(graft.ext.FanOut.TargetBytesConf)
+          .map("#t" + _).getOrElse(""))
     val hit = perSession.get(k)
     if (hit != null) hit
     else {

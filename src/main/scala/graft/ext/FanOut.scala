@@ -39,8 +39,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 object FanOut {
   val EnabledConf = "spark.graft.fanout.enabled"
   val MaxBytesConf = "spark.graft.fanout.maxInputBytes"
+  val PartitionsConf = "spark.graft.fanout.partitions"
+  val TargetBytesConf = "spark.graft.fanout.targetPartitionBytes"
 
-  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+  /** Fan width for COMPUTE-BOUND consumers (vector scoring, shingling/
+    * tokenization, row-expansion, encode+write): the work above the
+    * exchange dwarfs per-task overhead, so every core pays off —
+    * width = the session's default parallelism. */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame =
+    fanned(df, keys, None)
+
+  /** Fan width for DERIVATION/IO-BOUND consumers (column derivation,
+    * broadcast-join probe pipelines, aggregation): measured r16 (clean
+    * fresh-JVM probes, sf0.1), these saturate at a handful of tasks —
+    * q_dsreal_q48 0.52 s at width 4 vs 0.83 s at width 32, and every
+    * additional task only adds launch/stage overhead to the ~80 cheap
+    * queries sharing the table. Width therefore derives from the
+    * INPUT SIZE (one partition per `targetPartitionBytes`, default
+    * 2 MB, clamped to [2, defaultParallelism]) — scale-adaptive in
+    * both directions, never a constant tuned to one box. */
+  def fanOutSized(df: DataFrame, keys: Column*): DataFrame =
+    fanned(df, keys, Some(()))
+
+  private def fanned(df: DataFrame, keys: Seq[Column],
+      sized: Option[Unit]): DataFrame = {
     require(keys.nonEmpty, "fanOut needs at least one partitioning key")
     val spark = df.sparkSession
     if (!spark.conf.get(EnabledConf, "true").toBoolean) df
@@ -50,9 +72,20 @@ object FanOut {
       // plan-level estimate (file bytes for a parquet scan): no job,
       // no listing beyond what the scan itself already did
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= maxBytes)
-        df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
-      else df
+      if (est <= maxBytes) {
+        val para = spark.sparkContext.defaultParallelism
+        val parts = spark.conf.getOption(PartitionsConf) // probe A/Bs
+          .map(_.toInt)
+          .getOrElse(sized match {
+            case Some(_) =>
+              val target = spark.conf
+                .get(TargetBytesConf, (2L << 20).toString).toLong
+              val byBytes = (est / target).toLong
+              math.max(2L, math.min(para.toLong, byBytes)).toInt
+            case None => para
+          })
+        df.repartition(parts, keys: _*)
+      } else df
     }
   }
 }

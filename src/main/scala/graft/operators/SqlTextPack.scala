@@ -152,7 +152,11 @@ object SqlTextPack extends QueryPack {
     // the views to freshly built frames, not keep serving the plans
     // built under the previous setting
     val key = d + (if (s.conf.get(graft.ext.FanOut.EnabledConf,
-      "true").toBoolean) "" else "#nofan")
+      "true").toBoolean) "" else "#nofan") +
+      s.conf.getOption(graft.ext.FanOut.PartitionsConf)
+        .map("#p" + _).getOrElse("") +
+      s.conf.getOption(graft.ext.FanOut.TargetBytesConf)
+        .map("#t" + _).getOrElse("")
     if (starRegistered.put(s, key) != key)
       buildStarViews(s, d)
   }
