@@ -143,6 +143,21 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
 
+  /** Unfanned embeddings — for the IVF consumers (q_embedding_ivf,
+    * q_ivf_recall): they reference the corpus several times (router
+    * build, posting lists, truth side, corpus counts) but each
+    * reference does LIGHT per-row work on a router-gated subset, so
+    * every reference pays the fan-out exchange with no offsetting
+    * parallel win (measured r16, clean fresh-JVM A/B: q_ivf_recall
+    * 2.59 s fanned vs 2.07 s unfanned, q_embedding_ivf 1.54 vs 1.16).
+    * The PQ/SemDeDup consumers score the WHOLE corpus per probe and
+    * keep the fanned read (q_pq_topk 4.40 → 0.54 s under it).
+    * Result-identical: per-pair cosines are computed within a row pair
+    * (partitioning cannot reorder a dot product), unlike the
+    * whole-table float sums that motivated [[loadRaw]]. */
+  def embeddingsUnfanned(s: SparkSession, d: String): DataFrame =
+    loadRaw(s, d, "embeddings")
+
   private def buildEmbeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, FloatType}

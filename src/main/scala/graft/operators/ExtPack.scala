@@ -247,7 +247,9 @@ object ExtPack extends QueryPack {
     // vectors.
     "q_embedding_ivf" -> ((s, d) => {
       import s.implicits._
-      val emb = T.embeddings(s, d)
+      // unfanned: IVF references the corpus several times for light
+      // gated work — see Tables.embeddingsUnfanned (measured r16)
+      val emb = T.embeddingsUnfanned(s, d)
         .withColumn("cell", VectorOps.lshBucket($"embedding", planes = 6, dims = 64))
       VectorOps.ivfTopKMulti(emb, emb.filter($"vec_id" < 10), "cell",
         rounds = 1, a = 3, nProbe = 5, k = 5)
@@ -261,7 +263,8 @@ object ExtPack extends QueryPack {
     "q_ivf_recall" -> ((s, d) => {
       import s.implicits._
       import graft.operators.TopN
-      val emb = T.embeddings(s, d)
+      // unfanned: see q_embedding_ivf / Tables.embeddingsUnfanned
+      val emb = T.embeddingsUnfanned(s, d)
         .withColumn("cell", VectorOps.lshBucket($"embedding", planes = 6, dims = 64))
       val probes = emb.filter($"vec_id" < 10)
       // truth via round-6 ordering (like q_embedding_topk), so the
