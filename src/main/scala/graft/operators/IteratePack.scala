@@ -76,8 +76,11 @@ object IteratePack extends QueryPack {
       val init = nodes.withColumn("rank_micro", lit(1000000L))
       // pinEvery=2: each materialization job covers two power-iteration
       // steps (the rank frame enters each step once, so plan depth is
-      // linear in the stride) — half the pin-job overhead
-      // alias-qualified join: with pinEvery=2 the second composed step
+      // linear in the stride) — half the pin-job overhead. Stride 5
+      // was A/B-probed r16 (2.76 vs 2.85 s clean mins, within the
+      // run-to-run noise band): pin-job latency is NOT the remaining
+      // bottleneck, so the shallower, easier-to-debug plan stays.
+      // alias-qualified join: with pinEvery>1 a later composed step
       // re-joins ewd against a frame already derived from ewd, which
       // dataset-id column references would flag as an ambiguous
       // self-join
