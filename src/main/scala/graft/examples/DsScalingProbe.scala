@@ -31,6 +31,11 @@ import org.apache.spark.sql.SparkSession
 object DsScalingProbe {
 
   def normalize(p: String): String = p
+    // the fan-out width is SIZE-DERIVED (FanOut.fanOutSized: one
+    // partition per targetPartitionBytes), so it legitimately grows
+    // with the scale multiplier — normalize it away; a SHAPE change
+    // (node added/removed/reordered) still fails the stability check
+    .replaceAll("(RepartitionByExpression \\[[^\\]]*\\]), \\d+", "$1, W")
     .replaceAll("#\\d+", "#N")
     .replaceAll("plan_id=\\d+", "plan_id=N")
     .replaceAll("lambda ([a-zA-Z]+)_\\d+", "lambda $1_N")
