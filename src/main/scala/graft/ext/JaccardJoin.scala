@@ -85,15 +85,53 @@ object JaccardJoin {
         col(gramsCol).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (cand, prefixes) =
+      val (cand0, prefixes) =
         candidatesWithPrefixes(base, "id", "src", "grams", threshold)
+      // Verification is COMPUTE-bound per candidate (array_intersect
+      // over the full gram arrays), but the candidate set is only a
+      // few ids+ints per row — AQE's size-based coalescing therefore
+      // shrinks the post-distinct stage to ONE partition and the whole
+      // verification runs serially (measured r16: a single 2.6 s
+      // one-task stage inside q_ngram_jaccard). Explicit repartition
+      // (user-specified count, which AQE must preserve) spreads the
+      // verification across the session's parallelism; bytes moved are
+      // trivial by the same argument that makes AQE coalesce them.
+      // key on id1 ONLY: the distinct above already hash-partitions on
+      // (id1, id2), so a repartition on the identical key set is
+      // optimized away as redundant and the surviving
+      // ENSURE_REQUIREMENTS exchange gets AQE-coalesced to one
+      // partition again (measured — that elimination was exactly the
+      // first version of this fix failing)
+      val cand = cand0.repartition(
+        cand0.sparkSession.sparkContext.defaultParallelism, col("id1"))
+      // On a small corpus the verification joins must be BROADCAST:
+      // the cached gram table sits just over the broadcast threshold,
+      // so Catalyst picks sort-merge, whose ENSURE_REQUIREMENTS
+      // exchanges AQE then coalesces to ONE ~1 MB partition — and the
+      // array_intersect verification (the compute-heavy half of
+      // PPJoin) runs serially above it, defeating the repartition
+      // (measured r16: a single-task 2.6 s stage inside
+      // q_ngram_jaccard). Broadcasting the gram side keeps the
+      // verification fused 32-wide on the candidate partitions with no
+      // gram-array shuffle at all. Size-gated like FanOut: on a corpus
+      // past the gate the hint is not applied and verification runs as
+      // a real co-partitioned join — the 100 TB shape.
+      val verifyGate = docs.sparkSession.conf
+        .get("spark.graft.jaccard.verifyBroadcastMaxBytes",
+          (64L << 20).toString).toLong
+      val gramSide: DataFrame => DataFrame =
+        if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= verifyGate) broadcast _
+        else identity _
       // The materialization boundary between scoring and the threshold
       // filter is deliberate: without it Catalyst pushes the jaccard
       // predicate into the join condition, where array_intersect is
       // evaluated twice per row in interpreted (non-codegen) mode.
       val scored = Materialize.pin(cand
-        .join(base.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))
-        .join(base.select(col("id").as("id2"), col("grams").as("g2")), Seq("id2"))
+        .join(gramSide(base.select(col("id").as("id1"),
+          col("grams").as("g1"))), Seq("id1"))
+        .join(gramSide(base.select(col("id").as("id2"),
+          col("grams").as("g2"))), Seq("id2"))
         .select(col("id1"), col("id2"),
           size(array_intersect(col("g1"), col("g2"))).as("i"),
           size(col("g1")).as("n1"), size(col("g2")).as("n2")))
