@@ -35,7 +35,12 @@ object PlanDump {
       spark.conf.set(k, v)
     })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // pinned-subplan capture: a Materialize.pin cuts the top-level plan
+    // at an ExistingRDD scan, hiding everything the pin job itself ran
+    // (e.g. the PPJoin verification joins) — capture those too
+    spark.conf.set(graft.ext.Materialize.CapturePinsConf, "true")
     names.foreach { name =>
+      graft.ext.Materialize.drainCapturedPlans() // clear prior query's
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // collect() (not count()) so the action runs THIS queryExecution
       // and the dumped executedPlan is the AQE-final one — count()
@@ -48,10 +53,17 @@ object PlanDump {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val executed = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
+      // eager pins ran during query construction and during collect();
+      // one drain here gathers both
+      val pins = graft.ext.Materialize.drainCapturedPlans()
+        .zipWithIndex.map { case (p, i) =>
+          s"== pinned subplan ${i + 1} (Materialize.pin) ==\n$p\n" }
+        .mkString
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
         (s"== explain(formatted) ==\n$formatted\n" +
-          s"== executedPlan (AQE final) ==\n$executed\n").getBytes("UTF-8"))
+          s"== executedPlan (AQE final) ==\n$executed\n" +
+          pins).getBytes("UTF-8"))
       // isolation between dumps (pins/caches), mirroring Bench
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

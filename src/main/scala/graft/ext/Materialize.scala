@@ -29,13 +29,42 @@ object Materialize {
 
   val ReliableConf = "graft.checkpoint.reliable"
 
+  /** When `spark.graft.plans.capturePins=true` (default off — evidence
+    * tooling only, zero work on query paths otherwise), every [[pin]]
+    * also appends the pinned frame's FORMATTED explain to this buffer.
+    * A top-level `explain` stops at the pin's ExistingRDD scan, so the
+    * subplan a pin materializes — where optimizations inside operators
+    * like JaccardJoin.selfJoin live — is otherwise invisible to the
+    * committed plan artifacts. Drained by [[drainCapturedPlans]]
+    * (PlanDump appends the sections to its output files). */
+  val CapturePinsConf = "spark.graft.plans.capturePins"
+
+  private val captured =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Drain and return every subplan captured since the last drain. */
+  def drainCapturedPlans(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var s = captured.poll()
+    while (s != null) { out += s; s = captured.poll() }
+    out.result()
+  }
+
   /** Eagerly materialize `df` and cut its lineage (see object docs for
     * the local-vs-reliable trade-off). */
   def pin(df: DataFrame): DataFrame = {
     val reliable =
       df.sparkSession.conf.get(ReliableConf, "false").toBoolean
-    if (reliable) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    val pinned =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    if (df.sparkSession.conf.get(CapturePinsConf, "false").toBoolean) {
+      // after the eager checkpoint the adaptive plan is final, so this
+      // is the plan the pin job actually ran
+      captured.add(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    pinned
   }
 
   /** Deterministically drop a pinned frame's blocks, for operators that
